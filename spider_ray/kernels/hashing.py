@@ -1,0 +1,87 @@
+"""Frozen 64-bit hash kernel.
+
+The reference uses CityHash64 everywhere as THE partition / identity hash
+(``crawler/api/base.cc:64-75``, ``crawler2/general_crawler/scheduler.cc:292``,
+``fetcher/fetcher_thread.cc:178-180``). We freeze on ONE deterministic 64-bit
+hash for url_hash / host_hash / dedup signs:
+
+* fast path: polars ``Series.hash`` (vectorized xxhash-family, seed pinned to
+  ``SEED``) — used in every hot pipeline stage;
+* pure-python fallback: FNV-1a 64 (only if polars is missing, and for
+  documentation of intent — never mixed with the fast path in one run).
+
+Both the Ray engine and the single-process oracle import ``hash64`` from
+here, so crawl-order / seen-set parity never depends on the hash's exact
+value, only on its determinism within a run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SEED = 1_0416  # frozen; never change without regenerating goldens
+
+try:
+    import polars as pl
+
+    _HAVE_POLARS = True
+except Exception:  # pragma: no cover
+    _HAVE_POLARS = False
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _fnv1a64(s: str) -> int:
+    h = _FNV_OFFSET ^ (SEED & _MASK64)
+    for b in s.encode("utf-8", "surrogatepass"):
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def hash64(values) -> np.ndarray:
+    """64-bit hash of a string column → ``np.ndarray[uint64]``.
+
+    Accepts a ``pyarrow.Array``/``ChunkedArray``, list of str, or numpy
+    object array. Nulls hash like empty strings.
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if _HAVE_POLARS:
+        if isinstance(values, pa.Array):
+            s = pl.from_arrow(values)
+        else:
+            s = pl.Series(list(values), dtype=pl.Utf8)
+        return (
+            s.fill_null("")
+            .hash(seed=SEED)
+            .to_numpy()
+            .astype(np.uint64, copy=False)
+        )
+    if isinstance(values, pa.Array):
+        values = values.to_pylist()
+    return np.array([_fnv1a64(v or "") for v in values], dtype=np.uint64)
+
+
+def hash64_one(value: str) -> int:
+    """Scalar convenience — same function as :func:`hash64`."""
+    return int(hash64([value])[0])
+
+
+def derive(h: int | np.ndarray, salt: int) -> np.ndarray | int:
+    """Deterministic secondary value from a hash — the engine's only source
+    of "randomness" (FIXTURES.md §9: all randomness is a pure function of
+    ``(seed, url_hash)``; reference used ``rand()`` at
+    ``control/schedule/url_to_ip.cc:48``, ``fetcher/fetcher_thread.cc:575-577``,
+    ``scheduler.cc:192-205``). splitmix64 finalizer over ``h ^ salt``."""
+    scalar = np.isscalar(h) or isinstance(h, (int, np.integer))
+    with np.errstate(over="ignore"):
+        z = np.asarray(h, dtype=np.uint64) + np.uint64(
+            (salt * 0x9E3779B97F4A7C15) & _MASK64
+        )
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return int(z) if scalar else z

@@ -1,0 +1,88 @@
+"""URL canonicalization equivalence classes — fixture table modeled on the
+reference's crawler/api/base_test.cc:6-120 cases (case folding, default port,
+fragment strip, %7E≡~, leading %20 runs, schemeless, >4096B, IDN)."""
+
+import numpy as np
+import pytest
+
+from spider_ray.kernels.urlnorm import (
+    MAX_URL_LEN,
+    canonicalize,
+    canonicalize_one,
+    filter_rules,
+    host_of,
+)
+
+CASES = [
+    # (raw, expected canonical or None)
+    ("http://www.Example.COM/", "http://www.example.com/"),
+    ("HTtP://www.example.com/", "http://www.example.com/"),
+    ("http://www.example.com:80/", "http://www.example.com/"),
+    ("https://www.example.com:443/a", "https://www.example.com/a"),
+    ("http://www.example.com:8080/a", "http://www.example.com:8080/a"),
+    ("http://www.example.com/a#frag", "http://www.example.com/a"),
+    ("http://www.example.com/%7Euser/", "http://www.example.com/~user/"),
+    ("http://www.example.com/a/./b/../c", "http://www.example.com/a/c"),
+    ("www.example.com/x", "http://www.example.com/x"),
+    ("  http://www.example.com/  ", "http://www.example.com/"),
+    ("%20%20http://e.com/", "http://e.com/"),
+    ("http://www.example.com", "http://www.example.com/"),
+    ("http://e.com/p?b=2&a=1", "http://e.com/p?a=1&b=2"),
+    ("http://e.com/p?b=2&a=1#f", "http://e.com/p?a=1&b=2"),
+    ("ftp://e.com/x", None),
+    ("javascript:void(0)", None),
+    ("http://.bad.com/", None),
+    ("http://%61.com/", None),
+    ("http://+x.com/", None),
+    ("mailto:a@b.c", None),
+    ("http://user@e.com/", None),
+    ("http://e.com" + "/a" * 2100, None),  # > 4096 bytes
+    ("http://münchen.de/straße", "http://xn--mnchen-3ya.de/stra%C3%9Fe"),
+    ("", None),
+    ("http://e.com/a%2Fb", "http://e.com/a/b"),  # decoded reserved: collapses
+    ("http://e.com/A%3f", "http://e.com/A%3F"),  # uppercase escapes
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_canonicalize_cases(raw, expected):
+    assert canonicalize_one(raw) == expected
+
+
+def test_idempotent():
+    for raw, expected in CASES:
+        if expected is not None:
+            assert canonicalize_one(expected) == expected
+
+
+def test_vector_matches_scalar():
+    raws = [c[0] for c in CASES]
+    assert canonicalize(raws) == [canonicalize_one(r) for r in raws]
+
+
+def test_host_of():
+    assert host_of("http://a.b.com:81/x") == "a.b.com"
+    assert host_of("https://a.b.com/x?q=1") == "a.b.com"
+
+
+def test_filter_rules():
+    urls = [
+        "http://ok.com/a/b",
+        None,
+        "http://deep.com/" + "/".join("x" * 1 for _ in range(12)),
+        "http://q.com/p?" + "a" * 1200,
+        "http://black.com/x",
+    ]
+    keep, reasons = filter_rules(urls, blacklist_hosts=frozenset({"black.com"}))
+    assert list(keep) == [True, False, False, False, False]
+    assert reasons[1] == "canonicalize_reject"
+    assert reasons[2] == "path_too_deep"
+    assert reasons[3] == "query_too_long"
+    assert reasons[4] == "host_blacklist"
+
+
+def test_max_url_len_boundary():
+    base = "http://e.com/"
+    pad = MAX_URL_LEN - len(base)
+    assert canonicalize_one(base + "a" * pad) is not None
+    assert canonicalize_one(base + "a" * (pad + 1)) is None
