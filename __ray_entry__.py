@@ -1,44 +1,159 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline on sf0.001; ``queries()`` maps each
+implemented operator/pipeline from SURVEY.md §2 to a callable over ``sf_dir``;
+``oracle_sql()`` gives the DuckDB-equivalent SQL (same column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spider_ray.pipelines import relational as R  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pricing-summary aggregate over sf0.001 lineitem."""
+    return R.q_pricing_summary("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # aggregations (SURVEY §2.5)
+        "pricing_summary": R.q_pricing_summary,
+        "per_key_count": R.q_per_key_count,
+        "topk_spenders": R.q_topk_spenders,
+        "minmax_stats": R.q_minmax_stats,
+        "conditional_agg": R.q_conditional_agg,
+        # joins (SURVEY §2.4)
+        "broadcast_join": R.q_broadcast_join,
+        "cogroup_join": R.q_cogroup_join,
+        "anti_join": R.q_anti_join,
+        "region_revenue": R.q_region_revenue,
+        "latest_record": R.q_latest_record,
+        # filters / bands / unions / sampling / windows (§2.2, §2.6, §2.7, §2.9)
+        "filter_revenue": R.q_filter_revenue,
+        "priority_bands": R.q_priority_bands,
+        "union_dedup": R.q_union_dedup,
+        "sample_mod": R.q_sample_mod,
+        "window_hourly": R.q_window_hourly,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(l_quantity) / count(*) AS avg_qty,
+                   sum(l_extendedprice) / count(*) AS avg_price,
+                   sum(l_discount) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "per_key_count": """
+            SELECT o_custkey, count(*) AS order_count,
+                   sum(o_totalprice) AS total_price
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "topk_spenders": """
+            SELECT o_custkey, sum(o_totalprice) AS total_spent
+            FROM orders GROUP BY o_custkey
+            ORDER BY total_spent DESC, o_custkey LIMIT 10
+        """,
+        "minmax_stats": """
+            SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+                   sum(value) / count(*) AS avg_value, count(*) AS event_count
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "conditional_agg": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                       AS purchase_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "broadcast_join": """
+            SELECT p_brand,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "cogroup_join": """
+            SELECT n_name, count(*) AS order_count,
+                   sum(o_totalprice) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "region_revenue": """
+            SELECT r_name, sum(o_totalprice) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "latest_record": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+            ORDER BY user_id
+        """,
+        "filter_revenue": """
+            SELECT sum(l_extendedprice * l_discount) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "priority_bands": """
+            SELECT CASE WHEN o_totalprice >= 500000 THEN 0
+                        WHEN o_totalprice >= 100000 THEN 10
+                        WHEN o_totalprice >= 10000 THEN 30
+                        ELSE 50 END AS band,
+                   count(*) AS n_orders
+            FROM orders GROUP BY band ORDER BY band
+        """,
+        "union_dedup": """
+            SELECT DISTINCT id FROM (
+                SELECT user_id AS id FROM events
+                UNION ALL SELECT o_custkey AS id FROM orders)
+            ORDER BY id
+        """,
+        "sample_mod": """
+            SELECT count(*) AS n_sampled, sum(value) AS value_sum
+            FROM events WHERE event_id % 97 = 0
+        """,
+        "window_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, sum(value) AS value_sum
+            FROM events GROUP BY window_start, event_type
+            ORDER BY window_start, event_type
+        """,
+    }

@@ -1,0 +1,428 @@
+"""Relational pipelines over the sf parquet tables.
+
+Each function takes ``sf_dir`` and returns a small pyarrow.Table (or a lazy
+Dataset for big outputs). Every function mirrors one operator class from the
+reference crawler (SURVEY.md §2 item cited per function) re-expressed
+Ray-Data-first. Column names are frozen to match ``oracle_sql`` in
+``__ray_entry__.py`` exactly.
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from spider_ray.sources.tables import read_small, read_table
+from spider_ray.stages.agg import broadcast_join, partial_final_agg
+
+
+def _sorted(t: pa.Table, keys, descending=False) -> pa.Table:
+    if isinstance(keys, str):
+        keys = [keys]
+    order = "descending" if descending else "ascending"
+    return t.sort_by([(k, order) for k in keys])
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5)
+
+
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-shaped per-flag aggregate: map-side partial combine then tiny
+    final merge (reference pattern: per-IP stat combiner, ip_stat.cc:37-79)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pl.datetime(1998, 9, 2)
+
+    def partial(lf: pl.LazyFrame) -> pl.LazyFrame:
+        return (
+            lf.filter(pl.col("l_shipdate") <= cutoff)
+            .group_by("l_returnflag", "l_linestatus")
+            .agg(
+                sum_qty=pl.col("l_quantity").sum(),
+                sum_base_price=pl.col("l_extendedprice").sum(),
+                sum_disc_price=(
+                    pl.col("l_extendedprice") * (1 - pl.col("l_discount"))
+                ).sum(),
+                sum_disc=pl.col("l_discount").sum(),
+                count_order=pl.len(),
+            )
+        )
+
+    def final(lf: pl.LazyFrame) -> pl.LazyFrame:
+        return (
+            lf.group_by("l_returnflag", "l_linestatus")
+            .agg(
+                sum_qty=pl.col("sum_qty").sum(),
+                sum_base_price=pl.col("sum_base_price").sum(),
+                sum_disc_price=pl.col("sum_disc_price").sum(),
+                avg_qty=pl.col("sum_qty").sum() / pl.col("count_order").sum(),
+                avg_price=pl.col("sum_base_price").sum() / pl.col("count_order").sum(),
+                avg_disc=pl.col("sum_disc").sum() / pl.col("count_order").sum(),
+                count_order=pl.col("count_order").sum(),
+            )
+            .sort("l_returnflag", "l_linestatus")
+        )
+
+    return partial_final_agg(ds, partial, final)
+
+
+def q_per_key_count(sf_dir: str) -> pa.Table:
+    """Per-customer order count+sum — per-host URL stats analog
+    (host_stat.cc). Native Ray groupby (hash shuffle w/ partial agg)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = (
+        ds.groupby("o_custkey")
+        .aggregate(Count(), Sum("o_totalprice"))
+        .to_pandas()
+    )
+    out = out.rename(
+        columns={"count()": "order_count", "sum(o_totalprice)": "total_price"}
+    )
+    t = pa.Table.from_pandas(out[["o_custkey", "order_count", "total_price"]],
+                             preserve_index=False)
+    return _sorted(t, "o_custkey")
+
+
+def q_topk_spenders(sf_dir: str) -> pa.Table:
+    """Top-10 customers by spend — drain-time sort + topk analog
+    (run_schedule.sh:242-248 global sort; evaluation top-N)."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(lf):
+        return lf.group_by("o_custkey").agg(total_spent=pl.col("o_totalprice").sum())
+
+    def final(lf):
+        return (
+            lf.group_by("o_custkey")
+            .agg(total_spent=pl.col("total_spent").sum())
+            .sort(["total_spent", "o_custkey"], descending=[True, False])
+            .head(10)
+        )
+
+    return partial_final_agg(ds, partial, final)
+
+
+def q_minmax_stats(sf_dir: str) -> pa.Table:
+    """Per-event-type min/max/mean/count — crawl metrics counters analog
+    (crawler.cc:26-34 atomic counters exported periodically)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(lf):
+        return lf.group_by("event_type").agg(
+            vmin=pl.col("value").min(),
+            vmax=pl.col("value").max(),
+            vsum=pl.col("value").sum(),
+            n=pl.len(),
+        )
+
+    def final(lf):
+        return (
+            lf.group_by("event_type")
+            .agg(
+                min_value=pl.col("vmin").min(),
+                max_value=pl.col("vmax").max(),
+                avg_value=pl.col("vsum").sum() / pl.col("n").sum(),
+                event_count=pl.col("n").sum(),
+            )
+            .sort("event_type")
+        )
+
+    return partial_final_agg(ds, partial, final)
+
+
+def q_conditional_agg(sf_dir: str) -> pa.Table:
+    """Per-user pivot counts of event types — per-source tagged counting
+    (statistic/mr_stat_site_pv_mapper.cc combiner pattern)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(lf):
+        return lf.group_by("user_id").agg(
+            n_click=(pl.col("event_type") == "click").sum(),
+            n_view=(pl.col("event_type") == "view").sum(),
+            n_purchase=(pl.col("event_type") == "purchase").sum(),
+            purchase_value=pl.when(pl.col("event_type") == "purchase")
+            .then(pl.col("value"))
+            .otherwise(0.0)
+            .sum(),
+        )
+
+    def final(lf):
+        return (
+            lf.group_by("user_id")
+            .agg(
+                n_click=pl.col("n_click").sum(),
+                n_view=pl.col("n_view").sum(),
+                n_purchase=pl.col("n_purchase").sum(),
+                purchase_value=pl.col("purchase_value").sum(),
+            )
+            .sort("user_id")
+        )
+
+    return partial_final_agg(ds, partial, final)
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+
+
+def q_broadcast_join(sf_dir: str) -> pa.Table:
+    """Revenue per part brand: big lineitem ⋈ small part via broadcast
+    (J1 url→ip dict broadcast, url_to_ip.cc:25-91)."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    part = read_small(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = broadcast_join(li, part, keys="l_partkey", right_keys="p_partkey")
+
+    def partial(lf):
+        return lf.group_by("p_brand").agg(
+            revenue=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum()
+        )
+
+    def final(lf):
+        return (
+            lf.group_by("p_brand").agg(revenue=pl.col("revenue").sum()).sort("p_brand")
+        )
+
+    return partial_final_agg(joined, partial, final)
+
+
+def q_cogroup_join(sf_dir: str) -> pa.Table:
+    """Orders per nation: orders ⋈ customer (broadcast) ⋈ nation (broadcast)
+    — J2 robots-by-host tagged join re-expressed."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j = broadcast_join(orders, cust, keys="o_custkey", right_keys="c_custkey")
+    j = broadcast_join(j, nation, keys="c_nationkey", right_keys="n_nationkey")
+
+    def partial(lf):
+        return lf.group_by("n_name").agg(
+            order_count=pl.len(), total_price=pl.col("o_totalprice").sum()
+        )
+
+    def final(lf):
+        return (
+            lf.group_by("n_name")
+            .agg(
+                order_count=pl.col("order_count").sum(),
+                total_price=pl.col("total_price").sum(),
+            )
+            .sort("n_name")
+        )
+
+    return partial_final_agg(j, partial, final)
+
+
+def q_anti_join(sf_dir: str) -> pa.Table:
+    """Customers with no orders — the linkbase anti-join / URL-seen
+    suppression (J3, mr_selector_r1_reducer.cc:54-156)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    # seen-set side: distinct custkeys, collected small after dedup
+    seen = read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    seen_ref = ray.put(set(seen))
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        seen_set = ray.get(seen_ref)
+        mask = [k not in seen_set for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    t = _concat(cust.map_batches(_anti, batch_format="pyarrow"))
+    return _sorted(t, "c_custkey")
+
+
+def q_region_revenue(sf_dir: str) -> pa.Table:
+    """Multi-hop dimension join: orders→customer→nation→region revenue
+    (schedule pipeline's chained small joins, run_schedule.sh steps 2-4)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = read_small(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    dim = cust.join(nation, keys="c_nationkey", right_keys="n_nationkey").join(
+        region, keys="n_regionkey", right_keys="r_regionkey"
+    )
+    j = broadcast_join(
+        orders,
+        dim.select(["c_custkey", "r_name"]),
+        keys="o_custkey",
+        right_keys="c_custkey",
+    )
+
+    def partial(lf):
+        return lf.group_by("r_name").agg(revenue=pl.col("o_totalprice").sum())
+
+    def final(lf):
+        return lf.group_by("r_name").agg(revenue=pl.col("revenue").sum()).sort("r_name")
+
+    return partial_final_agg(j, partial, final)
+
+
+def q_latest_record(sf_dir: str) -> pa.Table:
+    """Per-user latest event — the batch⋈delta linkbase merge keep-max-
+    timestamp rule (J6, mr_combine_batch_delta_reducer.cc:33-95). Two-stage:
+    per-block partial latest, then final latest over partials."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def latest(lf: pl.LazyFrame) -> pl.LazyFrame:
+        return (
+            lf.sort(["ts", "event_id"], descending=[True, True])
+            .group_by("user_id", maintain_order=True)
+            .first()
+        )
+
+    def final(lf):
+        return latest(lf).sort("user_id").select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+
+    return partial_final_agg(ds, latest, final)
+
+
+# ---------------------------------------------------------------------------
+# Filters / banding / union-dedup / sampling / windows (SURVEY §2.2, §2.6, §2.7)
+
+
+def q_filter_revenue(sf_dir: str) -> pa.Table:
+    """Predicate filter + global agg (TPC-H-Q6 shape) — the URL filter-rules
+    gate M3 (crawler_selector_util.cc:413-520) as a relational filter."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(lf):
+        return (
+            lf.filter(
+                (pl.col("l_shipdate") >= pl.datetime(1997, 1, 1))
+                & (pl.col("l_shipdate") < pl.datetime(1998, 1, 1))
+                & (pl.col("l_discount") >= 0.02)
+                & (pl.col("l_discount") <= 0.06)
+                & (pl.col("l_quantity") < 24)
+            )
+            .select(
+                revenue=(pl.col("l_extendedprice") * pl.col("l_discount")).sum(),
+                n_rows=pl.len(),
+            )
+        )
+
+    def final(lf):
+        return lf.select(
+            revenue=pl.col("revenue").sum(), n_rows=pl.col("n_rows").sum()
+        )
+
+    return partial_final_agg(ds, partial, final)
+
+
+def q_priority_bands(sf_dir: str) -> pa.Table:
+    """Score→priority banding (O6, scheduler.cc:192-205: ≥500→[0,9],
+    ≥100→[10,29], ≥10→[30,49], else [50,99]) applied to order totals
+    (scaled ×1000), counting orders per band."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(lf):
+        lf = lf.with_columns(
+            band=pl.when(pl.col("o_totalprice") >= 500_000)
+            .then(0)
+            .when(pl.col("o_totalprice") >= 100_000)
+            .then(10)
+            .when(pl.col("o_totalprice") >= 10_000)
+            .then(30)
+            .otherwise(50)
+        )
+        return lf.group_by("band").agg(n_orders=pl.len())
+
+    def final(lf):
+        return lf.group_by("band").agg(n_orders=pl.col("n_orders").sum()).sort("band")
+
+    return partial_final_agg(ds, partial, final)
+
+
+def q_union_dedup(sf_dir: str) -> pa.Table:
+    """Multi-source union + exact dedup (D1/D2: 7-source frontier union then
+    gb(url) first-wins). ids from two sources → distinct sorted."""
+    a = read_table(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    b = read_table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    u = a.union(b)
+
+    def partial(lf):
+        return lf.unique(subset=["id"])
+
+    def final(lf):
+        return lf.unique(subset=["id"]).sort("id")
+
+    return partial_final_agg(u, partial, final)
+
+
+def q_sample_mod(sf_dir: str) -> pa.Table:
+    """Deterministic 1/97 sample (O5 image-corpus sampling made seedless-
+    deterministic per FIXTURES §9): event_id % 97 == 0 → count + sum."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(lf):
+        return lf.filter(pl.col("event_id") % 97 == 0).select(
+            n_sampled=pl.len(), value_sum=pl.col("value").sum()
+        )
+
+    def final(lf):
+        return lf.select(
+            n_sampled=pl.col("n_sampled").sum(),
+            value_sum=pl.col("value_sum").sum(),
+        )
+
+    return partial_final_agg(ds, partial, final)
+
+
+def q_window_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window per event type (streaming semantics §2.9 —
+    time-split saver rolls output by timespan, time_split_saver.h:16-57)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(lf):
+        return (
+            lf.with_columns(window_start=pl.col("ts").dt.truncate("1h"))
+            .group_by("window_start", "event_type")
+            .agg(n_events=pl.len(), value_sum=pl.col("value").sum())
+        )
+
+    def final(lf):
+        return (
+            lf.group_by("window_start", "event_type")
+            .agg(
+                n_events=pl.col("n_events").sum(),
+                value_sum=pl.col("value_sum").sum(),
+            )
+            .sort("window_start", "event_type")
+        )
+
+    return partial_final_agg(ds, partial, final)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _concat(ds: ray.data.Dataset) -> pa.Table:
+    tables = ray.get(ds.to_arrow_refs())
+    return pa.concat_tables(tables, promote_options="default")

@@ -1,0 +1,65 @@
+"""Partial→final aggregation and broadcast-join stages.
+
+The reference does map-side combining before every wide reduce
+(``control/schedule/ip_stat.cc:37-54`` per-mapper std::map partials;
+``statistic/mr_stat_site_pv_mapper.cc:17,29-50`` combiner capped at 100k
+groups). The Ray-native restatement: a ``map_batches`` stage computes one
+partial-aggregate row per (block, group) — so the shuffle moves partials,
+not rows — and a tiny final combine merges them. For low-cardinality keys
+the combined partials are a few hundred rows, so the final combine happens
+driver-side on a materialized small table (allowed: small results only).
+
+Broadcast join: the reference ships dict sides to ALL reducers with a sort
+tag (``control/schedule/url_to_ip.cc:25-91``); here the small side is
+``ray.put`` once and joined per-batch with Arrow's hash join — no shuffle of
+the big side at all.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def partial_final_agg(
+    ds: ray.data.Dataset,
+    partial_exprs: Callable[[pl.LazyFrame], pl.LazyFrame],
+    final_exprs: Callable[[pl.LazyFrame], pl.LazyFrame],
+) -> pa.Table:
+    """Run ``partial_exprs`` per Arrow block (vectorized, polars), collect the
+    small partial tables, and combine with ``final_exprs`` driver-side.
+
+    Returns a pyarrow.Table (small result)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        out = partial_exprs(pl.from_arrow(batch).lazy()).collect()
+        return out.to_arrow()
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    tables = ray.get(partials.to_arrow_refs())
+    chunks = [pl.from_arrow(t) for t in tables if t.num_rows > 0]
+    merged = pl.concat(chunks) if chunks else pl.from_arrow(tables[0])
+    return final_exprs(merged.lazy()).collect().to_arrow()
+
+
+def broadcast_join(
+    ds: ray.data.Dataset,
+    small: pa.Table,
+    keys: str | list[str],
+    right_keys: str | list[str] | None = None,
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Map-side join of a big Dataset against a small broadcast table."""
+    small_ref = ray.put(small)
+
+    def _join(batch: pa.Table) -> pa.Table:
+        s = ray.get(small_ref)
+        return batch.join(
+            s, keys=keys, right_keys=right_keys, join_type=join_type
+        )
+
+    return ds.map_batches(_join, batch_format="pyarrow")

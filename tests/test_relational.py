@@ -1,0 +1,81 @@
+"""Every queries() entry vs its oracle_sql() via DuckDB at sf0.001 — the
+same comparison the driver runs at sf0.01 (row count, schema names,
+order-insensitive values)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    if isinstance(result, pd.DataFrame):
+        return result
+    return result.to_pandas()  # ray Dataset
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df
+
+
+def assert_query_matches_oracle(name, sf_dir):
+    import __ray_entry__ as E
+
+    ours = _normalize(_to_pandas(E.queries()[name](sf_dir)))
+    con = _duck(sf_dir)
+    theirs = _normalize(con.sql(E.oracle_sql()[name]).df())
+    assert list(ours.columns) == list(theirs.columns), (
+        f"{name}: columns {list(ours.columns)} != {list(theirs.columns)}"
+    )
+    assert len(ours) == len(theirs), f"{name}: rows {len(ours)} != {len(theirs)}"
+    pd.testing.assert_frame_equal(
+        ours, theirs, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
+    )
+
+
+def all_query_names():
+    import __ray_entry__ as E
+
+    return [n for n in E.queries() if n in E.oracle_sql()]
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_vs_oracle(name, ray_session, sf_small):
+    assert_query_matches_oracle(name, sf_small)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as E
+
+    t = E.entry()
+    df = _to_pandas(t)
+    assert len(df) >= 1
+    assert "sum_qty" in df.columns
