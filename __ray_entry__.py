@@ -17,7 +17,25 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from spider_ray.functions import dedup as D  # noqa: E402
+from spider_ray.functions import similarity as S  # noqa: E402
+from spider_ray.functions import text as T  # noqa: E402
 from spider_ray.pipelines import relational as R  # noqa: E402
+
+# Ray workers may not have this repo on sys.path (the driver controls
+# ray.init). Register every spider_ray module for pickle-by-value so
+# map_batches closures are fully self-contained.
+try:  # pragma: no cover - depends on driver environment
+    from ray import cloudpickle as _cp
+
+    for _name, _mod in list(sys.modules.items()):
+        if _name == "spider_ray" or _name.startswith("spider_ray."):
+            try:
+                _cp.register_pickle_by_value(_mod)
+            except Exception:
+                pass
+except Exception:
+    pass
 
 
 def entry() -> Any:
@@ -45,6 +63,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_dedup": R.q_union_dedup,
         "sample_mod": R.q_sample_mod,
         "window_hourly": R.q_window_hourly,
+        # dedup suite (SURVEY §2.7 + training-data ops)
+        "exact_dedup": D.q_exact_dedup,
+        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": D.q_minhash_lsh_pairs,
+        "simhash_pairs": D.q_simhash_pairs,
+        "embedding_neardup": D.q_embedding_neardup,
+        # text analysis
+        "token_stats": T.q_token_stats,
+        "bpe_token_count": T.q_bpe_token_count,
+        "quality_scores": T.q_quality_scores,
+        "langid": T.q_langid,
+        "fingerprints": T.q_fingerprints,
+        # similarity search
+        "knn_bruteforce": S.q_knn_bruteforce,
+        "knn_ivf": S.q_knn_ivf,
     }
     return q
 
@@ -156,4 +189,71 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY window_start, event_type
             ORDER BY window_start, event_type
         """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
+        "minhash_lsh_pairs": _NGRAM_PAIRS_SQL,
+        "embedding_neardup": """
+            SELECT a_id, b_id, cosine FROM (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                       list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]) AS cosine
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.95 ORDER BY a_id, b_id
+        """,
+        "token_stats": r"""
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+                   sum(n_chars) / count(*) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "bpe_token_count": r"""
+            SELECT source, count(*) AS n_docs,
+                   sum(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "quality_scores": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE
+                       / length(text) AS punct_ratio,
+                   len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+                       / length(text) AS digit_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "knn_bruteforce": """
+            SELECT query_id, vec_id, cosine FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                               e.vec_id) AS rn
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE q.vec_id < 8)
+            WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
+        """,
     }
+
+
+_NGRAM_PAIRS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') ws FROM documents),
+    sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(ws) - 1, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) g
+        FROM toks),
+    pairs AS (
+        SELECT a.doc_id a_id, b.doc_id b_id,
+               len(list_intersect(a.g, b.g))::DOUBLE
+                   / nullif(len(list_distinct(list_concat(a.g, b.g))), 0) jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT a_id, b_id, jaccard FROM pairs
+    WHERE jaccard >= 0.5 ORDER BY a_id, b_id
+"""

@@ -1,0 +1,193 @@
+"""Text kernels: tokenization, shingles, MinHash, SimHash, quality metrics,
+language-ID heuristic, rolling-hash fingerprints.
+
+Reference analogs: simhash near-dup signatures
+(``dedup/html_simhash/html_simhash.h:40-65`` — tf-weighted term hashes →
+64-bit signature), term extraction for anchors/queries
+(``proto2/resource.proto:134-159``). Everything here is deterministic and
+pure; the Ray pipelines in ``spider_ray/functions`` wrap these in
+``map_batches`` stages.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+from spider_ray.kernels.hashing import hash64
+
+# BPE-ish word pattern: letter runs, digit runs, single punctuation marks.
+TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+WS_RE = re.compile(r"\S+")
+_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+_DIGIT_RE = re.compile(r"[0-9]")
+_UPPER_RE = re.compile(r"[A-Z]")
+_CJK_RE = re.compile(r"[一-鿿぀-ヿ]")
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def ws_tokens(text: str) -> list[str]:
+    return WS_RE.findall(text or "")
+
+
+def bpe_tokens(text: str) -> list[str]:
+    return TOKEN_RE.findall(text or "")
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    """Distinct k-word shingles, in first-occurrence order."""
+    w = ws_tokens(text)
+    if len(w) < k:
+        return [" ".join(w)] if w else []
+    seen: dict[str, None] = {}
+    for i in range(len(w) - k + 1):
+        seen.setdefault(" ".join(w[i : i + k]), None)
+    return list(seen)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    return hash64(sh)
+
+
+# --- MinHash -----------------------------------------------------------------
+
+MINHASH_PERMS = 128
+_rng = np.random.RandomState(10416)
+# multiply-shift universal-ish family over 2^64: h_i(x) = (a_i*x + b_i) mod 2^64
+_MH_A = (_rng.randint(1, 2**62, size=MINHASH_PERMS).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+_MH_B = _rng.randint(0, 2**62, size=MINHASH_PERMS).astype(np.uint64)
+
+
+def minhash_signature(shingle_hs: np.ndarray) -> np.ndarray:
+    """(MINHASH_PERMS,) uint64 signature; empty shingle set → all-max."""
+    if shingle_hs.size == 0:
+        return np.full(MINHASH_PERMS, _MASK64, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = _MH_A[:, None] * shingle_hs[None, :] + _MH_B[:, None]
+    return m.min(axis=1)
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 32) -> np.ndarray:
+    """Hash each band of the signature → (bands,) uint64 bucket keys."""
+    r = sig.size // bands
+    view = sig[: bands * r].reshape(bands, r)
+    with np.errstate(over="ignore"):
+        # mix rows of each band into one key, then mix in the band index
+        k = view[:, 0].copy()
+        for j in range(1, r):
+            k = k * np.uint64(0x9E3779B97F4A7C15) + view[:, j]
+        k = k * np.uint64(0x9E3779B97F4A7C15) + np.arange(bands, dtype=np.uint64)
+    return k
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two uint64 hash-set arrays."""
+    if a.size == 0 and b.size == 0:
+        return 0.0
+    inter = np.intersect1d(a, b).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(text: str) -> int:
+    """64-bit tf-weighted SimHash over BPE-ish tokens (reference semantics:
+    html_simhash.cc — term hashes vote per bit with term weight)."""
+    toks = bpe_tokens(text)
+    if not toks:
+        return 0
+    hs = hash64(toks)  # one hash per occurrence → tf weighting for free
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            sig |= np.uint64(1) << np.uint64(i)
+    return int(sig)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_bands(sig: int, bands: int = 4) -> list[int]:
+    """Split a 64-bit simhash into ``bands`` 16-bit keys (near-dup candidates
+    share at least one band when hamming distance ≤ bands-1... pigeonhole)."""
+    w = 64 // bands
+    mask = (1 << w) - 1
+    return [((sig >> (i * w)) & mask) | (i << w) for i in range(bands)]
+
+
+# --- quality / langid / fingerprints ----------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "of", "and", "to", "in", "is", "that", "for", "on", "with"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "las", "por"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "une", "du"},
+}
+
+
+def quality_metrics(text: str) -> dict:
+    n_chars = len(text)
+    toks = ws_tokens(text)
+    n_tokens = len(toks)
+    n_punct = len(_PUNCT_RE.findall(text))
+    n_digit = len(_DIGIT_RE.findall(text))
+    n_upper = len(_UPPER_RE.findall(text))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": n_punct / n_chars if n_chars else 0.0,
+        "digit_ratio": n_digit / n_chars if n_chars else 0.0,
+        "upper_ratio": n_upper / n_chars if n_chars else 0.0,
+        "mean_token_len": (sum(len(t) for t in toks) / n_tokens) if n_tokens else 0.0,
+    }
+
+
+def detect_lang(text: str) -> str:
+    """Deterministic n-gram/stopword heuristic language ID."""
+    if not text:
+        return "und"
+    if len(_CJK_RE.findall(text)) / max(len(text), 1) > 0.05:
+        return "zh"
+    words = [w.lower() for w in ws_tokens(text)]
+    if not words:
+        return "und"
+    best, best_score = "en", -1.0
+    for lang, sw in _STOPWORDS.items():
+        score = sum(1 for w in words if w in sw) / len(words)
+        if score > best_score:
+            best, best_score = lang, score
+    return best if best_score > 0 else "und"
+
+
+def doc_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
+    """Winnowing document fingerprint: rolling CRC over k-byte windows, keep
+    per-window minima, combine. Deterministic; robust to small edits."""
+    data = (text or "").encode("utf-8", "replace")
+    if len(data) < k:
+        return zlib.crc32(data)
+    n = len(data) - k + 1
+    hs = np.empty(n, dtype=np.uint32)
+    for i in range(n):
+        hs[i] = zlib.crc32(data[i : i + k])
+    if n <= window:
+        mins = np.array([hs.min()])
+    else:
+        strides = np.lib.stride_tricks.sliding_window_view(hs, window)
+        mins = strides.min(axis=1)
+        mins = np.unique(mins)
+    acc = np.uint64(0xCBF29CE484222325)
+    with np.errstate(over="ignore"):
+        for m in mins.astype(np.uint64):
+            acc = (acc ^ m) * np.uint64(0x100000001B3)
+    return int(acc)

@@ -34,8 +34,7 @@ def _to_pandas(result) -> pd.DataFrame:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype.kind in "iu":
             df[c] = df[c].astype("int64")
@@ -43,7 +42,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(6)
         elif str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-    return df
+    # round BEFORE sorting so float noise below the tolerance can't reorder
+    return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
 def assert_query_matches_oracle(name, sf_dir):

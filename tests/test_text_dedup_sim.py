@@ -1,0 +1,83 @@
+"""Rows-only / property tests for the non-SQL-expressible ops (simhash,
+langid, fingerprints, IVF recall) plus kernel unit tests."""
+
+import numpy as np
+import pytest
+
+from spider_ray.kernels import tokens as tk
+
+
+def test_minhash_similarity_estimate():
+    a = tk.shingle_hashes("the quick brown fox jumps over the lazy dog " * 5)
+    b = tk.shingle_hashes("the quick brown fox jumps over the lazy cat " * 5)
+    sa, sb = tk.minhash_signature(a), tk.minhash_signature(b)
+    est = (sa == sb).mean()
+    true_j = tk.jaccard(a, b)
+    assert abs(est - true_j) < 0.2
+
+
+def test_lsh_identical_docs_share_all_bands():
+    a = tk.shingle_hashes("alpha beta gamma delta epsilon zeta")
+    ka = tk.lsh_band_keys(tk.minhash_signature(a))
+    kb = tk.lsh_band_keys(tk.minhash_signature(a.copy()))
+    assert (ka == kb).all()
+
+
+def test_simhash_stability_and_locality():
+    t1 = "spark group query row data slow small filter customer line" * 3
+    t2 = t1 + " extra"
+    s1, s2 = tk.simhash(t1), tk.simhash(t2)
+    assert s1 == tk.simhash(t1)
+    assert tk.hamming64(s1, s2) < 16
+    far = tk.simhash("completely different words entirely unrelated content")
+    assert tk.hamming64(s1, far) > tk.hamming64(s1, s2)
+
+
+def test_detect_lang_deterministic():
+    assert tk.detect_lang("the cat sat on the mat with the hat") == "en"
+    assert tk.detect_lang("der hund und die katze ist von mit") == "de"
+    assert tk.detect_lang("这是一个中文句子测试") == "zh"
+    assert tk.detect_lang("") == "und"
+
+
+def test_fingerprint_stable_and_edit_sensitive():
+    t = "some document body " * 20
+    assert tk.doc_fingerprint(t) == tk.doc_fingerprint(t)
+    assert tk.doc_fingerprint(t) != tk.doc_fingerprint(t + "x" * 50)
+
+
+def test_simhash_pairs_pipeline(ray_session, sf_small):
+    from spider_ray.functions.dedup import q_simhash_pairs
+
+    t = q_simhash_pairs(sf_small)
+    assert t.column_names == ["a_id", "b_id", "hamming"]
+    if t.num_rows:
+        assert max(t["hamming"].to_pylist()) <= 6
+
+
+def test_langid_and_fingerprints_run(ray_session, sf_small):
+    from spider_ray.functions.text import q_fingerprints, q_langid
+
+    lt = q_langid(sf_small)
+    ft = q_fingerprints(sf_small)
+    assert lt.num_rows == ft.num_rows == 500
+    # deterministic across runs
+    assert lt.equals(q_langid(sf_small))
+    assert ft.equals(q_fingerprints(sf_small))
+
+
+def test_ivf_recall_vs_bruteforce(ray_session, sf_small):
+    from spider_ray.functions.similarity import q_knn_bruteforce, q_knn_ivf
+
+    bf = q_knn_bruteforce(sf_small)
+    ivf = q_knn_ivf(sf_small)
+    import polars as pl
+
+    bfd = pl.from_arrow(bf).group_by("query_id").agg(pl.col("vec_id"))
+    ivd = pl.from_arrow(ivf).group_by("query_id").agg(pl.col("vec_id"))
+    j = bfd.join(ivd, on="query_id", suffix="_ivf")
+    recalls = [
+        len(set(a) & set(b)) / len(a)
+        for a, b in zip(j["vec_id"].to_list(), j["vec_id_ivf"].to_list())
+    ]
+    assert np.mean(recalls) >= 0.75, recalls
