@@ -265,3 +265,8 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
 
     t = _concat(emb.map_batches(neardup, batch_format="pyarrow"))
     return _sorted(t, ["a_id", "b_id"])
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

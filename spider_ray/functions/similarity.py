@@ -159,3 +159,8 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
         .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
     )
     return out.to_arrow()
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

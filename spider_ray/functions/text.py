@@ -135,3 +135,8 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
 
     t = _concat(ds.map_batches(fp, batch_format="pyarrow"))
     return _sorted(t, "doc_id")
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

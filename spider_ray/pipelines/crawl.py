@@ -1,0 +1,438 @@
+"""The Ray-Data-native crawl loop (north rule).
+
+Per generation (G2 loop semantics, SURVEY §3.3 — frontier[g] → schedule →
+fetch → extract → frontier[g+1]):
+
+1. candidates (arrow) → ``ray.data`` ``map_batches(normalize)`` — stateless
+   canonicalize/rules/robots/bands stage, robots table broadcast via
+   ``ray.put``;
+2. ``groupby(shard).map_groups`` routes each shard's rows to its
+   ``ShardActor`` (named raw actor: the one shared-mutable-state piece the
+   Dataset API can't express) which admits against its cuckoo seen-set and
+   runs the politeness DES → returns timed fetch permits;
+3. permits → ``ds.sort`` by the global crawl-order key (the wave's wide
+   shuffle) → ``map_batches(FetchWorker, concurrency=N)`` actor pool holding
+   the warm WebIndex — fetch-sim + image decode/recompress/phash;
+4. fetch output materialized to per-(gen) parquet sinks: status, images
+   (after shard-actor first-wins dedup), next-gen candidates
+   (retries + extracted outlinks);
+5. checkpoint per (gen, shard): scheduler state pickle + ``_DONE`` marker +
+   metrics rows → a killed run resumes at the last complete generation
+   without re-fetching (fetch lookups are counted to prove it).
+
+The driver-side lists touched here are wave-sized (one generation's
+candidates/permits), never corpus-sized; at 10^10-frontier scale each becomes
+a partitioned dataset and the actor calls take block refs — the code is
+structured so that swap is local (see routes/_schedule_group).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from spider_ray.kernels.hashing import hash64
+from spider_ray.pipelines.oracle import load_corpus, permit_sort_key
+from spider_ray.stages.fetchsim import WebIndex, fetch_one, result_to_rows
+from spider_ray.stages.normalize import normalize_batch
+from spider_ray.state.load_controller import LoadOptions
+from spider_ray.state.scheduler import FetchPermit, ShardScheduler
+
+MAX_GENS = 8
+
+PERMIT_SCHEMA = pa.schema(
+    [
+        ("fetch_ts", pa.int64()),
+        ("url", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("host", pa.string()),
+        ("priority", pa.int16()),
+        ("gen", pa.int32()),
+        ("seq", pa.int64()),
+        ("depth", pa.int16()),
+        ("tried", pa.int16()),
+        ("referer", pa.string()),
+        ("dedup_hits", pa.int64()),
+        ("shard", pa.int32()),
+    ]
+)
+
+
+@ray.remote
+class ShardActor:
+    """Owns one ShardScheduler — cuckoo seen-set, politeness state, clock."""
+
+    def __init__(self, shard_id, num_shards, load_rows, options_dict, meta_ref):
+        options = LoadOptions(**options_dict) if options_dict else None
+        self.sched = ShardScheduler(shard_id, num_shards, load_rows, options)
+        # Ray auto-resolves ObjectRef ctor args to their values
+        self.meta = meta_ref if isinstance(meta_ref, dict) else ray.get(meta_ref)
+
+    def schedule(self, rows: list[dict], wave_start: int) -> dict:
+        rows = sorted(rows, key=lambda r: r["seq"])
+        accepted, hits = self.sched.admit(rows)
+        permits = self.sched.run_wave(accepted, wave_start, self.meta)
+        return {
+            "permits": [p.__dict__ for p in permits],
+            "dedup_hits": hits,
+            "candidates": len(rows),
+        }
+
+    def admit_images(self, hashes: list[int]) -> list[bool]:
+        return self.sched.admit_images(np.array(hashes, dtype=np.uint64)).tolist()
+
+    def clock(self) -> int:
+        return self.sched.clock
+
+    def state_dict(self) -> bytes:
+        return pickle.dumps(self.sched.state_dict())
+
+    def load_state(self, blob: bytes) -> None:
+        self.sched = ShardScheduler.from_state_dict(pickle.loads(blob))
+
+    def seen_rows(self) -> list[tuple]:
+        return self.sched.seen_urls
+
+
+class FetchWorker:
+    """Actor-pool fetch + decode stage (``map_batches(FetchWorker,
+    concurrency=N)``): WebIndex built once per actor in ``__init__`` (T6 warm
+    state), per-batch work is fetch-sim + image decode/recompress/phash."""
+
+    def __init__(self, corpus_dir: str):
+        c = load_corpus(corpus_dir)
+        self.index = WebIndex(c["pages"], c["images"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "url": [], "host": [], "fetch_ts": [], "gen": [], "seq": [],
+            "priority": [], "depth": [], "tried": [], "referer": [],
+            "status": [], "effective_url": [], "retry": [],
+            "outlinks": [], "images": [],
+        }
+        for r in batch.to_pylist():
+            p = FetchPermit(
+                fetch_ts=r["fetch_ts"], url=r["url"], url_hash=r["url_hash"],
+                host=r["host"], priority=r["priority"], gen=r["gen"],
+                seq=r["seq"], depth=r["depth"], tried=r["tried"],
+                referer=r["referer"],
+            )
+            res = fetch_one(p, self.index)
+            out["url"].append(p.url)
+            out["host"].append(p.host)
+            out["fetch_ts"].append(p.fetch_ts)
+            out["gen"].append(p.gen)
+            out["seq"].append(p.seq)
+            out["priority"].append(p.priority)
+            out["depth"].append(p.depth)
+            out["tried"].append(p.tried)
+            out["referer"].append(p.referer)
+            out["status"].append(res.status)
+            out["effective_url"].append(res.effective_url)
+            out["retry"].append(res.retry)
+            out["outlinks"].append(
+                [{"url": o["url"], "depth": o["depth"]} for o in res.outlink_rows]
+            )
+            out["images"].append(res.image_rows)
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "host": pa.array(out["host"], pa.string()),
+                "fetch_ts": pa.array(out["fetch_ts"], pa.int64()),
+                "gen": pa.array(out["gen"], pa.int32()),
+                "seq": pa.array(out["seq"], pa.int64()),
+                "priority": pa.array(out["priority"], pa.int16()),
+                "depth": pa.array(out["depth"], pa.int16()),
+                "tried": pa.array(out["tried"], pa.int16()),
+                "referer": pa.array(out["referer"], pa.string()),
+                "status": pa.array(out["status"], pa.int32()),
+                "effective_url": pa.array(out["effective_url"], pa.string()),
+                "retry": pa.array(out["retry"], pa.bool_()),
+                "outlinks": pa.array(
+                    out["outlinks"],
+                    pa.list_(pa.struct([("url", pa.string()), ("depth", pa.int64())])),
+                ),
+                "images": pa.array(
+                    out["images"],
+                    pa.list_(
+                        pa.struct(
+                            [
+                                ("image_id", pa.string()),
+                                ("bytes", pa.binary()),
+                                ("w", pa.int64()),
+                                ("h", pa.int64()),
+                                ("fmt", pa.string()),
+                                ("caption", pa.string()),
+                                ("phash", pa.int64()),
+                                ("dims_ok", pa.bool_()),
+                            ]
+                        )
+                    ),
+                ),
+            }
+        )
+
+
+def _seeds_candidates(seeds: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "url": seeds["url"],
+            "depth": seeds["depth"],
+            "tried": pa.array([0] * seeds.num_rows, pa.int16()),
+            "priority": seeds["priority"],
+            "referer": seeds["referer"],
+        }
+    )
+
+
+def _with_seq(t: pa.Table) -> pa.Table:
+    if "seq" in t.column_names:
+        return t
+    return t.append_column("seq", pa.array(np.arange(t.num_rows), pa.int64()))
+
+
+def run_crawl(
+    corpus_dir: str,
+    out_dir: str,
+    num_shards: int = 4,
+    max_gens: int = MAX_GENS,
+    options: LoadOptions | None = None,
+    fetch_concurrency: int = 4,
+    resume: bool = False,
+) -> dict:
+    """Run (or resume) the crawl; writes per-gen parquet sinks under
+    ``out_dir`` and returns summary paths + counters."""
+    os.makedirs(out_dir, exist_ok=True)
+    c = load_corpus(corpus_dir)
+    meta_ref = ray.put(
+        {u: (int(r["status_code"]), int(r["latency_us"])) for u, r in c["pages"].items()}
+    )
+    robots_ref = ray.put(c["robots"])
+    options_dict = (options or LoadOptions()).__dict__
+
+    actors = [
+        ShardActor.remote(s, num_shards, c["load_rows"], options_dict, meta_ref)
+        for s in range(num_shards)
+    ]
+
+    start_gen = 0
+    candidates = _with_seq(_seeds_candidates(c["seeds"]))
+    wave_start = 0
+    if resume:
+        done_gens = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(out_dir)
+            if d.startswith("gen=")
+            and os.path.exists(os.path.join(out_dir, d, "_DONE"))
+        )
+        if done_gens:
+            g = done_gens[-1]
+            ck = os.path.join(out_dir, f"gen={g}", "ckpt")
+            for s, a in enumerate(actors):
+                with open(os.path.join(ck, f"shard_{s}.pkl"), "rb") as f:
+                    ray.get(a.load_state.remote(f.read()))
+            cand_path = os.path.join(out_dir, f"gen={g}", "next_candidates.parquet")
+            candidates = pq.read_table(cand_path)
+            with open(os.path.join(ck, "wave_start.txt")) as f:
+                wave_start = int(f.read())
+            start_gen = g + 1
+
+    total_fetched = 0
+    for gen in range(start_gen, max_gens):
+        if candidates.num_rows == 0:
+            break
+        gen_dir = os.path.join(out_dir, f"gen={gen}")
+        os.makedirs(os.path.join(gen_dir, "ckpt"), exist_ok=True)
+
+        # 1. normalize (stateless mb; robots broadcast)
+        cand_ds = ray.data.from_arrow(candidates)
+
+        def _norm(batch: pa.Table, g=gen) -> pa.Table:
+            rob = ray.get(robots_ref)
+            out, _m = normalize_batch(batch, rob, num_shards, g)
+            return out
+
+        norm_ds = cand_ds.map_batches(_norm, batch_format="pyarrow")
+
+        # 2. route to shard actors: groupby(shard) co-groups each shard's
+        # rows into one task which calls its actor
+        actor_by_shard = {i: a for i, a in enumerate(actors)}
+
+        def _schedule_group(df: pa.Table, ws=wave_start) -> pa.Table:
+            if df.num_rows == 0:
+                return pa.Table.from_pylist([], schema=PERMIT_SCHEMA)
+            shard = int(df["shard"][0].as_py())
+            res = ray.get(
+                actor_by_shard[shard].schedule.remote(df.to_pylist(), ws)
+            )
+            rows = [
+                {**p, "dedup_hits": res["dedup_hits"], "shard": shard}
+                for p in res["permits"]
+            ]
+            return pa.Table.from_pylist(rows, schema=PERMIT_SCHEMA)
+
+        permits_ds = norm_ds.groupby("shard").map_groups(
+            _schedule_group, batch_format="pyarrow"
+        )
+
+        # 3. global crawl-order sort (the wide shuffle) + fetch actor pool
+        permits_ds = permits_ds.sort(["fetch_ts", "priority", "gen", "seq", "host"])
+        fetched_ds = permits_ds.map_batches(
+            FetchWorker,
+            fn_constructor_args=(corpus_dir,),
+            concurrency=fetch_concurrency,
+            batch_size=256,
+            batch_format="pyarrow",
+        )
+        fetched = pa.concat_tables(
+            ray.get(fetched_ds.to_arrow_refs()), promote_options="default"
+        )
+        # deterministic global order (engine-side re-sort; Ray block order is
+        # not guaranteed)
+        fetched = fetched.sort_by(
+            [("fetch_ts", "ascending"), ("priority", "ascending"),
+             ("gen", "ascending"), ("seq", "ascending"), ("host", "ascending")]
+        )
+        total_fetched += fetched.num_rows
+
+        # 4a. status sink
+        status_t = fetched.drop_columns(["outlinks", "images"])
+        pq.write_table(status_t, os.path.join(gen_dir, "status.parquet"))
+
+        # 4b. image sink: explode, first-wins dedup via shard actors
+        img_rows: list[dict] = []
+        for r in fetched.to_pylist():
+            for k, im in enumerate(r["images"] or []):
+                img_rows.append({**im, "first_gen": gen, "_ord": (len(img_rows))})
+        if img_rows:
+            ih = hash64([r["image_id"] for r in img_rows])
+            by_shard: dict[int, list[int]] = {}
+            for i, h in enumerate(ih):
+                by_shard.setdefault(int(h) % num_shards, []).append(i)
+            keep = np.zeros(len(img_rows), dtype=bool)
+            futs = {
+                s: actors[s].admit_images.remote([int(ih[i]) for i in idxs])
+                for s, idxs in by_shard.items()
+            }
+            for s, idxs in by_shard.items():
+                mask = ray.get(futs[s])
+                for i, m in zip(idxs, mask):
+                    keep[i] = m
+            kept = [
+                {k: v for k, v in r.items() if k != "_ord"}
+                for i, r in enumerate(img_rows)
+                if keep[i]
+            ]
+        else:
+            kept = []
+        images_t = pa.Table.from_pylist(
+            kept,
+            schema=pa.schema(
+                [
+                    ("image_id", pa.string()),
+                    ("bytes", pa.binary()),
+                    ("w", pa.int64()),
+                    ("h", pa.int64()),
+                    ("fmt", pa.string()),
+                    ("caption", pa.string()),
+                    ("phash", pa.int64()),
+                    ("dims_ok", pa.bool_()),
+                    ("first_gen", pa.int32()),
+                ]
+            ),
+        )
+        pq.write_table(images_t, os.path.join(gen_dir, "images.parquet"))
+
+        # 4c. next-gen candidates: retries (crawl order) then outlinks
+        next_rows: list[dict] = []
+        for r in fetched.to_pylist():
+            if r["retry"]:
+                next_rows.append(
+                    {
+                        "url": r["url"],
+                        "depth": r["depth"],
+                        "tried": r["tried"] + 1,
+                        "priority": r["priority"],
+                        "referer": r["referer"],
+                    }
+                )
+        for r in fetched.to_pylist():
+            for o in r["outlinks"] or []:
+                next_rows.append(
+                    {
+                        "url": o["url"],
+                        "depth": o["depth"],
+                        "tried": 0,
+                        "priority": None,
+                        "referer": r["effective_url"],
+                    }
+                )
+        candidates = _with_seq(
+            pa.Table.from_pylist(
+                next_rows,
+                schema=pa.schema(
+                    [
+                        ("url", pa.string()),
+                        ("depth", pa.int16()),
+                        ("tried", pa.int16()),
+                        ("priority", pa.int16()),
+                        ("referer", pa.string()),
+                    ]
+                ),
+            )
+        )
+        pq.write_table(
+            candidates, os.path.join(gen_dir, "next_candidates.parquet")
+        )
+
+        # 5. checkpoint: scheduler state per shard + wave clock + marker
+        wave_start = max(ray.get([a.clock.remote() for a in actors]))
+        for s, a in enumerate(actors):
+            blob = ray.get(a.state_dict.remote())
+            with open(os.path.join(gen_dir, "ckpt", f"shard_{s}.pkl"), "wb") as f:
+                f.write(blob)
+        with open(os.path.join(gen_dir, "ckpt", "wave_start.txt"), "w") as f:
+            f.write(str(wave_start))
+        metrics_t = pa.table(
+            {
+                "gen": pa.array([gen], pa.int32()),
+                "fetched": pa.array([fetched.num_rows], pa.int64()),
+                "images": pa.array([images_t.num_rows], pa.int64()),
+                "next_candidates": pa.array([candidates.num_rows], pa.int64()),
+                "wave_end_us": pa.array([wave_start], pa.int64()),
+            }
+        )
+        pq.write_table(metrics_t, os.path.join(gen_dir, "metrics.parquet"))
+        with open(os.path.join(gen_dir, "_DONE"), "w") as f:
+            f.write("ok")
+
+    # final: merged seen table
+    seen_rows = []
+    for a in actors:
+        seen_rows.extend(
+            {"url_hash": uh, "url": u, "first_gen": g}
+            for uh, u, g in ray.get(a.seen_rows.remote())
+        )
+    seen_rows.sort(key=lambda r: (r["url_hash"], r["url"]))
+    seen_t = pa.Table.from_pylist(
+        seen_rows,
+        schema=pa.schema(
+            [("url_hash", pa.uint64()), ("url", pa.string()),
+             ("first_gen", pa.int32())]
+        ),
+    )
+    pq.write_table(seen_t, os.path.join(out_dir, "seen.parquet"))
+
+    for a in actors:
+        ray.kill(a)
+    return {"out_dir": out_dir, "total_fetched": total_fetched}
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

@@ -1,0 +1,194 @@
+"""Single-process reference-semantics oracle crawler (SURVEY §5: "golden
+end-to-end: tiny synthetic web crawled by a ~200-line single-process oracle").
+
+Drives the exact same kernels and per-shard schedulers as the Ray engine —
+sequentially, in one process — and produces the golden outputs the engine
+must match: crawl order, URL-seen set, image+caption table, per-(gen, shard)
+metrics (FIXTURES.md §8).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from spider_ray.kernels.robots import parse_robots
+from spider_ray.stages.fetchsim import WebIndex, fetch_one, result_to_rows
+from spider_ray.stages.normalize import normalize_batch
+from spider_ray.state.load_controller import LoadOptions
+from spider_ray.state.scheduler import ShardScheduler
+
+MAX_GENS = 8
+
+
+def load_corpus(corpus_dir: str) -> dict:
+    t = {
+        name: pq.read_table(f"{corpus_dir}/{name}.parquet")
+        for name in ("web_graph", "images", "robots", "host_load", "frontier_seed")
+    }
+    pages = {r["url"]: r for r in t["web_graph"].to_pylist()}
+    images = {r["image_id"]: r for r in t["images"].to_pylist()}
+    robots = {
+        r["host"]: parse_robots(r["body"]) for r in t["robots"].to_pylist()
+    }
+    load_rows = [
+        (r["key"], r["max_connections"], r["max_qps"], r["window"])
+        for r in t["host_load"].to_pylist()
+    ]
+    return {
+        "pages": pages,
+        "images": images,
+        "robots": robots,
+        "load_rows": load_rows,
+        "seeds": t["frontier_seed"],
+    }
+
+
+def permit_sort_key(p) -> tuple:
+    """Global crawl-order merge rule (shared with the engine)."""
+    return (p.fetch_ts, p.priority, p.gen, p.seq, p.host)
+
+
+def run_oracle(
+    corpus_dir: str,
+    num_shards: int = 4,
+    max_gens: int = MAX_GENS,
+    options: LoadOptions | None = None,
+) -> dict:
+    c = load_corpus(corpus_dir)
+    index = WebIndex(c["pages"], c["images"])
+    meta = index.meta()
+    shards = [
+        ShardScheduler(s, num_shards, c["load_rows"], options)
+        for s in range(num_shards)
+    ]
+
+    candidates = pa.table(
+        {
+            "url": c["seeds"]["url"],
+            "depth": c["seeds"]["depth"],
+            "tried": pa.array([0] * c["seeds"].num_rows, pa.int16()),
+            "priority": c["seeds"]["priority"],
+            "referer": c["seeds"]["referer"],
+        }
+    )
+
+    crawl_order: list[dict] = []
+    image_rows: list[dict] = []
+    status_rows: list[dict] = []
+    metrics_rows: list[dict] = []
+    wave_start = 0
+
+    for gen in range(max_gens):
+        if candidates.num_rows == 0:
+            break
+        norm, m = normalize_batch(candidates, c["robots"], num_shards, gen)
+        rows = norm.to_pylist()
+        by_shard: dict[int, list[dict]] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+
+        permits = []
+        for s, sched in enumerate(shards):
+            srows = sorted(by_shard.get(s, []), key=lambda r: r["seq"])
+            accepted, hits = sched.admit(srows)
+            sp = sched.run_wave(accepted, wave_start, meta)
+            permits.extend(sp)
+            mrow = {
+                "gen": gen,
+                "shard": s,
+                "candidates": len(srows),
+                "dedup_hits": hits,
+                "scheduled": len(sp),
+            }
+            if s == 0:
+                mrow.update({f"norm_{k}": v for k, v in m.items()})
+            metrics_rows.append(mrow)
+
+        permits.sort(key=permit_sort_key)
+        next_retries: list[dict] = []
+        next_links: list[dict] = []
+        img_candidates: list[dict] = []
+        counts = {"2xx": 0, "3xx": 0, "4xx": 0, "5xx": 0}
+        for p in permits:
+            res = fetch_one(p, index)
+            crawl_order.append(
+                {
+                    "order": len(crawl_order),
+                    "fetch_ts": p.fetch_ts,
+                    "url": p.url,
+                    "host": p.host,
+                    "gen": p.gen,
+                    "priority": p.priority,
+                    "seq": p.seq,
+                    "tried": p.tried,
+                    "status": res.status,
+                }
+            )
+            status_rows.append(result_to_rows(res))
+            b = res.status // 100
+            counts["2xx" if b == 2 else "3xx" if b == 3 else "4xx" if b == 4 else "5xx"] = (
+                counts.get("2xx" if b == 2 else "3xx" if b == 3 else "4xx" if b == 4 else "5xx", 0) + 1
+            )
+            if res.retry:
+                next_retries.append(
+                    {
+                        "url": p.url,
+                        "depth": p.depth,
+                        "tried": p.tried + 1,
+                        "priority": p.priority,
+                        "referer": p.referer,
+                    }
+                )
+            next_links.extend(res.outlink_rows)
+            img_candidates.extend(res.image_rows)
+
+        # image dedup: first-wins in global crawl order, sharded by id hash
+        from spider_ray.kernels.hashing import hash64
+
+        if img_candidates:
+            ih = hash64([r["image_id"] for r in img_candidates])
+            for r, h in zip(img_candidates, ih):
+                s = int(h) % num_shards
+                if shards[s].admit_images([h])[0]:
+                    image_rows.append({**r, "first_gen": gen})
+
+        next_rows = next_retries + next_links
+        if next_rows:
+            candidates = pa.table(
+                {
+                    "url": pa.array([r["url"] for r in next_rows], pa.string()),
+                    "depth": pa.array([r["depth"] for r in next_rows], pa.int16()),
+                    "tried": pa.array([r["tried"] for r in next_rows], pa.int16()),
+                    "priority": pa.array(
+                        [r["priority"] for r in next_rows], pa.int16()
+                    ),
+                    "referer": pa.array(
+                        [r["referer"] for r in next_rows], pa.string()
+                    ),
+                }
+            )
+        else:
+            candidates = pa.table({"url": pa.array([], pa.string())})
+        wave_start = max(s.clock for s in shards)
+
+    seen_rows = []
+    for s in shards:
+        seen_rows.extend(
+            {"url_hash": uh, "url": u, "first_gen": g} for uh, u, g in s.seen_urls
+        )
+    seen_rows.sort(key=lambda r: (r["url_hash"], r["url"]))
+
+    return {
+        "crawl_order": crawl_order,
+        "seen": seen_rows,
+        "images": image_rows,
+        "status": status_rows,
+        "metrics": metrics_rows,
+        "shards": shards,
+    }
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

@@ -426,3 +426,8 @@ def q_window_hourly(sf_dir: str) -> pa.Table:
 def _concat(ds: ray.data.Dataset) -> pa.Table:
     tables = ray.get(ds.to_arrow_refs())
     return pa.concat_tables(tables, promote_options="default")
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

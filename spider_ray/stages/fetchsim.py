@@ -1,0 +1,148 @@
+"""Fetch simulation + result handling — shared by the Ray fetch actor pool
+and the single-process oracle.
+
+Semantics reimplemented (not ported) from the reference:
+
+* redirect: one hop to ``redirect_to``; result reports ``effective_url``
+  (``resource.proto:35``; handled in ``page_crawler_misc.cc:289-301``);
+* retry rule: HTTP 200/404 are terminal; 5xx / network error retried with a
+  proxy flip up to ``MAX_RETRY`` = 2 (``fetch_result_handler.cc:67-88``,
+  ``crawler.cfg max_retry_times``);
+* outlink emission policy M9 (``resource_saver.cc:170-259``): only pages with
+  ≥ ``MIN_OUTLINK`` distinct outlinks and path depth ≤ 2 emit new links;
+* image pipeline: decode fetched bytes, verify (w, h, fmt), recompress to
+  the canonical codec, phash (M7/M15 analogs) — output row matches
+  BASELINE.json input_hint: (image_id, bytes, w, h, fmt, caption, phash).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from spider_ray.kernels.imaging import decode_image, encode_image, phash64
+from spider_ray.state.scheduler import FetchPermit
+
+MAX_RETRY = 2  # tried_times < 2 may retry (fetch_result_handler.cc:73-77)
+MIN_OUTLINK = 6  # kMinOutlink, resource_saver.h:16-20
+MAX_PATH_DEPTH_EXTRACT = 2  # kMaxPathDepthExtractNewLink
+
+
+@dataclass
+class WebIndex:
+    """In-memory lookup of the synthetic web served to the fetch sim.
+    Built once per actor (``__init__``) from the web_graph / images tables —
+    the T6-style warm state of the fetch stage."""
+
+    pages: dict[str, dict]  # url → row dict
+    images: dict[str, dict]  # image_id → row dict
+    lookups: int = 0
+
+    def meta(self) -> dict[str, tuple[int, int]]:
+        """url → (status, latency) map for scheduler completion simulation."""
+        return {
+            u: (int(r["status_code"]), int(r["latency_us"]))
+            for u, r in self.pages.items()
+        }
+
+
+@dataclass
+class FetchResult:
+    permit: FetchPermit
+    status: int
+    effective_url: str
+    outlink_rows: list[dict] = field(default_factory=list)
+    image_rows: list[dict] = field(default_factory=list)
+    retry: bool = False
+
+
+def _path_depth(url: str) -> int:
+    rest = url.split("://", 1)[1]
+    slash = rest.find("/")
+    return 0 if slash < 0 else rest[slash:].count("/") - 1
+
+
+def fetch_one(permit: FetchPermit, index: WebIndex) -> FetchResult:
+    index.lookups += 1
+    row = index.pages.get(permit.url)
+    if row is None:
+        return FetchResult(permit, 404, permit.url)
+    status = int(row["status_code"])
+    effective = permit.url
+    if status == 301 and row["redirect_to"]:
+        target = index.pages.get(row["redirect_to"])
+        effective = row["redirect_to"]
+        if target is None:
+            return FetchResult(permit, 404, effective)
+        row = target
+        status = int(row["status_code"])
+        if status == 301:
+            status = 200  # no redirect chains in the simulator
+    if status == -1 or status >= 500:
+        code = 599 if status == -1 else status
+        return FetchResult(
+            permit, code, effective, retry=permit.tried < MAX_RETRY
+        )
+    if status != 200:
+        return FetchResult(permit, status, effective)
+
+    res = FetchResult(permit, 200, effective)
+    outlinks = row["outlinks"] or []
+    if (
+        len(outlinks) >= MIN_OUTLINK
+        and _path_depth(effective) <= MAX_PATH_DEPTH_EXTRACT
+    ):
+        for ol in outlinks:
+            res.outlink_rows.append(
+                {
+                    "url": ol["url"],
+                    "depth": permit.depth + 1,
+                    "tried": 0,
+                    "priority": None,  # banded in normalize
+                    "referer": effective,
+                }
+            )
+    for ref in row["image_refs"] or []:
+        img = index.images.get(ref["image_id"])
+        if img is None:
+            continue
+        res.image_rows.append(process_image(img, ref["alt"]))
+    return res
+
+
+def process_image(img_row: dict, caption: str) -> dict:
+    """Decode → verify dims → recompress to the canonical codec → phash.
+    The M7 'convert to UTF-8 with best effort' analog for pixels."""
+    fmt = img_row["fmt"]
+    arr = decode_image(img_row["bytes"], fmt)
+    h, w = arr.shape[:2]
+    ok = w == int(img_row["w"]) and h == int(img_row["h"])
+    out_bytes = encode_image(arr, fmt)  # recompress policy: same codec
+    ph = phash64(decode_image(out_bytes, fmt))
+    return {
+        "image_id": img_row["image_id"],
+        "bytes": out_bytes,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": int(np.uint64(ph).astype(np.int64)),
+        "dims_ok": ok,
+    }
+
+
+def result_to_rows(res: FetchResult) -> dict:
+    """Status-sink row (S3 ResourceSaver status analog)."""
+    return {
+        "url": res.permit.url,
+        "host": res.permit.host,
+        "fetch_ts": res.permit.fetch_ts,
+        "gen": res.permit.gen,
+        "seq": res.permit.seq,
+        "priority": res.permit.priority,
+        "tried": res.permit.tried,
+        "status": res.status,
+        "effective_url": res.effective_url,
+        "retry": res.retry,
+    }

@@ -1,0 +1,128 @@
+"""Golden end-to-end parity: the Ray crawl engine must reproduce the
+single-process oracle's crawl order, URL-seen set, and image+caption table
+exactly (north rule), plus per-row PSNR ≥ 40 dB vs the original image store;
+and a killed run must resume from checkpoint without re-fetching."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from spider_ray.kernels.imaging import decode_image, psnr
+from spider_ray.pipelines.oracle import run_oracle
+from spider_ray.sources.webgen import generate
+
+CORPUS = "/tmp/spider_ray_test_corpus"
+OUT = "/tmp/spider_ray_test_crawl"
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    shutil.rmtree(CORPUS, ignore_errors=True)
+    generate(CORPUS, n_pages=200, n_hosts=8, seed=42)
+    return CORPUS
+
+
+@pytest.fixture(scope="session")
+def oracle_out(corpus):
+    return run_oracle(corpus, num_shards=2)
+
+
+@pytest.fixture(scope="session")
+def engine_out(corpus, ray_session):
+    from spider_ray.pipelines.crawl import run_crawl
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    res = run_crawl(corpus, OUT, num_shards=2, fetch_concurrency=2)
+    return res
+
+
+def _engine_rows(out_dir, name):
+    rows = []
+    for d in sorted(
+        glob.glob(os.path.join(out_dir, "gen=*")),
+        key=lambda p: int(p.split("=")[1]),
+    ):
+        rows.extend(pq.read_table(os.path.join(d, name)).to_pylist())
+    return rows
+
+
+def test_crawl_order_parity(engine_out, oracle_out):
+    eng = _engine_rows(OUT, "status.parquet")
+    gold = oracle_out["crawl_order"]
+    assert len(eng) == len(gold)
+    for e, g in zip(eng, gold):
+        assert (e["url"], e["fetch_ts"], e["status"], e["gen"]) == (
+            g["url"], g["fetch_ts"], g["status"], g["gen"]
+        )
+
+
+def test_seen_set_parity(engine_out, oracle_out):
+    eng = pq.read_table(os.path.join(OUT, "seen.parquet")).to_pylist()
+    assert eng == oracle_out["seen"]
+
+
+def test_images_parity_and_psnr(engine_out, oracle_out, corpus):
+    eng = _engine_rows(OUT, "images.parquet")
+    gold = {r["image_id"]: r for r in oracle_out["images"]}
+    assert {r["image_id"] for r in eng} == set(gold)
+    # caption + bytes exact vs oracle
+    for r in eng:
+        g = gold[r["image_id"]]
+        assert r["caption"] == g["caption"]
+        assert r["bytes"] == g["bytes"]
+        assert r["phash"] == g["phash"]
+    # per-row invariant vs the ORIGINAL store: decoded-pixel PSNR ≥ 40 dB
+    # (lossy) / exact (lossless)
+    store = {
+        r["image_id"]: r
+        for r in pq.read_table(os.path.join(corpus, "images.parquet")).to_pylist()
+    }
+    for r in eng[:50]:
+        orig = store[r["image_id"]]
+        a = decode_image(orig["bytes"], orig["fmt"])
+        b = decode_image(r["bytes"], r["fmt"])
+        if orig["fmt"] == "png":
+            assert (a == b).all()
+        else:
+            assert psnr(a, b) >= 40.0
+
+
+def test_metrics_written(engine_out):
+    rows = _engine_rows(OUT, "metrics.parquet")
+    assert len(rows) >= 1
+    assert sum(r["fetched"] for r in rows) == engine_out["total_fetched"]
+
+
+def test_resume_no_refetch(corpus, oracle_out, ray_session):
+    """Kill-and-resume (M6): run 2 gens, resume to completion; outputs must
+    equal the uninterrupted run and gens 0-1 must not be re-fetched."""
+    from spider_ray.pipelines.crawl import run_crawl
+
+    out2 = "/tmp/spider_ray_test_resume"
+    shutil.rmtree(out2, ignore_errors=True)
+    part1 = run_crawl(corpus, out2, num_shards=2, fetch_concurrency=2, max_gens=2)
+    gen01 = {
+        d: os.path.getmtime(os.path.join(d, "status.parquet"))
+        for d in glob.glob(os.path.join(out2, "gen=*"))
+    }
+    part2 = run_crawl(
+        corpus, out2, num_shards=2, fetch_concurrency=2, resume=True
+    )
+    # earlier generations untouched
+    for d, mt in gen01.items():
+        assert os.path.getmtime(os.path.join(d, "status.parquet")) == mt
+    # combined result equals the golden run
+    eng = _engine_rows(out2, "status.parquet")
+    gold = oracle_out["crawl_order"]
+    assert len(eng) == len(gold)
+    assert part1["total_fetched"] + part2["total_fetched"] == len(gold)
+    for e, g in zip(eng, gold):
+        assert (e["url"], e["fetch_ts"], e["status"]) == (
+            g["url"], g["fetch_ts"], g["status"]
+        )
+    seen = pq.read_table(os.path.join(out2, "seen.parquet")).to_pylist()
+    assert seen == oracle_out["seen"]
