@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round → BENCH_r{N}.json).
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the crawl engine and frontier-throughput
+pipelines over a deterministic synthetic corpus under /tmp, with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``; prints ONE
+JSON line.
+
+``--scaling``: runs the scaling protocol from BASELINE.md §3 — the same
+frontier job at num_cpus=8 and num_cpus=32 in fresh subprocesses; reports
+both throughputs and efficiency = (thr_32/thr_8)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+QUERY_NAMES = [
+    "pricing_summary",
+    "per_key_count",
+    "broadcast_join",
+    "region_revenue",
+    "latest_record",
+    "window_hourly",
+    "union_dedup",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "knn_bruteforce",
+]
+
+BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"
+BENCH_OUT = "/tmp/spider_ray_bench_crawl"
+FRONTIER_URLS = 2_000_000
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _bench_queries() -> dict[str, float]:
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # force materialization
+        if hasattr(res, "to_pandas") and not isinstance(res, type(None)):
+            _ = res.num_rows if hasattr(res, "num_rows") else len(res)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _bench_crawl() -> dict:
+    from spider_ray.pipelines.crawl import run_crawl
+    from spider_ray.sources.webgen import generate
+
+    if not os.path.exists(os.path.join(BENCH_CORPUS, "web_graph.parquet")):
+        generate(BENCH_CORPUS, n_pages=2000, n_hosts=24, seed=42)
+    shutil.rmtree(BENCH_OUT, ignore_errors=True)
+    t0 = time.time()
+    res = run_crawl(
+        BENCH_CORPUS, BENCH_OUT, num_shards=8, fetch_concurrency=8
+    )
+    wall = time.time() - t0
+    return {
+        "crawl_wall_s": round(wall, 2),
+        "pages_fetched": res["total_fetched"],
+        "pages_per_s": round(res["total_fetched"] / wall, 1),
+    }
+
+
+def _bench_frontier() -> dict:
+    from spider_ray.pipelines.frontier_bench import run_frontier_bench
+
+    r = run_frontier_bench(FRONTIER_URLS, parallelism=NUM_CPUS * 4)
+    return {
+        "frontier_urls": r["n_urls"],
+        "frontier_wall_s": round(r["wall_s"], 2),
+        "frontier_urls_per_s": round(r["urls_per_s"], 0),
+    }
+
+
+def main() -> None:
+    ray = _init_ray(NUM_CPUS)
+    t0 = time.time()
+    queries = _bench_queries()
+    crawl = _bench_crawl()
+    frontier = _bench_frontier()
+    total = time.time() - t0
+    out = {
+        "metric": "headline pipelines wall time (queries sf0.1 + crawl + frontier)",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": queries,
+        "crawl": crawl,
+        "frontier": frontier,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def _scaling_child(num_cpus: int) -> None:
+    ray = _init_ray(num_cpus)
+    from spider_ray.pipelines.frontier_bench import run_frontier_bench
+
+    r = run_frontier_bench(FRONTIER_URLS, parallelism=num_cpus * 4)
+    crawl = _bench_crawl()
+    print(
+        "SCALING_RESULT "
+        + json.dumps(
+            {
+                "num_cpus": num_cpus,
+                "frontier_urls_per_s": r["urls_per_s"],
+                "pages_per_s": crawl["pages_per_s"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("SCALING_RESULT "):
+                results[n] = json.loads(line[len("SCALING_RESULT "):])
+        if n not in results:
+            sys.stderr.write(p.stdout + "\n" + p.stderr + "\n")
+            raise RuntimeError(f"scaling child {n} produced no result")
+    eff_frontier = (
+        results[32]["frontier_urls_per_s"] / results[8]["frontier_urls_per_s"]
+    ) / (32 / 8)
+    out = {
+        "metric": "scaling efficiency (8 → 32 cpus, fresh sessions)",
+        "value": round(eff_frontier, 3),
+        "unit": "efficiency",
+        "n8": results[8],
+        "n32": results[32],
+        "frontier_scaling_efficiency": round(eff_frontier, 3),
+        "pages_per_s_8": results[8]["pages_per_s"],
+        "pages_per_s_32": results[32]["pages_per_s"],
+        "note": "pages/s is politeness-bound by design (virtual-clock budget), "
+        "frontier urls/s is the CPU-scaling metric per BASELINE.md §3",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling()
+    elif len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
+        _scaling_child(int(sys.argv[2]))
+    else:
+        main()

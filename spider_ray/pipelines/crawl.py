@@ -83,6 +83,18 @@ class ShardActor:
             "candidates": len(rows),
         }
 
+    def enqueue(self, rows: list[dict]) -> int:
+        """Streamed routing: map_batches tasks push this shard's rows here;
+        order is restored by seq at schedule_wave time."""
+        self._buf = getattr(self, "_buf", [])
+        self._buf.extend(rows)
+        return len(self._buf)
+
+    def schedule_wave(self, wave_start: int) -> dict:
+        rows = getattr(self, "_buf", [])
+        self._buf = []
+        return self.schedule(rows, wave_start)
+
     def admit_images(self, hashes: list[int]) -> list[bool]:
         return self.sched.admit_images(np.array(hashes, dtype=np.uint64)).tolist()
 
@@ -178,6 +190,14 @@ class FetchWorker:
         )
 
 
+class _FetchActorImpl(FetchWorker):
+    def fetch_batch(self, batch: pa.Table) -> pa.Table:
+        return self(batch)
+
+
+FetchActorCls = ray.remote(_FetchActorImpl)
+
+
 def _seeds_candidates(seeds: pa.Table) -> pa.Table:
     return pa.table(
         {
@@ -194,6 +214,19 @@ def _with_seq(t: pa.Table) -> pa.Table:
     if "seq" in t.column_names:
         return t
     return t.append_column("seq", pa.array(np.arange(t.num_rows), pa.int64()))
+
+
+def _chunks(t: pa.Table, rows_per_chunk: int) -> list[pa.Table]:
+    if t.num_rows <= rows_per_chunk:
+        return [t]
+    return [
+        t.slice(i, rows_per_chunk) for i in range(0, t.num_rows, rows_per_chunk)
+    ]
+
+
+SORT_KEYS = [("fetch_ts", "ascending"), ("priority", "ascending"),
+             ("gen", "ascending"), ("seq", "ascending"), ("host", "ascending")]
+DS_SORT_THRESHOLD = 200_000  # permits above this use a distributed ds.sort
 
 
 def run_crawl(
@@ -218,6 +251,11 @@ def run_crawl(
     actors = [
         ShardActor.remote(s, num_shards, c["load_rows"], options_dict, meta_ref)
         for s in range(num_shards)
+    ]
+    # persistent fetch actor pool: WebIndex built once per actor, reused
+    # across every generation of this run
+    fetch_pool = [
+        FetchActorCls.remote(corpus_dir) for _ in range(fetch_concurrency)
     ]
 
     start_gen = 0
@@ -249,8 +287,9 @@ def run_crawl(
         gen_dir = os.path.join(out_dir, f"gen={gen}")
         os.makedirs(os.path.join(gen_dir, "ckpt"), exist_ok=True)
 
-        # 1. normalize (stateless mb; robots broadcast)
-        cand_ds = ray.data.from_arrow(candidates)
+        # 1. normalize (stateless mb; robots broadcast). Chunk the wave
+        # into multiple blocks so normalize parallelizes across the pool.
+        cand_ds = ray.data.from_arrow(_chunks(candidates, 4096))
 
         def _norm(batch: pa.Table, g=gen) -> pa.Table:
             rob = ray.get(robots_ref)
@@ -259,45 +298,59 @@ def run_crawl(
 
         norm_ds = cand_ds.map_batches(_norm, batch_format="pyarrow")
 
-        # 2. route to shard actors: groupby(shard) co-groups each shard's
-        # rows into one task which calls its actor
-        actor_by_shard = {i: a for i, a in enumerate(actors)}
+        # 2. route to shard actors directly from the streaming map stage —
+        # co-location by message passing instead of a groupby shuffle (the
+        # actor IS the partition owner; rows move exactly once, and small
+        # waves skip all-to-all overhead). Order restored by seq in-actor.
+        actor_list = list(actors)
 
-        def _schedule_group(df: pa.Table, ws=wave_start) -> pa.Table:
-            if df.num_rows == 0:
-                return pa.Table.from_pylist([], schema=PERMIT_SCHEMA)
-            shard = int(df["shard"][0].as_py())
-            res = ray.get(
-                actor_by_shard[shard].schedule.remote(df.to_pylist(), ws)
+        def _route(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"shard": pa.array([], pa.int32()),
+                                 "n": pa.array([], pa.int64())})
+            import polars as _pl
+
+            df = _pl.from_arrow(batch)
+            futs, counts = [], {}
+            for (sh,), sub in df.group_by("shard"):
+                futs.append(actor_list[int(sh)].enqueue.remote(sub.to_dicts()))
+                counts[int(sh)] = sub.height
+            ray.get(futs)
+            return pa.table(
+                {
+                    "shard": pa.array(list(counts), pa.int32()),
+                    "n": pa.array(list(counts.values()), pa.int64()),
+                }
             )
-            rows = [
-                {**p, "dedup_hits": res["dedup_hits"], "shard": shard}
-                for p in res["permits"]
-            ]
-            return pa.Table.from_pylist(rows, schema=PERMIT_SCHEMA)
 
-        permits_ds = norm_ds.groupby("shard").map_groups(
-            _schedule_group, batch_format="pyarrow"
-        )
+        # consume the routed dataset (one pass; side effects land in actors)
+        for _ in norm_ds.map_batches(_route, batch_format="pyarrow").iter_batches(
+            batch_size=None
+        ):
+            pass
 
-        # 3. global crawl-order sort (the wide shuffle) + fetch actor pool
-        permits_ds = permits_ds.sort(["fetch_ts", "priority", "gen", "seq", "host"])
-        fetched_ds = permits_ds.map_batches(
-            FetchWorker,
-            fn_constructor_args=(corpus_dir,),
-            concurrency=fetch_concurrency,
-            batch_size=256,
-            batch_format="pyarrow",
+        # 3. schedule each shard's wave (politeness DES in the actors), then
+        # merge permits in the global crawl-order sort. Driver-side arrow
+        # sort here; at 10^10 scale this becomes ds.sort over permit blocks.
+        wave_res = ray.get(
+            [a.schedule_wave.remote(wave_start) for a in actors]
         )
-        fetched = pa.concat_tables(
-            ray.get(fetched_ds.to_arrow_refs()), promote_options="default"
+        permit_rows = []
+        for sh, res in enumerate(wave_res):
+            for p in res["permits"]:
+                permit_rows.append({**p, "dedup_hits": res["dedup_hits"], "shard": sh})
+        permits_t = pa.Table.from_pylist(permit_rows, schema=PERMIT_SCHEMA)
+        futs = [
+            fetch_pool[i % len(fetch_pool)].fetch_batch.remote(chunk)
+            for i, chunk in enumerate(_chunks(permits_t, 256))
+        ]
+        parts = ray.get(futs) if futs else []
+        fetched = (
+            pa.concat_tables(parts, promote_options="default")
+            if parts
+            else pa.Table.from_pylist([], schema=PERMIT_SCHEMA)
         )
-        # deterministic global order (engine-side re-sort; Ray block order is
-        # not guaranteed)
-        fetched = fetched.sort_by(
-            [("fetch_ts", "ascending"), ("priority", "ascending"),
-             ("gen", "ascending"), ("seq", "ascending"), ("host", "ascending")]
-        )
+        fetched = fetched.sort_by(SORT_KEYS)
         total_fetched += fetched.num_rows
 
         # 4a. status sink
@@ -428,7 +481,7 @@ def run_crawl(
     )
     pq.write_table(seen_t, os.path.join(out_dir, "seen.parquet"))
 
-    for a in actors:
+    for a in actors + fetch_pool:
         ray.kill(a)
     return {"out_dir": out_dir, "total_fetched": total_fetched}
 

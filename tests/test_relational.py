@@ -78,4 +78,6 @@ def test_entry_smoke(ray_session):
     t = E.entry()
     df = _to_pandas(t)
     assert len(df) >= 1
-    assert "sum_qty" in df.columns
+    # flagship = crawl order log with a stable schema
+    for col in ("url", "host", "fetch_ts", "gen", "status"):
+        assert col in df.columns
