@@ -17,7 +17,9 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from spider_ray.functions import binpack as B  # noqa: E402
 from spider_ray.functions import dedup as D  # noqa: E402
+from spider_ray.functions import urls as U  # noqa: E402
 from spider_ray.functions import similarity as S  # noqa: E402
 from spider_ray.functions import text as T  # noqa: E402
 from spider_ray.pipelines import relational as R  # noqa: E402
@@ -121,6 +123,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": S.q_knn_bruteforce,
         "knn_ivf": S.q_knn_ivf,
+        # URL operators
+        "url_canonicalize": U.q_url_canonicalize,
+        "host_split": U.q_host_split,
+        "seeded_shuffle": U.q_seeded_shuffle,
+        # scheduling ops
+        "binpack_customers": B.q_binpack_customers,
         # crawl engine (rows-only: non-SQL stateful streaming; exact parity
         # vs the single-process oracle is asserted in tests/test_crawl_parity)
         "crawl_order": lambda sf_dir: _crawl_demo()["order"],
@@ -270,6 +278,20 @@ def oracle_sql() -> dict[str, str]:
                        / length(text) AS punct_ratio,
                    len(regexp_extract_all(text, '[0-9]'))::DOUBLE
                        / length(text) AS digit_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'http://' || lower(source) || '.example.com/docs/'
+                       || doc_id || '?a=1&b=2' AS url
+            FROM documents ORDER BY doc_id
+        """,
+        "host_split": """
+            SELECT doc_id,
+                   lang || '.' || source || '.example.org' AS host,
+                   'org' AS suffix,
+                   'example.org' AS domain,
+                   lang || '.' || source AS subdomain
             FROM documents ORDER BY doc_id
         """,
         "knn_bruteforce": """

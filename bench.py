@@ -127,23 +127,33 @@ def main() -> None:
     ray.shutdown()
 
 
-def _scaling_child(num_cpus: int) -> None:
-    ray = _init_ray(num_cpus)
-    from spider_ray.pipelines.frontier_bench import run_frontier_bench
+SCALING_URLS = 8_000_000
 
-    r = run_frontier_bench(FRONTIER_URLS, parallelism=num_cpus * 4)
+
+def _scaling_child(num_cpus: int) -> None:
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    ray = _init_ray(num_cpus)
+    from spider_ray.pipelines.frontier_bench import (
+        run_control_bench,
+        run_frontier_bench,
+    )
+
+    run_frontier_bench(300_000, parallelism=num_cpus * 4)  # warm-up, untimed
+    r = run_frontier_bench(SCALING_URLS, parallelism=num_cpus * 4)
     crawl = _bench_crawl()
+    ray.shutdown()
+    ctl = run_control_bench(SCALING_URLS, num_cpus)
     print(
         "SCALING_RESULT "
         + json.dumps(
             {
                 "num_cpus": num_cpus,
                 "frontier_urls_per_s": r["urls_per_s"],
+                "control_urls_per_s": ctl["urls_per_s"],
                 "pages_per_s": crawl["pages_per_s"],
             }
         )
     )
-    ray.shutdown()
 
 
 def scaling() -> None:
@@ -164,20 +174,29 @@ def scaling() -> None:
         if n not in results:
             sys.stderr.write(p.stdout + "\n" + p.stderr + "\n")
             raise RuntimeError(f"scaling child {n} produced no result")
-    eff_frontier = (
-        results[32]["frontier_urls_per_s"] / results[8]["frontier_urls_per_s"]
-    ) / (32 / 8)
+    speedup = results[32]["frontier_urls_per_s"] / results[8]["frontier_urls_per_s"]
+    ctl_speedup = (
+        results[32]["control_urls_per_s"] / results[8]["control_urls_per_s"]
+    )
+    eff_raw = speedup / (32 / 8)
+    eff_vs_hw = speedup / ctl_speedup if ctl_speedup > 0 else None
     out = {
         "metric": "scaling efficiency (8 → 32 cpus, fresh sessions)",
-        "value": round(eff_frontier, 3),
+        "value": round(eff_raw, 3),
         "unit": "efficiency",
         "n8": results[8],
         "n32": results[32],
-        "frontier_scaling_efficiency": round(eff_frontier, 3),
+        "frontier_scaling_efficiency": round(eff_raw, 3),
+        "hardware_control_speedup": round(ctl_speedup, 3),
+        "efficiency_vs_hardware_ceiling": round(eff_vs_hw, 3),
         "pages_per_s_8": results[8]["pages_per_s"],
         "pages_per_s_32": results[32]["pages_per_s"],
-        "note": "pages/s is politeness-bound by design (virtual-clock budget), "
-        "frontier urls/s is the CPU-scaling metric per BASELINE.md §3",
+        "note": "single-box substitute for N vs 4N nodes (BASELINE.md §3): "
+        "the no-Ray multiprocessing control running the identical UDF bounds "
+        "what this shared-memory VM can scale to; pipeline tasks are "
+        "independent (no shuffle until a tiny final combine), so on real "
+        "separate nodes efficiency tracks the per-node throughput. pages/s "
+        "is politeness-bound by design (virtual-clock budget).",
     }
     print(json.dumps(out))
 

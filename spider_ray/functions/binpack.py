@@ -1,0 +1,69 @@
+"""Drain-time-aware bin-packing (O1+O2 — the reference's schedule step:
+global sort of IPs by estimated drain time then greedy prefix-sum assignment
+onto fetchers, ``control/schedule/run_schedule.sh:242-259`` +
+``ip_to_fetcher_id.py``).
+
+The aggregate (per-key weight) is distributed; the sort+pack runs on the
+tiny aggregated result — exactly like the reference, where ip_stat is an MR
+job but ``sort -g | ip_to_fetcher_id.py`` is a driver-side script.
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+
+from spider_ray.sources.tables import read_table
+from spider_ray.stages.agg import partial_final_agg
+
+
+def greedy_binpack(weights: list[tuple[str, float]], n_bins: int) -> list[int]:
+    """Reference algorithm: walk the desc-sorted list keeping a cumulative
+    sum; assign to bin ``b`` while ``cum ≤ avg * (b+1)`` (ip_to_fetcher_id.py
+    whole file). Returns bin id per input (same order as input)."""
+    total = sum(w for _, w in weights)
+    avg = total / n_bins if n_bins else 0.0
+    out = []
+    cum = 0.0
+    b = 0
+    for _, w in weights:
+        cum += w
+        if cum > avg * (b + 1) and b < n_bins - 1:
+            b += 1
+        out.append(b)
+    return out
+
+
+def q_binpack_customers(sf_dir: str, n_bins: int = 8) -> pa.Table:
+    """Assign customers to n_bins workers balanced by total spend:
+    distributed per-key aggregate → driver-side sort desc + greedy pack.
+    Greedy sequential assignment isn't SQL-expressible → rows-only check;
+    balance property asserted in tests."""
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(lf):
+        return lf.group_by("o_custkey").agg(weight=pl.col("o_totalprice").sum())
+
+    def final(lf):
+        return (
+            lf.group_by("o_custkey")
+            .agg(weight=pl.col("weight").sum())
+            .sort(["weight", "o_custkey"], descending=[True, False])
+        )
+
+    agg = partial_final_agg(ds, partial, final)
+    keys = agg["o_custkey"].to_pylist()
+    ws = agg["weight"].to_pylist()
+    bins = greedy_binpack(list(zip(map(str, keys), ws)), n_bins)
+    return pa.table(
+        {
+            "o_custkey": pa.array(keys, pa.int64()),
+            "weight": pa.array(ws, pa.float64()),
+            "bin": pa.array(bins, pa.int32()),
+        }
+    )
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

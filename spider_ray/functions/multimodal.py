@@ -1,0 +1,141 @@
+"""Multimodal column stages: opaque ``binary`` payloads + typed metadata,
+processed by actor-pool ``map_batches`` stages (SURVEY M7/M15 analogs; the
+training-data-pipeline requirement from the build brief).
+
+* images — REAL: decode (our PNG / qimg codecs), verify dims, resize
+  (area-mean), phash, re-encode;
+* audio / video — the decoders don't exist in this container, so the decode
+  step is STUBBED exactly as prescribed: a deterministic fake feature
+  extractor behind the same actor signature, with ``NotImplementedError``
+  for real-codec requests. The Ray-side plumbing (schema, batch size, actor
+  pool, output layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from spider_ray.kernels.hashing import hash64
+from spider_ray.kernels.imaging import decode_image, encode_image, phash64
+
+IMAGE_FEATURE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("mean_luma", pa.float32()),
+        ("phash", pa.int64()),
+        ("thumb", pa.binary()),  # 8x8 png thumbnail
+    ]
+)
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-mean resize (no external imaging libs)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(h) * out_h // max(h, 1)).clip(0, out_h - 1)
+    xi = (np.arange(w) * out_w // max(w, 1)).clip(0, out_w - 1)
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    src = img.reshape(h, w, ch).astype(np.float64)
+    sums = np.zeros((out_h, out_w, ch))
+    cnts = np.zeros((out_h, out_w, 1))
+    idx = (yi[:, None] * out_w + xi[None, :]).ravel()
+    for c in range(ch):
+        np.add.at(sums[:, :, c].ravel(), idx, src[:, :, c].ravel())
+    np.add.at(cnts.ravel(), idx, 1.0)
+    out = (sums / np.maximum(cnts, 1.0)).round().clip(0, 255).astype(np.uint8)
+    return out[:, :, 0] if img.ndim == 2 else out
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: ``map_batches(ImageFeatureExtractor, concurrency=N,
+    batch_size=B)`` over (image_id, bytes, fmt) batches. Codec state warm in
+    __init__ (trivial here; a real model would load weights once)."""
+
+    def __init__(self, thumb_size: int = 8):
+        self.thumb = thumb_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("image_id", "w", "h", "mean_luma", "phash", "thumb")}
+        for r in batch.to_pylist():
+            arr = decode_image(r["bytes"], r["fmt"])
+            h, w = arr.shape[:2]
+            rows["image_id"].append(r["image_id"])
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["mean_luma"].append(float(arr.mean()))
+            rows["phash"].append(int(np.uint64(phash64(arr)).astype(np.int64)))
+            rows["thumb"].append(
+                encode_image(resize_area(arr, self.thumb, self.thumb), "png")
+            )
+        return pa.Table.from_pydict(rows, schema=IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("duration_s", pa.float32()),  # fake-decoded
+        ("energy", pa.float32()),
+        ("fingerprint", pa.int64()),
+    ]
+)
+
+
+class AudioFeatureExtractor:
+    """Audio decode is NOT available in this container (no soundfile /
+    ffmpeg). ``fake=True`` (default) computes deterministic pseudo-features
+    from the raw bytes so the pipeline plumbing is exercised end-to-end;
+    ``fake=False`` raises NotImplementedError at the decode step, marking
+    exactly what a production build must replace."""
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("clip_id", "n_bytes", "duration_s", "energy",
+                                "fingerprint")}
+        for r in batch.to_pylist():
+            if not self.fake:
+                raise NotImplementedError(
+                    "real audio decode requires ffmpeg/soundfile — not in "
+                    "this container; run with fake=True for plumbing tests"
+                )
+            data = r["bytes"] or b""
+            h = int(hash64([data.hex() or "0"])[0])
+            arr = np.frombuffer(data[: 4096 - len(data) % 8 or None], dtype=np.uint8)
+            rows["clip_id"].append(r["clip_id"])
+            rows["n_bytes"].append(len(data))
+            rows["duration_s"].append(len(data) / 32000.0)
+            rows["energy"].append(float(arr.astype(np.float64).std()) if arr.size else 0.0)
+            rows["fingerprint"].append(int(np.uint64(h).astype(np.int64)))
+        return pa.Table.from_pydict(rows, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def extract_image_features(
+    ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 64
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+def extract_audio_features(
+    ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 256
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

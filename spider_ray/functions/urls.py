@@ -1,0 +1,91 @@
+"""URL-operator queries runnable over the sf tables: canonicalization with a
+SQL-checkable construction, host splitting, seeded deterministic shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from spider_ray.kernels.hashing import derive, hash64
+from spider_ray.kernels.hosts import split_host
+from spider_ray.kernels.urlnorm import canonicalize_vector
+from spider_ray.pipelines.relational import _concat, _sorted
+from spider_ray.sources.tables import read_table
+
+
+def q_url_canonicalize(sf_dir: str) -> pa.Table:
+    """M1 over constructed dirty URLs: for each document build
+    ``HTTP://<SOURCE upper>.EXAMPLE.COM:80/Docs/../docs/<id>?b=2&a=1#frag``
+    and canonicalize. The expected canonical form is constructible in SQL,
+    so this is an oracle-checked canonicalization test at driver level."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        raw = [
+            f"HTTP://{s.upper()}.EXAMPLE.COM:80/Docs/../docs/{i}?b=2&a=1#frag"
+            for i, s in zip(ids, batch["source"].to_pylist())
+        ]
+        canon = canonicalize_vector(raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(canon, pa.string()),
+            }
+        )
+
+    return _sorted(_concat(ds.map_batches(build, batch_format="pyarrow")), "doc_id")
+
+
+def q_host_split(sf_dir: str) -> pa.Table:
+    """M6 host→(suffix, registered domain, subdomain) over constructed
+    hosts; SQL-expressible because the construction fixes the shape."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hosts = [
+            f"{l}.{s}.example.org"
+            for s, l in zip(batch["source"].to_pylist(), batch["lang"].to_pylist())
+        ]
+        sp = [split_host(h) for h in hosts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+                "suffix": pa.array([s[0] for s in sp], pa.string()),
+                "domain": pa.array([s[1] for s in sp], pa.string()),
+                "subdomain": pa.array([s[2] for s in sp], pa.string()),
+            }
+        )
+
+    return _sorted(_concat(ds.map_batches(build, batch_format="pyarrow")), "doc_id")
+
+
+def q_seeded_shuffle(sf_dir: str) -> pa.Table:
+    """O4 deterministic shuffle: order rows by ``derive(hash(key), seed)``
+    (the reference shuffles per-thread URL lists with rand(); we freeze the
+    seam per FIXTURES §9 — sort by a hash-derived interleave key)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = hash64([str(i) for i in ids])
+        k = derive(h, 4242)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shuffle_key": pa.array(k, pa.uint64()),
+            }
+        )
+
+    t = _concat(ds.map_batches(keyed, batch_format="pyarrow"))
+    t = t.sort_by([("shuffle_key", "ascending")])
+    return t.append_column(
+        "position", pa.array(range(t.num_rows), pa.int64())
+    )
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

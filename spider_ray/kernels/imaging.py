@@ -218,18 +218,18 @@ _DCT_M = _dct_matrix(_DCT_N)
 
 def phash64(img: np.ndarray) -> int:
     """Perceptual hash: resize (area-mean) to 32×32 gray, 2-D DCT, top-left
-    8×8 (minus DC), median threshold → 64 bits."""
+    8×8 (minus DC), median threshold → 64 bits. Fully vectorized: rows are
+    binned with np.add.at on index grids (no Python pixel loops)."""
     g = _gray(img)
     h, w = g.shape
-    # area-average resample to 32x32 via index binning
-    ys = (np.arange(_DCT_N + 1) * h / _DCT_N).astype(int)
-    xs = (np.arange(_DCT_N + 1) * w / _DCT_N).astype(int)
-    small = np.empty((_DCT_N, _DCT_N))
-    for i in range(_DCT_N):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        for j in range(_DCT_N):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            small[i, j] = g[y0:y1, x0:x1].mean()
+    yi = (np.arange(h) * _DCT_N // max(h, 1)).clip(0, _DCT_N - 1)
+    xi = (np.arange(w) * _DCT_N // max(w, 1)).clip(0, _DCT_N - 1)
+    sums = np.zeros((_DCT_N, _DCT_N))
+    cnts = np.zeros((_DCT_N, _DCT_N))
+    flat_idx = (yi[:, None] * _DCT_N + xi[None, :]).ravel()
+    np.add.at(sums.ravel(), flat_idx, g.ravel())
+    np.add.at(cnts.ravel(), flat_idx, 1.0)
+    small = sums / np.maximum(cnts, 1.0)
     D = _DCT_M @ small @ _DCT_M.T
     block = D[:8, :8].flatten()
     vals = np.delete(block, 0)  # drop DC

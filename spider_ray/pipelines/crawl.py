@@ -38,7 +38,12 @@ import ray
 
 from spider_ray.kernels.hashing import hash64
 from spider_ray.pipelines.oracle import load_corpus, permit_sort_key
-from spider_ray.stages.fetchsim import WebIndex, fetch_one, result_to_rows
+from spider_ray.stages.fetchsim import (
+    WebIndex,
+    fetch_one,
+    process_image,
+    result_to_rows,
+)
 from spider_ray.stages.normalize import normalize_batch
 from spider_ray.state.load_controller import LoadOptions
 from spider_ray.state.scheduler import FetchPermit, ShardScheduler
@@ -173,16 +178,7 @@ class FetchWorker:
                     out["images"],
                     pa.list_(
                         pa.struct(
-                            [
-                                ("image_id", pa.string()),
-                                ("bytes", pa.binary()),
-                                ("w", pa.int64()),
-                                ("h", pa.int64()),
-                                ("fmt", pa.string()),
-                                ("caption", pa.string()),
-                                ("phash", pa.int64()),
-                                ("dims_ok", pa.bool_()),
-                            ]
+                            [("image_id", pa.string()), ("alt", pa.string())]
                         )
                     ),
                 ),
@@ -190,9 +186,35 @@ class FetchWorker:
         )
 
 
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int64()),
+        ("h", pa.int64()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("dims_ok", pa.bool_()),
+        ("first_gen", pa.int32()),
+    ]
+)
+
+
 class _FetchActorImpl(FetchWorker):
     def fetch_batch(self, batch: pa.Table) -> pa.Table:
         return self(batch)
+
+    def process_refs(self, refs: list[dict], gen: int) -> pa.Table:
+        """Decode/recompress/phash the deduped image refs (post-dedup only —
+        each unique image is processed exactly once per run)."""
+        rows = [
+            {**process_image(self.index.images[r["image_id"]], r["alt"]),
+             "first_gen": gen}
+            for r in refs
+            if r["image_id"] in self.index.images
+        ]
+        return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
 
 
 FetchActorCls = ray.remote(_FetchActorImpl)
@@ -357,48 +379,37 @@ def run_crawl(
         status_t = fetched.drop_columns(["outlinks", "images"])
         pq.write_table(status_t, os.path.join(gen_dir, "status.parquet"))
 
-        # 4b. image sink: explode, first-wins dedup via shard actors
-        img_rows: list[dict] = []
-        for r in fetched.to_pylist():
-            for k, im in enumerate(r["images"] or []):
-                img_rows.append({**im, "first_gen": gen, "_ord": (len(img_rows))})
-        if img_rows:
-            ih = hash64([r["image_id"] for r in img_rows])
+        # 4b. image sink: first-wins dedup on REFS via shard actors, then
+        # decode/recompress/phash only the kept refs in the fetch pool
+        img_refs: list[dict] = []
+        for imgs in fetched["images"].to_pylist():
+            for im in imgs or []:
+                img_refs.append(im)
+        kept_refs: list[dict] = []
+        if img_refs:
+            ih = hash64([r["image_id"] for r in img_refs])
             by_shard: dict[int, list[int]] = {}
             for i, h in enumerate(ih):
                 by_shard.setdefault(int(h) % num_shards, []).append(i)
-            keep = np.zeros(len(img_rows), dtype=bool)
             futs = {
                 s: actors[s].admit_images.remote([int(ih[i]) for i in idxs])
                 for s, idxs in by_shard.items()
             }
+            keep = np.zeros(len(img_refs), dtype=bool)
             for s, idxs in by_shard.items():
-                mask = ray.get(futs[s])
-                for i, m in zip(idxs, mask):
+                for i, m in zip(idxs, ray.get(futs[s])):
                     keep[i] = m
-            kept = [
-                {k: v for k, v in r.items() if k != "_ord"}
-                for i, r in enumerate(img_rows)
-                if keep[i]
+            kept_refs = [r for i, r in enumerate(img_refs) if keep[i]]
+        if kept_refs:
+            pfuts = [
+                fetch_pool[i % len(fetch_pool)].process_refs.remote(chunk, gen)
+                for i, chunk in enumerate(
+                    [kept_refs[j : j + 64] for j in range(0, len(kept_refs), 64)]
+                )
             ]
+            images_t = pa.concat_tables(ray.get(pfuts), promote_options="default")
         else:
-            kept = []
-        images_t = pa.Table.from_pylist(
-            kept,
-            schema=pa.schema(
-                [
-                    ("image_id", pa.string()),
-                    ("bytes", pa.binary()),
-                    ("w", pa.int64()),
-                    ("h", pa.int64()),
-                    ("fmt", pa.string()),
-                    ("caption", pa.string()),
-                    ("phash", pa.int64()),
-                    ("dims_ok", pa.bool_()),
-                    ("first_gen", pa.int32()),
-                ]
-            ),
-        )
+            images_t = pa.Table.from_pylist([], schema=IMAGE_SCHEMA)
         pq.write_table(images_t, os.path.join(gen_dir, "images.parquet"))
 
         # 4c. next-gen candidates: retries (crawl order) then outlinks

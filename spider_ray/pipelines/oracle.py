@@ -12,8 +12,14 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from spider_ray.kernels.hashing import hash64
 from spider_ray.kernels.robots import parse_robots
-from spider_ray.stages.fetchsim import WebIndex, fetch_one, result_to_rows
+from spider_ray.stages.fetchsim import (
+    WebIndex,
+    fetch_one,
+    process_image,
+    result_to_rows,
+)
 from spider_ray.stages.normalize import normalize_batch
 from spider_ray.state.load_controller import LoadOptions
 from spider_ray.state.scheduler import ShardScheduler
@@ -144,14 +150,20 @@ def run_oracle(
             img_candidates.extend(res.image_rows)
 
         # image dedup: first-wins in global crawl order, sharded by id hash
-        from spider_ray.kernels.hashing import hash64
-
         if img_candidates:
             ih = hash64([r["image_id"] for r in img_candidates])
             for r, h in zip(img_candidates, ih):
                 s = int(h) % num_shards
                 if shards[s].admit_images([h])[0]:
-                    image_rows.append({**r, "first_gen": gen})
+                    # decode/recompress/phash only AFTER first-wins dedup
+                    image_rows.append(
+                        {
+                            **process_image(
+                                c["images"][r["image_id"]], r["alt"]
+                            ),
+                            "first_gen": gen,
+                        }
+                    )
 
         next_rows = next_retries + next_links
         if next_rows:

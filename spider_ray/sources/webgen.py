@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from spider_ray.kernels.hashing import derive, hash64_one
-from spider_ray.kernels.imaging import encode_image, phash64
+from spider_ray.kernels.imaging import decode_image, encode_image, phash64
 
 WORDS = (
     "ocean copper lantern meadow quartz ribbon saffron timber velvet walnut "
@@ -62,8 +62,6 @@ def _make_image(h: int) -> tuple[bytes, int, int, str, int]:
     fmt = "png" if derive(h, 6) % 2 == 0 else "jpeg"  # jpeg = qimg codec
     data = encode_image(img, fmt)
     # phash of the *decoded* stored bytes (what a verifier reproduces)
-    from spider_ray.kernels.imaging import decode_image
-
     ph = phash64(decode_image(data, fmt))
     return data, w, ht, fmt, ph
 

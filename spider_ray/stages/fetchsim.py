@@ -104,10 +104,13 @@ def fetch_one(permit: FetchPermit, index: WebIndex) -> FetchResult:
                 }
             )
     for ref in row["image_refs"] or []:
-        img = index.images.get(ref["image_id"])
-        if img is None:
-            continue
-        res.image_rows.append(process_image(img, ref["alt"]))
+        if ref["image_id"] in index.images:
+            # emit the REFERENCE only — decode happens after first-wins
+            # dedup (D6: never fetch/decode the same sub-resource twice,
+            # css_fetcher_main.cc:476-491 placeholder-LRU semantics)
+            res.image_rows.append(
+                {"image_id": ref["image_id"], "alt": ref["alt"]}
+            )
     return res
 
 

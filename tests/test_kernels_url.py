@@ -81,6 +81,31 @@ def test_filter_rules():
     assert reasons[4] == "host_blacklist"
 
 
+def test_vectorized_equals_scalar():
+    """Property test: the polars fast-path canonicalizer must agree with the
+    scalar kernel on a structured-random corpus covering both paths."""
+    import random
+
+    from spider_ray.kernels.urlnorm import canonicalize_vector
+
+    schemes = ["http://", "HTTP://", "https://", "", "ftp://", "javascript:"]
+    hosts = ["Example.COM", "a.b.c.org", "münchen.de", ".bad.com", "h-x.io",
+             "x..y.com", "host9.example.com"]
+    ports = ["", ":80", ":443", ":8080", ":99999"]
+    paths = ["", "/", "/p/1", "/a/./b", "/a/../b", "/%7Euser", "/a b",
+             "/deep/" + "x/" * 12, "/p%2Fq", "/UPPER"]
+    queries = ["", "?b=2&a=1", "?a=1", "?x=%20", "?" + "q" * 1100, "?a&&b"]
+    frags = ["", "#f", "#a/b"]
+    rng = random.Random(1)
+    cases = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(3000)
+    ]
+    cases += ["  http://E.com/x  ", "%20http://a.com/", "http://user@e.com/x"]
+    assert canonicalize_vector(cases) == [canonicalize_one(c) for c in cases]
+
+
 def test_max_url_len_boundary():
     base = "http://e.com/"
     pad = MAX_URL_LEN - len(base)
