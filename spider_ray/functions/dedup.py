@@ -41,27 +41,25 @@ def q_exact_dedup(sf_dir: str) -> pa.Table:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = hash64(batch["text"])
+        # int64 bit-cast: Ray's groupby aggregate paths don't handle uint64
+        h = hash64(batch["text"]).view(np.int64)
         return batch.select(["doc_id"]).append_column(
-            "text_hash", pa.array(h, pa.uint64())
+            "text_hash", pa.array(h, pa.int64())
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    def partial(lf: pl.LazyFrame) -> pl.LazyFrame:
-        return lf.group_by("text_hash").agg(
-            doc_id=pl.col("doc_id").min(), dup_count=pl.len()
-        )
+    # NATIVE Ray groupby: output cardinality = distinct texts (could be the
+    # whole corpus), so the combine must itself be a distributed shuffle —
+    # never a driver-side merge of partials.
+    from ray.data.aggregate import Count, Min
 
-    def final(lf: pl.LazyFrame) -> pl.LazyFrame:
-        return (
-            lf.group_by("text_hash")
-            .agg(doc_id=pl.col("doc_id").min(), dup_count=pl.col("dup_count").sum())
-            .select("doc_id", "dup_count")
-            .sort("doc_id")
-        )
-
-    return partial_final_agg(hashed, partial, final)
+    out = hashed.groupby("text_hash").aggregate(Min("doc_id"), Count())
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()), promote_options="default")
+    t = t.select(["min(doc_id)", "count()"]).rename_columns(
+        ["doc_id", "dup_count"]
+    )
+    return _sorted(t, "doc_id")
 
 
 def _shingle_table(sf_dir: str) -> ray.data.Dataset:

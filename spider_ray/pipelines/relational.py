@@ -366,13 +366,21 @@ def q_union_dedup(sf_dir: str) -> pa.Table:
     )
     u = a.union(b)
 
-    def partial(lf):
-        return lf.unique(subset=["id"])
+    # block-level partial dedup, then a NATIVE distributed groupby for the
+    # global distinct — output cardinality is unbounded, so the final
+    # combine must be a shuffle, not a driver-side merge
+    def partial(batch: pa.Table) -> pa.Table:
+        return pl.from_arrow(batch).unique(subset=["id"]).to_arrow()
 
-    def final(lf):
-        return lf.unique(subset=["id"]).sort("id")
+    from ray.data.aggregate import Count
 
-    return partial_final_agg(u, partial, final)
+    distinct = (
+        u.map_batches(partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count())
+    )
+    t = _concat(distinct).select(["id"])
+    return _sorted(t, "id")
 
 
 def q_sample_mod(sf_dir: str) -> pa.Table:
