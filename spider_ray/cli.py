@@ -1,0 +1,97 @@
+"""CLI entry points — the ``ray job submit`` surface (north rule: "resumable
+from checkpoint ... run via ray job submit").
+
+Usage (inside a job or standalone):
+
+    python -m spider_ray.cli gen-corpus --out /tmp/corpus --pages 2000
+    python -m spider_ray.cli crawl --corpus /tmp/corpus --out /tmp/run \
+        --shards 8 --fetch-concurrency 8 [--resume]
+    python -m spider_ray.cli oracle --corpus /tmp/corpus --out /tmp/golden
+
+Owns its Ray session (guarded init) — the only module besides bench.py and
+the test fixture allowed to."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="spider_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-corpus", help="generate a synthetic web corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--pages", type=int, default=2000)
+    g.add_argument("--hosts", type=int, default=24)
+    g.add_argument("--seed", type=int, default=42)
+
+    c = sub.add_parser("crawl", help="run (or resume) the crawl loop")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--shards", type=int, default=8)
+    c.add_argument("--fetch-concurrency", type=int, default=8)
+    c.add_argument("--max-gens", type=int, default=8)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--num-cpus", type=int, default=None)
+
+    o = sub.add_parser("oracle", help="run the single-process golden crawler")
+    o.add_argument("--corpus", required=True)
+    o.add_argument("--shards", type=int, default=8)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen-corpus":
+        from spider_ray.sources.webgen import generate
+
+        paths = generate(
+            args.out, n_pages=args.pages, n_hosts=args.hosts, seed=args.seed
+        )
+        print(json.dumps(paths))
+        return 0
+
+    if args.cmd == "oracle":
+        from spider_ray.pipelines.oracle import run_oracle
+
+        res = run_oracle(args.corpus, num_shards=args.shards)
+        print(
+            json.dumps(
+                {
+                    "crawled": len(res["crawl_order"]),
+                    "seen": len(res["seen"]),
+                    "images": len(res["images"]),
+                }
+            )
+        )
+        return 0
+
+    # crawl
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from spider_ray.pipelines.crawl import run_crawl
+
+    res = run_crawl(
+        args.corpus,
+        args.out,
+        num_shards=args.shards,
+        fetch_concurrency=args.fetch_concurrency,
+        max_gens=args.max_gens,
+        resume=args.resume,
+    )
+    print(json.dumps(res))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
