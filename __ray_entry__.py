@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_dedup": R.q_union_dedup,
         "sample_mod": R.q_sample_mod,
         "window_hourly": R.q_window_hourly,
+        "sessionize": R.q_sessionize,
+        "topn_per_group": R.q_topn_per_group,
         # dedup suite (SURVEY §2.7 + training-data ops)
         "exact_dedup": D.q_exact_dedup,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -244,6 +246,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, sum(value) AS value_sum
             FROM events GROUP BY window_start, event_type
             ORDER BY window_start, event_type
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, count(*) AS n_events,
+                   sum(new_session) AS n_sessions
+            FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "topn_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rn
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count

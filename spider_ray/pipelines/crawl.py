@@ -98,7 +98,11 @@ class ShardActor:
     def schedule_wave(self, wave_start: int) -> dict:
         rows = getattr(self, "_buf", [])
         self._buf = []
-        return self.schedule(rows, wave_start)
+        out = self.schedule(rows, wave_start)
+        out["fp_audit"] = self.sched.fp_audit
+        out["seen_size"] = self.sched.seen.size
+        out["clock"] = self.sched.clock
+        return out
 
     def admit_images(self, hashes: list[int]) -> list[bool]:
         return self.sched.admit_images(np.array(hashes, dtype=np.uint64)).tolist()
@@ -462,15 +466,33 @@ def run_crawl(
                 f.write(blob)
         with open(os.path.join(gen_dir, "ckpt", "wave_start.txt"), "w") as f:
             f.write(str(wave_start))
-        metrics_t = pa.table(
+        # per-(gen, shard) lineage + metrics rows (north rule: every
+        # partition checkpoints its lineage and metrics)
+        status_codes = fetched["status"].to_pylist() if fetched.num_rows else []
+        n2 = sum(1 for c in status_codes if 200 <= c < 300)
+        n4 = sum(1 for c in status_codes if 400 <= c < 500)
+        n5 = sum(1 for c in status_codes if c >= 500)
+        mrows = [
             {
-                "gen": pa.array([gen], pa.int32()),
-                "fetched": pa.array([fetched.num_rows], pa.int64()),
-                "images": pa.array([images_t.num_rows], pa.int64()),
-                "next_candidates": pa.array([candidates.num_rows], pa.int64()),
-                "wave_end_us": pa.array([wave_start], pa.int64()),
+                "gen": gen,
+                "shard": sh,
+                "candidates": res["candidates"],
+                "dedup_hits": res["dedup_hits"],
+                "scheduled": len(res["permits"]),
+                "cuckoo_fp_audit": res.get("fp_audit", 0),
+                "seen_size": res.get("seen_size", 0),
+                "shard_clock_us": res.get("clock", 0),
+                "fetched_total": fetched.num_rows,
+                "http_2xx": n2,
+                "http_4xx": n4,
+                "http_5xx": n5,
+                "images": images_t.num_rows,
+                "next_candidates": candidates.num_rows,
+                "wave_end_us": wave_start,
             }
-        )
+            for sh, res in enumerate(wave_res)
+        ]
+        metrics_t = pa.Table.from_pylist(mrows)
         pq.write_table(metrics_t, os.path.join(gen_dir, "metrics.parquet"))
         with open(os.path.join(gen_dir, "_DONE"), "w") as f:
             f.write("ok")

@@ -427,6 +427,60 @@ def q_window_hourly(sf_dir: str) -> pa.Table:
     return partial_final_agg(ds, partial, final)
 
 
+def q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization (30-min inactivity splits a session) — the
+    streaming-window op (§2.9): distributed ``groupby(user).map_groups``
+    with a vectorized per-group window computation."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(group)
+            .sort(["ts", "event_id"])
+            .with_columns(
+                new_session=(
+                    pl.col("ts")
+                    .diff()
+                    .dt.total_microseconds()
+                    .fill_null(10**12)
+                    > 30 * 60 * 1_000_000
+                ).cast(pl.Int64)
+            )
+        )
+        return (
+            df.group_by("user_id")
+            .agg(
+                n_events=pl.len(),
+                n_sessions=pl.col("new_session").sum(),
+            )
+            .to_arrow()
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return _sorted(_concat(out), "user_id")
+
+
+def q_topn_per_group(sf_dir: str) -> pa.Table:
+    """Top-3 orders per customer — per-key window rank via distributed
+    ``groupby(key).map_groups`` (A5 top-N evaluation shape)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def top3(group: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(group)
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .head(3)
+        )
+        return df.with_columns(
+            rn=pl.int_range(1, df.height + 1, dtype=pl.Int64)
+        ).to_arrow()
+
+    out = ds.groupby("o_custkey").map_groups(top3, batch_format="pyarrow")
+    return _sorted(_concat(out), ["o_custkey", "rn"])
+
+
 # ---------------------------------------------------------------------------
 # helpers
 

@@ -85,19 +85,25 @@ class ShardScheduler:
         self.image_seen = CuckooFilter(seen_capacity)
         self.clock = 0
         self.metrics: list[dict] = []
+        self.fp_audit = 0
 
     # --- admission (dedup) ----------------------------------------------------
 
     def admit(self, rows: list[dict]) -> tuple[list[dict], int]:
         """Seen-check + add. rows need keys url, url_hash, tried, gen.
-        Returns (accepted rows, dedup_hits)."""
+        Returns (accepted rows, dedup_hits). When the exact audit set is
+        kept, cuckoo false positives are counted (``fp_audit``) — the FP
+        budget the north rule asks to be verified against the exact set."""
         accepted, hits = [], 0
         for r in rows:
             key = int(hash64([f"{r['tried']}_{r['url']}"])[0])
+            cuckoo_dup = self.seen.contains(key)
             if self.exact_seen is not None:
                 dup = key in self.exact_seen
+                if cuckoo_dup and not dup:
+                    self.fp_audit += 1
             else:
-                dup = self.seen.contains(key)
+                dup = cuckoo_dup
             if dup:
                 hits += 1
                 continue
@@ -240,6 +246,7 @@ class ShardScheduler:
             "seen_urls": self.seen_urls,
             "image_seen": self.image_seen.state_dict(),
             "clock": self.clock,
+            "fp_audit": self.fp_audit,
         }
 
     @classmethod
@@ -260,4 +267,5 @@ class ShardScheduler:
         obj.image_seen = CuckooFilter.from_state_dict(d["image_seen"])
         obj.clock = d["clock"]
         obj.metrics = []
+        obj.fp_audit = d.get("fp_audit", 0)
         return obj

@@ -93,8 +93,15 @@ def test_images_parity_and_psnr(engine_out, oracle_out, corpus):
 
 def test_metrics_written(engine_out):
     rows = _engine_rows(OUT, "metrics.parquet")
-    assert len(rows) >= 1
-    assert sum(r["fetched"] for r in rows) == engine_out["total_fetched"]
+    assert len(rows) >= 2  # per (gen, shard)
+    # one fetched_total per gen (repeated per shard row)
+    per_gen = {}
+    for r in rows:
+        per_gen[r["gen"]] = r["fetched_total"]
+        assert r["cuckoo_fp_audit"] == 0  # exact audit found no FPs here
+        assert {"shard", "candidates", "dedup_hits", "scheduled",
+                "seen_size", "http_2xx"} <= set(r)
+    assert sum(per_gen.values()) == engine_out["total_fetched"]
 
 
 def test_resume_no_refetch(corpus, oracle_out, ray_session):
