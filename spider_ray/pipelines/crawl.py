@@ -72,9 +72,13 @@ PERMIT_SCHEMA = pa.schema(
 class ShardActor:
     """Owns one ShardScheduler — cuckoo seen-set, politeness state, clock."""
 
-    def __init__(self, shard_id, num_shards, load_rows, options_dict, meta_ref):
+    def __init__(self, shard_id, num_shards, load_rows, options_dict, meta_ref,
+                 seen_capacity=1 << 18):
         options = LoadOptions(**options_dict) if options_dict else None
-        self.sched = ShardScheduler(shard_id, num_shards, load_rows, options)
+        self.sched = ShardScheduler(
+            shard_id, num_shards, load_rows, options,
+            seen_capacity=seen_capacity,
+        )
         # Ray auto-resolves ObjectRef ctor args to their values
         self.meta = meta_ref if isinstance(meta_ref, dict) else ray.get(meta_ref)
 
@@ -88,16 +92,22 @@ class ShardActor:
             "candidates": len(rows),
         }
 
-    def enqueue(self, rows: list[dict]) -> int:
-        """Streamed routing: map_batches tasks push this shard's rows here;
-        order is restored by seq at schedule_wave time."""
+    def enqueue(self, table: pa.Table) -> int:
+        """Streamed routing: map_batches tasks push this shard's rows here
+        as zero-copy Arrow tables; order is restored by seq at
+        schedule_wave time."""
         self._buf = getattr(self, "_buf", [])
-        self._buf.extend(rows)
+        self._buf.append(table)
         return len(self._buf)
 
     def schedule_wave(self, wave_start: int) -> dict:
-        rows = getattr(self, "_buf", [])
+        tables = getattr(self, "_buf", [])
         self._buf = []
+        rows = (
+            pa.concat_tables(tables, promote_options="default").to_pylist()
+            if tables
+            else []
+        )
         out = self.schedule(rows, wave_start)
         out["fp_audit"] = self.sched.fp_audit
         out["seen_size"] = self.sched.seen.size
@@ -263,6 +273,7 @@ def run_crawl(
     options: LoadOptions | None = None,
     fetch_concurrency: int = 4,
     resume: bool = False,
+    seen_capacity: int = 1 << 18,
 ) -> dict:
     """Run (or resume) the crawl; writes per-gen parquet sinks under
     ``out_dir`` and returns summary paths + counters."""
@@ -274,8 +285,14 @@ def run_crawl(
     robots_ref = ray.put(c["robots"])
     options_dict = (options or LoadOptions()).__dict__
 
+    # size the per-shard cuckoo to the expected URL population: checkpoint
+    # size is proportional (2 filters x 2B/slot), so oversizing inflates
+    # per-gen checkpoint writes
     actors = [
-        ShardActor.remote(s, num_shards, c["load_rows"], options_dict, meta_ref)
+        ShardActor.remote(
+            s, num_shards, c["load_rows"], options_dict, meta_ref,
+            seen_capacity=seen_capacity,
+        )
         for s in range(num_shards)
     ]
     # persistent fetch actor pool: WebIndex built once per actor, reused
@@ -339,7 +356,7 @@ def run_crawl(
             df = _pl.from_arrow(batch)
             futs, counts = [], {}
             for (sh,), sub in df.group_by("shard"):
-                futs.append(actor_list[int(sh)].enqueue.remote(sub.to_dicts()))
+                futs.append(actor_list[int(sh)].enqueue.remote(sub.to_arrow()))
                 counts[int(sh)] = sub.height
             ray.get(futs)
             return pa.table(

@@ -57,7 +57,7 @@ class ShardScheduler:
         num_shards: int,
         load_rows: list[tuple] | None = None,
         options: LoadOptions | None = None,
-        seen_capacity: int = 1 << 20,
+        seen_capacity: int = 1 << 18,
         keep_exact_seen: bool = True,
     ):
         self.shard_id = shard_id
@@ -94,9 +94,13 @@ class ShardScheduler:
         Returns (accepted rows, dedup_hits). When the exact audit set is
         kept, cuckoo false positives are counted (``fp_audit``) — the FP
         budget the north rule asks to be verified against the exact set."""
+        if not rows:
+            return [], 0
+        # vectorized key hashing (one polars pass, not one call per row)
+        keys = hash64([f"{r['tried']}_{r['url']}" for r in rows])
         accepted, hits = [], 0
-        for r in rows:
-            key = int(hash64([f"{r['tried']}_{r['url']}"])[0])
+        for r, k in zip(rows, keys):
+            key = int(k)
             cuckoo_dup = self.seen.contains(key)
             if self.exact_seen is not None:
                 dup = key in self.exact_seen
