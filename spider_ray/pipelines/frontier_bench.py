@@ -84,11 +84,14 @@ def run_frontier_bench(
 ) -> dict:
     t0 = time.time()
     ds = ray.data.range(n_urls, override_num_blocks=parallelism)
-    ds = ds.map_batches(_derive_urls, batch_format="numpy", batch_size=8_192)
+    # whole-block batches (batch_size=None): one UDF call per block, the
+    # same work granularity as the no-Ray control — minimizes per-batch
+    # conversion overhead; the two map stages fuse into one operator
+    ds = ds.map_batches(_derive_urls, batch_format="numpy", batch_size=None)
     ds = ds.map_batches(
         _frontier_stage,
         batch_format="pyarrow",
-        batch_size=8_192,
+        batch_size=None,
         fn_kwargs={"num_shards": num_shards},
     )
     # final tiny combine: per-shard totals
