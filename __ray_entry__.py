@@ -143,32 +143,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
+            -- exact integer-cent arithmetic so engine and oracle agree
+            -- bit-for-bit (float sums are order-dependent)
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                       CAST(round(l_discount * 100) AS BIGINT) AS dc
+                FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   sum(l_quantity) / count(*) AS avg_qty,
-                   sum(l_extendedprice) / count(*) AS avg_price,
-                   sum(l_discount) / count(*) AS avg_disc,
+                   CAST(sum(qty) AS DOUBLE) AS sum_qty,
+                   sum(cents) / CAST(100 AS DOUBLE) AS sum_base_price,
+                   sum(cents * (100 - dc)) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+                   sum(qty) / CAST(count(*) AS DOUBLE) AS avg_qty,
+                   sum(cents) / CAST(100 AS DOUBLE) / count(*) AS avg_price,
+                   sum(dc) / CAST(100 AS DOUBLE) / count(*) AS avg_disc,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
+            FROM c GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
         "per_key_count": """
             SELECT o_custkey, count(*) AS order_count,
-                   sum(o_totalprice) AS total_price
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)
+                       AS total_price
             FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
         "topk_spenders": """
-            SELECT o_custkey, sum(o_totalprice) AS total_spent
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)
+                       AS total_spent
             FROM orders GROUP BY o_custkey
-            ORDER BY total_spent DESC, o_custkey LIMIT 10
+            ORDER BY sum(CAST(round(o_totalprice * 100) AS BIGINT)) DESC,
+                     o_custkey
+            LIMIT 10
         """,
         "minmax_stats": """
             SELECT event_type, min(value) AS min_value, max(value) AS max_value,
-                   sum(value) / count(*) AS avg_value, count(*) AS event_count
+                   sum(CAST(round(value * 100) AS BIGINT)) / CAST(100 AS DOUBLE) / count(*)
+                       AS avg_value,
+                   count(*) AS event_count
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "conditional_agg": """
@@ -176,19 +189,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (event_type = 'click') AS n_click,
                    count(*) FILTER (event_type = 'view') AS n_view,
                    count(*) FILTER (event_type = 'purchase') AS n_purchase,
-                   sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
-                       AS purchase_value
+                   sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) / CAST(100 AS DOUBLE) AS purchase_value
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "broadcast_join": """
             SELECT p_brand,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       / CAST(10000 AS DOUBLE) AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
         """,
         "cogroup_join": """
             SELECT n_name, count(*) AS order_count,
-                   sum(o_totalprice) AS total_price
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)
+                       AS total_price
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -200,7 +217,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "region_revenue": """
-            SELECT r_name, sum(o_totalprice) AS revenue
+            SELECT r_name,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)
+                       AS revenue
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -215,7 +234,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id
         """,
         "filter_revenue": """
-            SELECT sum(l_extendedprice * l_discount) AS revenue,
+            SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)) / CAST(10000 AS DOUBLE)
+                       AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -238,12 +259,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id
         """,
         "sample_mod": """
-            SELECT count(*) AS n_sampled, sum(value) AS value_sum
+            SELECT count(*) AS n_sampled,
+                   sum(CAST(round(value * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS value_sum
             FROM events WHERE event_id % 97 = 0
         """,
         "window_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
-                   count(*) AS n_events, sum(value) AS value_sum
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS value_sum
             FROM events GROUP BY window_start, event_type
             ORDER BY window_start, event_type
         """,
@@ -320,13 +343,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": """
             SELECT query_id, vec_id, cosine FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                       list_cosine_similarity(q.embedding::DOUBLE[],
-                                              e.embedding::DOUBLE[]) AS cosine,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]), 6) AS cosine,
                        row_number() OVER (
                            PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(
-                               q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
-                               e.vec_id) AS rn
+                           ORDER BY round(list_cosine_similarity(
+                               q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+                               DESC, e.vec_id) AS rn
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 8)
             WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id

@@ -80,11 +80,15 @@ def q_knn_bruteforce(sf_dir: str) -> pa.Table:
         )
 
     cands = _concat(ds.map_batches(batch_topk, batch_format="pyarrow"))
-    # final merge: true top-k per query, deterministic tie-break by vec_id
+    # final merge: true top-k per query. Cosines rounded to 6 dp BEFORE
+    # ranking so the result is bit-identical to the DuckDB oracle (different
+    # float summation orders otherwise differ in the last ulp); ties broken
+    # by vec_id in both.
     import polars as pl
 
     out = (
         pl.from_arrow(cands)
+        .with_columns(cosine=pl.col("cosine").round(6))
         .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
         .group_by("query_id", maintain_order=True)
         .head(TOP_K)

@@ -18,6 +18,30 @@ from spider_ray.sources.tables import read_small, read_table
 from spider_ray.stages.agg import broadcast_join, partial_final_agg
 
 
+
+def _cents(col: str):
+    """Exact integer cents of a 2-dp monetary double column — integer sums
+    are order-independent, so engine and DuckDB oracle agree bit-for-bit
+    (floating sums over 10^5+ rows cannot)."""
+    return (pl.col(col) * 100).round(0).cast(pl.Int64)
+
+
+def _disc_units(col: str = "l_discount"):
+    """(1 - discount) in integer hundredths."""
+    return 100 - (pl.col(col) * 100).round(0).cast(pl.Int64)
+
+
+def _scale_cols(t: pa.Table, scales: dict[str, int]) -> pa.Table:
+    """Divide integer-unit columns into dollar doubles with pyarrow's exact
+    IEEE division (polars' lazy plan rewrites literal division into
+    multiply-by-reciprocal, which differs in the last ulp from the DuckDB
+    oracle's true division)."""
+    for col, denom in scales.items():
+        idx = t.schema.get_field_index(col)
+        v = pc.divide(pc.cast(t[col], pa.float64()), pa.scalar(float(denom)))
+        t = t.set_column(idx, col, v)
+    return t
+
 def _sorted(t: pa.Table, keys, descending=False) -> pa.Table:
     if isinstance(keys, str):
         keys = [keys]
@@ -47,16 +71,16 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     cutoff = pl.datetime(1998, 9, 2)
 
     def partial(lf: pl.LazyFrame) -> pl.LazyFrame:
+        # exact integer units: quantities are integral, prices 2-dp cents,
+        # disc-price in price_cents x disc_units (1e-4 dollars)
         return (
             lf.filter(pl.col("l_shipdate") <= cutoff)
             .group_by("l_returnflag", "l_linestatus")
             .agg(
-                sum_qty=pl.col("l_quantity").sum(),
-                sum_base_price=pl.col("l_extendedprice").sum(),
-                sum_disc_price=(
-                    pl.col("l_extendedprice") * (1 - pl.col("l_discount"))
-                ).sum(),
-                sum_disc=pl.col("l_discount").sum(),
+                qty=pl.col("l_quantity").cast(pl.Int64).sum(),
+                base_cents=_cents("l_extendedprice").sum(),
+                disc_e4=(_cents("l_extendedprice") * _disc_units()).sum(),
+                disc_cents=(pl.col("l_discount") * 100).round(0).cast(pl.Int64).sum(),
                 count_order=pl.len(),
             )
         )
@@ -65,18 +89,29 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
         return (
             lf.group_by("l_returnflag", "l_linestatus")
             .agg(
-                sum_qty=pl.col("sum_qty").sum(),
-                sum_base_price=pl.col("sum_base_price").sum(),
-                sum_disc_price=pl.col("sum_disc_price").sum(),
-                avg_qty=pl.col("sum_qty").sum() / pl.col("count_order").sum(),
-                avg_price=pl.col("sum_base_price").sum() / pl.col("count_order").sum(),
-                avg_disc=pl.col("sum_disc").sum() / pl.col("count_order").sum(),
+                sum_qty=pl.col("qty").sum(),
+                sum_base_price=pl.col("base_cents").sum(),
+                sum_disc_price=pl.col("disc_e4").sum(),
+                avg_qty=pl.col("qty").sum(),
+                avg_price=pl.col("base_cents").sum(),
+                avg_disc=pl.col("disc_cents").sum(),
                 count_order=pl.col("count_order").sum(),
             )
             .sort("l_returnflag", "l_linestatus")
         )
 
-    return partial_final_agg(ds, partial, final)
+    t = partial_final_agg(ds, partial, final)
+    n = pc.cast(t["count_order"], pa.float64())
+    t = _scale_cols(t, {"sum_qty": 1, "sum_base_price": 100,
+                        "sum_disc_price": 10000})
+    for col, denom in (("avg_qty", 1.0), ("avg_price", 100.0),
+                       ("avg_disc", 100.0)):
+        idx = t.schema.get_field_index(col)
+        v = pc.divide(
+            pc.divide(pc.cast(t[col], pa.float64()), pa.scalar(denom)), n
+        )
+        t = t.set_column(idx, col, v)
+    return t
 
 
 def q_per_key_count(sf_dir: str) -> pa.Table:
@@ -85,17 +120,23 @@ def q_per_key_count(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(cents=_cents("o_totalprice"))
+        return df.select("o_custkey", "cents").to_arrow()
+
     out = (
-        ds.groupby("o_custkey")
-        .aggregate(Count(), Sum("o_totalprice"))
+        ds.map_batches(add_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(), Sum("cents"))
         .to_pandas()
     )
-    out = out.rename(
-        columns={"count()": "order_count", "sum(o_totalprice)": "total_price"}
+    out = out.rename(columns={"count()": "order_count",
+                              "sum(cents)": "total_price"})
+    t = pa.Table.from_pandas(
+        out[["o_custkey", "order_count", "total_price"]], preserve_index=False
     )
-    t = pa.Table.from_pandas(out[["o_custkey", "order_count", "total_price"]],
-                             preserve_index=False)
-    return _sorted(t, "o_custkey")
+    return _sorted(_scale_cols(t, {"total_price": 100}), "o_custkey")
 
 
 def q_topk_spenders(sf_dir: str) -> pa.Table:
@@ -104,17 +145,18 @@ def q_topk_spenders(sf_dir: str) -> pa.Table:
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(lf):
-        return lf.group_by("o_custkey").agg(total_spent=pl.col("o_totalprice").sum())
+        return lf.group_by("o_custkey").agg(cents=_cents("o_totalprice").sum())
 
     def final(lf):
         return (
             lf.group_by("o_custkey")
-            .agg(total_spent=pl.col("total_spent").sum())
+            .agg(total_spent=pl.col("cents").sum())
             .sort(["total_spent", "o_custkey"], descending=[True, False])
             .head(10)
         )
 
-    return partial_final_agg(ds, partial, final)
+    return _scale_cols(partial_final_agg(ds, partial, final),
+                       {"total_spent": 100})
 
 
 def q_minmax_stats(sf_dir: str) -> pa.Table:
@@ -126,7 +168,7 @@ def q_minmax_stats(sf_dir: str) -> pa.Table:
         return lf.group_by("event_type").agg(
             vmin=pl.col("value").min(),
             vmax=pl.col("value").max(),
-            vsum=pl.col("value").sum(),
+            vcents=_cents("value").sum(),
             n=pl.len(),
         )
 
@@ -136,13 +178,19 @@ def q_minmax_stats(sf_dir: str) -> pa.Table:
             .agg(
                 min_value=pl.col("vmin").min(),
                 max_value=pl.col("vmax").max(),
-                avg_value=pl.col("vsum").sum() / pl.col("n").sum(),
+                avg_value=pl.col("vcents").sum(),
                 event_count=pl.col("n").sum(),
             )
             .sort("event_type")
         )
 
-    return partial_final_agg(ds, partial, final)
+    t = partial_final_agg(ds, partial, final)
+    idx = t.schema.get_field_index("avg_value")
+    v = pc.divide(
+        pc.divide(pc.cast(t["avg_value"], pa.float64()), pa.scalar(100.0)),
+        pc.cast(t["event_count"], pa.float64()),
+    )
+    return t.set_column(idx, "avg_value", v)
 
 
 def q_conditional_agg(sf_dir: str) -> pa.Table:
@@ -155,9 +203,9 @@ def q_conditional_agg(sf_dir: str) -> pa.Table:
             n_click=(pl.col("event_type") == "click").sum(),
             n_view=(pl.col("event_type") == "view").sum(),
             n_purchase=(pl.col("event_type") == "purchase").sum(),
-            purchase_value=pl.when(pl.col("event_type") == "purchase")
-            .then(pl.col("value"))
-            .otherwise(0.0)
+            purchase_cents=pl.when(pl.col("event_type") == "purchase")
+            .then(_cents("value"))
+            .otherwise(0)
             .sum(),
         )
 
@@ -168,12 +216,13 @@ def q_conditional_agg(sf_dir: str) -> pa.Table:
                 n_click=pl.col("n_click").sum(),
                 n_view=pl.col("n_view").sum(),
                 n_purchase=pl.col("n_purchase").sum(),
-                purchase_value=pl.col("purchase_value").sum(),
+                purchase_value=pl.col("purchase_cents").sum(),
             )
             .sort("user_id")
         )
 
-    return partial_final_agg(ds, partial, final)
+    return _scale_cols(partial_final_agg(ds, partial, final),
+                       {"purchase_value": 100})
 
 
 # ---------------------------------------------------------------------------
@@ -191,15 +240,18 @@ def q_broadcast_join(sf_dir: str) -> pa.Table:
 
     def partial(lf):
         return lf.group_by("p_brand").agg(
-            revenue=(pl.col("l_extendedprice") * (1 - pl.col("l_discount"))).sum()
+            rev_e4=(_cents("l_extendedprice") * _disc_units()).sum()
         )
 
     def final(lf):
         return (
-            lf.group_by("p_brand").agg(revenue=pl.col("revenue").sum()).sort("p_brand")
+            lf.group_by("p_brand")
+            .agg(revenue=pl.col("rev_e4").sum())
+            .sort("p_brand")
         )
 
-    return partial_final_agg(joined, partial, final)
+    return _scale_cols(partial_final_agg(joined, partial, final),
+                       {"revenue": 10000})
 
 
 def q_cogroup_join(sf_dir: str) -> pa.Table:
@@ -213,7 +265,7 @@ def q_cogroup_join(sf_dir: str) -> pa.Table:
 
     def partial(lf):
         return lf.group_by("n_name").agg(
-            order_count=pl.len(), total_price=pl.col("o_totalprice").sum()
+            order_count=pl.len(), cents=_cents("o_totalprice").sum()
         )
 
     def final(lf):
@@ -221,12 +273,13 @@ def q_cogroup_join(sf_dir: str) -> pa.Table:
             lf.group_by("n_name")
             .agg(
                 order_count=pl.col("order_count").sum(),
-                total_price=pl.col("total_price").sum(),
+                total_price=pl.col("cents").sum(),
             )
             .sort("n_name")
         )
 
-    return partial_final_agg(j, partial, final)
+    return _scale_cols(partial_final_agg(j, partial, final),
+                       {"total_price": 100})
 
 
 def q_anti_join(sf_dir: str) -> pa.Table:
@@ -264,12 +317,17 @@ def q_region_revenue(sf_dir: str) -> pa.Table:
     )
 
     def partial(lf):
-        return lf.group_by("r_name").agg(revenue=pl.col("o_totalprice").sum())
+        return lf.group_by("r_name").agg(cents=_cents("o_totalprice").sum())
 
     def final(lf):
-        return lf.group_by("r_name").agg(revenue=pl.col("revenue").sum()).sort("r_name")
+        return (
+            lf.group_by("r_name")
+            .agg(revenue=pl.col("cents").sum())
+            .sort("r_name")
+        )
 
-    return partial_final_agg(j, partial, final)
+    return _scale_cols(partial_final_agg(j, partial, final),
+                       {"revenue": 100})
 
 
 def q_latest_record(sf_dir: str) -> pa.Table:
@@ -318,17 +376,22 @@ def q_filter_revenue(sf_dir: str) -> pa.Table:
                 & (pl.col("l_quantity") < 24)
             )
             .select(
-                revenue=(pl.col("l_extendedprice") * pl.col("l_discount")).sum(),
+                rev_e4=(
+                    _cents("l_extendedprice")
+                    * (pl.col("l_discount") * 100).round(0).cast(pl.Int64)
+                ).sum(),
                 n_rows=pl.len(),
             )
         )
 
     def final(lf):
         return lf.select(
-            revenue=pl.col("revenue").sum(), n_rows=pl.col("n_rows").sum()
+            revenue=pl.col("rev_e4").sum(),
+            n_rows=pl.col("n_rows").sum(),
         )
 
-    return partial_final_agg(ds, partial, final)
+    return _scale_cols(partial_final_agg(ds, partial, final),
+                       {"revenue": 10000})
 
 
 def q_priority_bands(sf_dir: str) -> pa.Table:
@@ -390,16 +453,17 @@ def q_sample_mod(sf_dir: str) -> pa.Table:
 
     def partial(lf):
         return lf.filter(pl.col("event_id") % 97 == 0).select(
-            n_sampled=pl.len(), value_sum=pl.col("value").sum()
+            n_sampled=pl.len(), cents=_cents("value").sum()
         )
 
     def final(lf):
         return lf.select(
             n_sampled=pl.col("n_sampled").sum(),
-            value_sum=pl.col("value_sum").sum(),
+            value_sum=pl.col("cents").sum(),
         )
 
-    return partial_final_agg(ds, partial, final)
+    return _scale_cols(partial_final_agg(ds, partial, final),
+                       {"value_sum": 100})
 
 
 def q_window_hourly(sf_dir: str) -> pa.Table:
@@ -411,7 +475,7 @@ def q_window_hourly(sf_dir: str) -> pa.Table:
         return (
             lf.with_columns(window_start=pl.col("ts").dt.truncate("1h"))
             .group_by("window_start", "event_type")
-            .agg(n_events=pl.len(), value_sum=pl.col("value").sum())
+            .agg(n_events=pl.len(), cents=_cents("value").sum())
         )
 
     def final(lf):
@@ -419,12 +483,13 @@ def q_window_hourly(sf_dir: str) -> pa.Table:
             lf.group_by("window_start", "event_type")
             .agg(
                 n_events=pl.col("n_events").sum(),
-                value_sum=pl.col("value_sum").sum(),
+                value_sum=pl.col("cents").sum(),
             )
             .sort("window_start", "event_type")
         )
 
-    return partial_final_agg(ds, partial, final)
+    return _scale_cols(partial_final_agg(ds, partial, final),
+                       {"value_sum": 100})
 
 
 def q_sessionize(sf_dir: str) -> pa.Table:
