@@ -42,6 +42,44 @@ def tidy_url(url: str, host_aliases: dict[str, str]) -> str:
     return scheme + host_aliases.get(host, host) + rest
 
 
+# --- M12: PV/search-log seed-URL cleanup -------------------------------------
+# (selector/mr_selector_r1_mapper.cc:226-268,313-362,369-387): log-derived
+# seed URLs carry tracking suffixes and junk the crawler must strip/reject.
+
+_NEED_LOGIN_HOSTS = frozenset(
+    {"qzone.qq.com", "weixin.qq.com", "weibo.com", "login.example.com"}
+)
+_TEL_QQ_SUFFIX = re.compile(r"\s*(TEL|QQ)[:：][\d\- ]+$", re.IGNORECASE)
+_GOOGLE_REDIR = re.compile(r"^[a-z]+://www\.google\.com/url\?")
+_IP_HOST = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
+
+
+def clean_seed_url(raw: str) -> str | None:
+    """Seed-ingest cleanup (M12): strip trailing TEL:/QQ: contact suffixes,
+    resolve google redirect targets (&url= / ?q= param), reject %-prefixed
+    hosts, need-login hosts, bare-IP hosts and '??' URLs. Returns the
+    cleaned raw URL (still to be canonicalized) or None = rejected."""
+    if raw is None:
+        return None
+    u = _TEL_QQ_SUFFIX.sub("", raw.strip())
+    if "??" in u:
+        return None
+    if _GOOGLE_REDIR.match(u):
+        from urllib.parse import parse_qs, urlsplit
+
+        q = parse_qs(urlsplit(u).query)
+        target = (q.get("url") or q.get("q") or [None])[0]
+        if not target:
+            return None
+        u = target
+    m = re.match(r"^(?:[a-z]+://)?([^/?#]+)", u, re.IGNORECASE)
+    if m:
+        host = m.group(1).lower()
+        if host.startswith("%") or host in _NEED_LOGIN_HOSTS or _IP_HOST.match(host):
+            return None
+    return u or None
+
+
 _SEARCH_PAGE_PARAMS = {
     # host-suffix → (param, results-per-page)
     "www.google.com": ("start", 10),

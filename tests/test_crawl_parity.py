@@ -104,6 +104,20 @@ def test_metrics_written(engine_out):
     assert sum(per_gen.values()) == engine_out["total_fetched"]
 
 
+def test_metrics_parity_with_oracle(engine_out, oracle_out):
+    """Per-(gen, shard) scheduling counters must match the oracle exactly:
+    candidates routed, dedup hits, permits scheduled."""
+    eng = {
+        (r["gen"], r["shard"]): (r["candidates"], r["dedup_hits"], r["scheduled"])
+        for r in _engine_rows(OUT, "metrics.parquet")
+    }
+    gold = {
+        (r["gen"], r["shard"]): (r["candidates"], r["dedup_hits"], r["scheduled"])
+        for r in oracle_out["metrics"]
+    }
+    assert eng == gold
+
+
 def test_resume_no_refetch(corpus, oracle_out, ray_session):
     """Kill-and-resume (M6): run 2 gens, resume to completion; outputs must
     equal the uninterrupted run and gens 0-1 must not be re-fetched."""

@@ -32,6 +32,23 @@ def test_tidy_url():
     assert tidy_url("http://other.com/x", aliases) == "http://other.com/x"
 
 
+def test_clean_seed_url():
+    from spider_ray.kernels.rules import clean_seed_url
+
+    assert clean_seed_url("http://a.com/x TEL:123-456") == "http://a.com/x"
+    assert clean_seed_url("http://a.com/x QQ:88888") == "http://a.com/x"
+    assert clean_seed_url("http://a.com/p??b") is None
+    assert clean_seed_url("http://weibo.com/u/1") is None
+    assert clean_seed_url("http://10.0.0.1/x") is None
+    assert clean_seed_url("http://%61.com/") is None
+    assert (
+        clean_seed_url("http://www.google.com/url?url=http://t.com/p&sa=x")
+        == "http://t.com/p"
+    )
+    assert clean_seed_url("http://www.google.com/url?sa=x") is None
+    assert clean_seed_url("http://normal.com/ok") == "http://normal.com/ok"
+
+
 def test_search_result_gate():
     assert search_result_gate("http://normal.com/p?start=500")
     assert search_result_gate("http://www.google.com/search?q=x")
