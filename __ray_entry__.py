@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": S.q_knn_bruteforce,
         "knn_ivf": S.q_knn_ivf,
+        "knn_lsh": S.q_knn_lsh,
         # URL operators
         "url_canonicalize": U.q_url_canonicalize,
         "host_split": U.q_host_split,

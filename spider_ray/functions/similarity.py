@@ -165,6 +165,82 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     return out.to_arrow()
 
 
+def _lsh_bits(n: int) -> int:
+    """Adaptive signature width: target ~64 vectors per bucket (on this
+    corpus's near-isotropic embeddings small buckets destroy recall)."""
+    return max(3, int(np.log2(max(n / 64, 2))))
+
+
+def _hyperplanes(dim: int, bits: int) -> np.ndarray:
+    rng = np.random.RandomState(10416)
+    return rng.normal(size=(dim, bits))
+
+
+def _lsh_codes(Vn: np.ndarray, H: np.ndarray) -> np.ndarray:
+    bits = H.shape[1]
+    return ((Vn @ H) > 0) @ (1 << np.arange(bits))
+
+
+def q_knn_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed approximate top-k (the other scale path next to IVF):
+    random-hyperplane signatures put vectors into 2^LSH_BITS buckets; each
+    query multi-probes its own bucket plus the LSH_PROBES lowest-margin bit
+    flips. Per-batch work: assign codes, keep rows in probed buckets, local
+    top-k; driver merges. Approximate → rows-only; recall tested vs brute
+    force."""
+    ids_all, _M = _load_matrix(sf_dir)
+    bits = _lsh_bits(len(ids_all))
+    qids, Q = _query_matrix(sf_dir)
+    H = _hyperplanes(Q.shape[1], bits)
+    margins = Q @ H  # (nq, bits)
+    base = ((margins > 0) @ (1 << np.arange(bits))).astype(np.int64)
+    probe_sets = []
+    for qi in range(Q.shape[0]):
+        # multi-probe: own bucket + ALL single-bit flips ordered by margin
+        codes = {int(base[qi])}
+        for f in np.argsort(np.abs(margins[qi])):
+            codes.add(int(base[qi]) ^ (1 << int(f)))
+        probe_sets.append(np.array(sorted(codes), dtype=np.int64))
+    state_ref = ray.put((qids, Q, H, probe_sets))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def batch_probe(batch: pa.Table) -> pa.Table:
+        bq_ids, bQ, bH, bprobes = ray.get(state_ref)
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        V = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        codes = _lsh_codes(V, bH).astype(np.int64)
+        rows_q, rows_v, rows_c = [], [], []
+        for qi in range(bQ.shape[0]):
+            mask = np.isin(codes, bprobes[qi])
+            if not mask.any():
+                continue
+            c = bQ[qi] @ V[mask].T
+            k = min(TOP_K, c.size)
+            idx = np.argpartition(-c, kth=k - 1)[:k]
+            rows_q.extend([bq_ids[qi]] * k)
+            rows_v.extend(vids[mask][idx].tolist())
+            rows_c.extend(np.round(c[idx], 6).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int64()),
+                "vec_id": pa.array(rows_v, pa.int64()),
+                "cosine": pa.array(rows_c, pa.float64()),
+            }
+        )
+
+    cands = _concat(ds.map_batches(batch_probe, batch_format="pyarrow"))
+    import polars as pl
+
+    out = (
+        pl.from_arrow(cands)
+        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
+        .group_by("query_id", maintain_order=True)
+        .head(TOP_K)
+        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
+    )
+    return out.to_arrow()
+
+
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()

@@ -66,6 +66,30 @@ def test_langid_and_fingerprints_run(ray_session, sf_small):
     assert ft.equals(q_fingerprints(sf_small))
 
 
+def test_lsh_recall_vs_bruteforce(ray_session, sf_small):
+    """Random-hyperplane LSH probes ~half the buckets on this corpus's
+    near-isotropic vectors — recall bound reflects that; on clusterable
+    embeddings the same machinery gives high recall with far fewer probes."""
+    import polars as pl
+
+    from spider_ray.functions.similarity import q_knn_bruteforce, q_knn_lsh
+
+    bf = pl.from_arrow(q_knn_bruteforce(sf_small)).group_by("query_id").agg(
+        pl.col("vec_id")
+    )
+    ls = pl.from_arrow(q_knn_lsh(sf_small)).group_by("query_id").agg(
+        pl.col("vec_id")
+    )
+    j = bf.join(ls, on="query_id", suffix="_l")
+    recalls = [
+        len(set(a) & set(b)) / len(a)
+        for a, b in zip(j["vec_id"].to_list(), j["vec_id_l"].to_list())
+    ]
+    assert np.mean(recalls) >= 0.4, recalls
+    # determinism
+    assert q_knn_lsh(sf_small).equals(q_knn_lsh(sf_small))
+
+
 def test_ivf_recall_vs_bruteforce(ray_session, sf_small):
     from spider_ray.functions.similarity import q_knn_bruteforce, q_knn_ivf
 
