@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": R.q_anti_join,
         "region_revenue": R.q_region_revenue,
         "latest_record": R.q_latest_record,
+        "asof_join": R.q_asof_join,
+        "range_join": R.q_range_join,
         # filters / bands / unions / sampling / windows (§2.2, §2.6, §2.7, §2.9)
         "filter_revenue": R.q_filter_revenue,
         "priority_bands": R.q_priority_bands,
@@ -234,6 +236,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM events) WHERE rn = 1
             ORDER BY user_id
         """,
+        "asof_join": """
+            -- most recent purchase at or before each click, per user;
+            -- right side pre-collapsed to max(value) per (user, ts) so the
+            -- as-of match is uniquely defined
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+            r AS (
+                SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.purchase_ts, r.purchase_value
+            FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts >= r.purchase_ts
+            ORDER BY l.event_id
+        """,
+        "range_join": """
+            -- non-equi interval join: quantity binned into (lo, hi] bands
+            -- derived from nation keys; exact integer-cent revenue
+            WITH bands AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+                       n_nationkey * 2.0 AS lo,
+                       n_nationkey * 2.0 + 2.0 AS hi
+                FROM nation)
+            SELECT b.band_id, count(*) AS n_items,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       / CAST(100 AS DOUBLE) AS revenue
+            FROM lineitem l JOIN bands b
+                ON l.l_quantity > b.lo AND l.l_quantity <= b.hi
+            GROUP BY b.band_id ORDER BY b.band_id
+        """,
         "filter_revenue": """
             SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                        * CAST(round(l_discount * 100) AS BIGINT)) / CAST(10000 AS DOUBLE)
@@ -340,6 +374,25 @@ def oracle_sql() -> dict[str, str]:
                    'example.org' AS domain,
                    lang || '.' || source AS subdomain
             FROM documents ORDER BY doc_id
+        """,
+        "seeded_shuffle": """
+            -- frozen mix64_int(doc_id, seed=4242) permutation, reproduced
+            -- exactly with HUGEINT modular arithmetic (kernels/hashing.py)
+            WITH s1 AS (
+                SELECT doc_id,
+                       CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 4242)
+                            % 18446744073709551616 AS UBIGINT) AS u
+                FROM documents),
+            s2 AS (SELECT doc_id, xor(u, u >> 29) AS u FROM s1),
+            s3 AS (SELECT doc_id,
+                          CAST((CAST(u AS HUGEINT) * 2246822519)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM s2),
+            s4 AS (SELECT doc_id, xor(u, u >> 32) AS u FROM s3)
+            SELECT doc_id, u AS shuffle_key,
+                   CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT)
+                       AS position
+            FROM s4 ORDER BY position
         """,
         "knn_bruteforce": """
             SELECT query_id, vec_id, cosine FROM (

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from spider_ray.kernels.hashing import derive, hash64
+from spider_ray.kernels.hashing import derive, hash64, mix64_int
 from spider_ray.kernels.hosts import split_host
 from spider_ray.kernels.urlnorm import canonicalize_vector
 from spider_ray.pipelines.relational import _concat, _sorted
@@ -63,24 +63,25 @@ def q_host_split(sf_dir: str) -> pa.Table:
 
 
 def q_seeded_shuffle(sf_dir: str) -> pa.Table:
-    """O4 deterministic shuffle: order rows by ``derive(hash(key), seed)``
-    (the reference shuffles per-thread URL lists with rand(); we freeze the
-    seam per FIXTURES §9 — sort by a hash-derived interleave key)."""
+    """O4 deterministic shuffle: order rows by a frozen seeded interleave
+    key (the reference shuffles per-thread URL lists with rand(),
+    fetcher_thread.cc:574-577; we freeze the seam per FIXTURES §9 — sort by
+    a hash-derived key). Uses :func:`mix64_int` so the DuckDB oracle can
+    reproduce the exact permutation with HUGEINT modular arithmetic —
+    the shuffle itself is independently verifiable, not just row-stable."""
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
 
     def keyed(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        h = hash64([str(i) for i in ids])
-        k = derive(h, 4242)
+        ids = pa.compute.cast(batch["doc_id"], pa.int64())
+        k = mix64_int(ids.to_numpy(zero_copy_only=False), seed=4242)
         return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "shuffle_key": pa.array(k, pa.uint64()),
-            }
+            {"doc_id": ids, "shuffle_key": pa.array(k, pa.uint64())}
         )
 
     t = _concat(ds.map_batches(keyed, batch_format="pyarrow"))
-    t = t.sort_by([("shuffle_key", "ascending")])
+    t = t.sort_by(
+        [("shuffle_key", "ascending"), ("doc_id", "ascending")]
+    )
     return t.append_column(
         "position", pa.array(range(t.num_rows), pa.int64())
     )

@@ -85,3 +85,22 @@ def derive(h: int | np.ndarray, salt: int) -> np.ndarray | int:
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         z = z ^ (z >> np.uint64(31))
     return int(z) if scalar else z
+
+
+def mix64_int(x, seed: int = 0) -> np.ndarray:
+    """SQL-expressible 64-bit mixer over an *integer* key column.
+
+    Same role as :func:`derive` (deterministic permutation key) but every
+    multiplier fits in 32 bits, so a DuckDB oracle can reproduce it exactly
+    with HUGEINT modular arithmetic — used where a query needs an
+    independently-checkable shuffle key. Frozen; never change the constants.
+    Returns ``np.ndarray[uint64]``.
+    """
+    with np.errstate(over="ignore"):
+        u = np.asarray(x).astype(np.uint64, copy=False) * np.uint64(
+            2654435761
+        ) + np.uint64(seed & _MASK64)
+        u = u ^ (u >> np.uint64(29))
+        u = u * np.uint64(2246822519)
+        u = u ^ (u >> np.uint64(32))
+    return u

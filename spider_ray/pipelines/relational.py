@@ -353,6 +353,113 @@ def q_latest_record(sf_dir: str) -> pa.Table:
     return partial_final_agg(ds, latest, final)
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join — for every click, the most recent purchase by the same
+    user at or before the click time. Ray Data has no native as-of join;
+    composition per the brief: co-partition both sides with ONE
+    ``groupby(user_id)`` shuffle (the reference's tagged A/B co-group join,
+    control/robots/data_prepare.cc:71-150), then a vectorized per-group
+    ``join_asof`` (sort-merge within the partition). Ties on the right side
+    are pre-collapsed to max(value) per (user, ts) so the match is uniquely
+    defined on both engine and oracle."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).filter(expr="event_type == 'click' or event_type == 'purchase'")
+
+    def asof(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        left = (
+            df.filter(pl.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
+            .sort("ts", "event_id")
+        )
+        right = (
+            df.filter(pl.col("event_type") == "purchase")
+            .group_by("user_id", "ts")
+            .agg(purchase_value=pl.col("value").max())
+            .rename({"ts": "purchase_ts"})
+            .sort("purchase_ts")
+        )
+        if left.height == 0:
+            return left.with_columns(
+                purchase_ts=pl.lit(None, dtype=df.schema["ts"]),
+                purchase_value=pl.lit(None, dtype=pl.Float64),
+            ).to_arrow()
+        import warnings
+
+        with warnings.catch_warnings():
+            # polars warns it cannot pre-check sortedness under `by` groups;
+            # each map_groups table is a single user and both sides are
+            # explicitly sorted above.
+            warnings.simplefilter("ignore")
+            out = left.join_asof(
+                right, left_on="ts", right_on="purchase_ts", by="user_id",
+                strategy="backward",
+            )
+        return out.select(
+            "event_id", "user_id", "ts", "purchase_ts", "purchase_value"
+        ).to_arrow()
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+    return _sorted(_concat(out), "event_id")
+
+
+def q_range_join(sf_dir: str) -> pa.Table:
+    """Non-equi range join — lineitem quantity binned into (lo, hi] bands
+    derived from the nation table. Scale path for a range join with a small
+    interval side: broadcast the sorted band table once (``ray.put``) and
+    binary-search each batch's keys into it (np.searchsorted) — no shuffle
+    of the big side — then partial/final aggregate per band. Mirrors the
+    priority-band assignment O6 (scheduler.cc:192-205) generalized to
+    arbitrary intervals."""
+    import numpy as np
+
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey"])
+    band_id = pc.cast(nation["n_nationkey"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    order = np.argsort(band_id, kind="stable")
+    los = band_id[order] * 2.0
+    his = los + 2.0
+    bands_ref = ray.put((band_id[order], los, his))
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bid, lo, hi = ray.get(bands_ref)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        # band i matches when lo[i] < q <= hi[i]; los sorted ascending
+        idx = np.searchsorted(lo, q, side="left") - 1
+        ok = (idx >= 0) & (q <= hi[np.clip(idx, 0, len(hi) - 1)])
+        idx = idx[ok]
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[ok] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"band_id": pa.array(bid[idx], pa.int64()),
+             "cents": pa.array(cents, pa.int64())}
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def partial(lf):
+        return lf.group_by("band_id").agg(
+            n_items=pl.len(), cents=pl.col("cents").sum()
+        )
+
+    def final(lf):
+        return (
+            lf.group_by("band_id")
+            .agg(n_items=pl.col("n_items").sum(), revenue=pl.col("cents").sum())
+            .sort("band_id")
+        )
+
+    return _scale_cols(partial_final_agg(assigned, partial, final),
+                       {"revenue": 100})
+
+
 # ---------------------------------------------------------------------------
 # Filters / banding / union-dedup / sampling / windows (SURVEY §2.2, §2.6, §2.7)
 
