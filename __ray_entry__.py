@@ -18,6 +18,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spider_ray.functions import binpack as B  # noqa: E402
+from spider_ray.functions import sketch as K  # noqa: E402
 from spider_ray.functions import dedup as D  # noqa: E402
 from spider_ray.functions import urls as U  # noqa: E402
 from spider_ray.functions import similarity as S  # noqa: E402
@@ -110,8 +111,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_dedup": R.q_union_dedup,
         "sample_mod": R.q_sample_mod,
         "window_hourly": R.q_window_hourly,
+        "sliding_window": R.q_sliding_window,
         "sessionize": R.q_sessionize,
         "topn_per_group": R.q_topn_per_group,
+        "distinct_per_key": R.q_distinct_per_key,
+        "stratified_sample": R.q_stratified_sample,
+        "quantiles": R.q_quantiles,
         # dedup suite (SURVEY §2.7 + training-data ops)
         "exact_dedup": D.q_exact_dedup,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
@@ -134,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_shuffle": U.q_seeded_shuffle,
         # scheduling ops
         "binpack_customers": B.q_binpack_customers,
+        # sketches (rows-only: approximate by construction; accuracy bound
+        # vs the exact count asserted in tests/test_misc_ops.py)
+        "approx_distinct": K.q_approx_distinct,
         # crawl engine (rows-only: non-SQL stateful streaming; exact parity
         # vs the single-process oracle is asserted in tests/test_crawl_parity)
         "crawl_order": lambda sf_dir: _crawl_demo()["order"],
@@ -304,6 +312,50 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS value_sum
             FROM events GROUP BY window_start, event_type
             ORDER BY window_start, event_type
+        """,
+        "sliding_window": """
+            -- 1 h windows sliding every 15 min: each event lands in the 4
+            -- quarter-hour buckets whose 1 h window covers it
+            SELECT ws AS window_start, count(*) AS n_events,
+                   sum(cents) / CAST(100 AS DOUBLE) AS value_sum
+            FROM (
+                SELECT time_bucket(INTERVAL '15 minutes', ts)
+                           - to_minutes(15 * k) AS ws,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events, range(4) t(k))
+            GROUP BY ws ORDER BY ws
+        """,
+        "distinct_per_key": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stratified_sample": """
+            -- 10 rows per event_type with the smallest frozen
+            -- mix64_int(event_id, 777) key (kernels/hashing.py)
+            WITH s1 AS (
+                SELECT event_id, event_type,
+                       CAST((CAST(event_id AS HUGEINT) * 2654435761 + 777)
+                            % 18446744073709551616 AS UBIGINT) AS u
+                FROM events),
+            s2 AS (SELECT event_id, event_type, xor(u, u >> 29) AS u FROM s1),
+            s3 AS (SELECT event_id, event_type,
+                          CAST((CAST(u AS HUGEINT) * 2246822519)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM s2),
+            s4 AS (SELECT event_id, event_type, xor(u, u >> 32) AS u FROM s3)
+            SELECT event_type, event_id, smp_rank FROM (
+                SELECT event_type, event_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY event_type ORDER BY u, event_id)
+                           AS BIGINT) AS smp_rank
+                FROM s4)
+            WHERE smp_rank <= 10 ORDER BY event_type, smp_rank
+        """,
+        "quantiles": """
+            SELECT event_type, count(*) AS n_rows,
+                   quantile_disc(value, 0.5) AS median_value,
+                   quantile_disc(value, 0.95) AS p95_value
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "sessionize": """
             WITH gaps AS (

@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from spider_ray.kernels.hashing import hash64
+from spider_ray.kernels.hashing import derive, hash64
 from spider_ray.kernels.imaging import decode_image, encode_image, phash64
 
 IMAGE_FEATURE_SCHEMA = pa.schema(
@@ -112,6 +112,69 @@ class AudioFeatureExtractor:
             rows["energy"].append(float(arr.astype(np.float64).std()) if arr.size else 0.0)
             rows["fingerprint"].append(int(np.uint64(h).astype(np.int64)))
         return pa.Table.from_pydict(rows, schema=AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("frame_ts_s", pa.float32()),
+        ("frame_feature", pa.int64()),  # fake-decoded per-frame signature
+    ]
+)
+
+
+class VideoFrameSampler:
+    """Frame-sampling actor stage: one INPUT row (video_id, bytes, fps,
+    n_frames) fans out to one OUTPUT row per sampled frame (every
+    ``every_n``-th frame) — the output layout a downstream per-frame model
+    stage consumes. Video decode is NOT available in this container (no
+    ffmpeg/pyav), so the decode is STUBBED per the build brief:
+    ``fake=True`` derives a deterministic per-frame signature from
+    (bytes-hash, frame_idx); ``fake=False`` raises NotImplementedError at
+    the decode seam. Batches stay small because rows carry large binary
+    payloads (SURVEY §4 memory-pressure rule: bytes-heavy stages get small
+    ``batch_size``)."""
+
+    def __init__(self, every_n: int = 10, fake: bool = True):
+        self.every_n = max(1, int(every_n))
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in (
+            "video_id", "frame_idx", "frame_ts_s", "frame_feature")}
+        for r in batch.to_pylist():
+            if not self.fake:
+                raise NotImplementedError(
+                    "real video decode requires ffmpeg/pyav — not in this "
+                    "container; run with fake=True for plumbing tests"
+                )
+            data = r["bytes"] or b""
+            fps = float(r.get("fps") or 25.0)
+            n_frames = int(r.get("n_frames") or 0)
+            base = int(hash64([data.hex() or "0"])[0])
+            for idx in range(0, n_frames, self.every_n):
+                sig = derive(base, idx + 1)
+                rows["video_id"].append(r["video_id"])
+                rows["frame_idx"].append(idx)
+                rows["frame_ts_s"].append(idx / fps)
+                rows["frame_feature"].append(int(np.uint64(sig).astype(np.int64)))
+        return pa.Table.from_pydict(rows, schema=VIDEO_FRAME_SCHEMA)
+
+
+def sample_video_frames(
+    ds: ray.data.Dataset,
+    every_n: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_n": every_n},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
 
 
 def extract_image_features(

@@ -14,6 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from spider_ray.kernels.hashing import mix64_int
 from spider_ray.sources.tables import read_small, read_table
 from spider_ray.stages.agg import broadcast_join, partial_final_agg
 
@@ -651,6 +652,141 @@ def q_topn_per_group(sf_dir: str) -> pa.Table:
 
     out = ds.groupby("o_custkey").map_groups(top3, batch_format="pyarrow")
     return _sorted(_concat(out), ["o_custkey", "rn"])
+
+
+def q_distinct_per_key(sf_dir: str) -> pa.Table:
+    """Exact distinct count per group with per-block pre-dedup — the shuffle
+    moves only unique (type, user) pairs, not raw rows (the reference's
+    map-side combine discipline, mr_stat_site_pv_mapper.cc:17,29-50, applied
+    to a COUNT DISTINCT)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(lf):
+        return lf.unique(["event_type", "user_id"])
+
+    def final(lf):
+        return (
+            lf.group_by("event_type")
+            .agg(n_users=pl.col("user_id").n_unique())
+            .sort("event_type")
+        )
+
+    return partial_final_agg(ds, partial, final)
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic stratified sample: per event_type, the 10 rows with the
+    smallest frozen ``mix64_int(event_id, seed=777)`` key (O5 image-corpus
+    sampling, mapper_extract_image_body.cc:62-70, made seed-deterministic
+    per FIXTURES §9). Distributed top-k per stratum: each block keeps its
+    local 10, the final merge re-ranks — no global sort. The SQL oracle
+    reproduces the exact sample, not just its size."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["event_id"], pa.int64())
+        u = mix64_int(ids.to_numpy(zero_copy_only=False), seed=777)
+        return pa.table(
+            {
+                "event_id": ids,
+                "event_type": batch["event_type"],
+                "u": pa.array(u, pa.uint64()),
+            }
+        )
+
+    def partial(lf):
+        return (
+            lf.sort(["u", "event_id"])
+            .group_by("event_type", maintain_order=True)
+            .head(10)
+        )
+
+    def final(lf):
+        return (
+            partial(lf)
+            .with_columns(
+                smp_rank=pl.col("u")
+                .rank(method="ordinal")
+                .over("event_type")
+                .cast(pl.Int64)
+            )
+            .select("event_type", "event_id", "smp_rank")
+            .sort(["event_type", "smp_rank"])
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return partial_final_agg(keyed_ds, partial, final)
+
+
+def q_sliding_window(sf_dir: str) -> pa.Table:
+    """Sliding windowed aggregate (1 h windows every 15 min): each event is
+    expanded into the 4 windows that cover it (vectorized cross-join +
+    truncate inside the block), then partial/final counted — the overlap
+    fan-out happens before the shuffle so the shuffle moves partial rows
+    only (§2.9 rolling-window semantics, time_split_saver.h:16-57)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    offsets = pl.DataFrame(
+        {"k": pl.Series([0, 1, 2, 3], dtype=pl.Int64)}
+    )
+
+    def partial(lf):
+        return (
+            lf.with_columns(bucket=pl.col("ts").dt.truncate("15m"))
+            .join(offsets.lazy(), how="cross")
+            .with_columns(
+                window_start=pl.col("bucket")
+                - pl.duration(minutes=15 * pl.col("k"))
+            )
+            .group_by("window_start")
+            .agg(n_events=pl.len(), cents=_cents("value").sum())
+        )
+
+    def final(lf):
+        return (
+            lf.group_by("window_start")
+            .agg(
+                n_events=pl.col("n_events").sum(),
+                value_sum=pl.col("cents").sum(),
+            )
+            .sort("window_start")
+        )
+
+    return _scale_cols(partial_final_agg(ds, partial, final),
+                       {"value_sum": 100})
+
+
+def q_quantiles(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles (median / p95) per group — distributed
+    ``groupby(key).map_groups`` with in-group element selection at index
+    ``ceil(q*n)-1`` (DuckDB quantile_disc semantics, verified empirically),
+    so engine and oracle agree bit-for-bit (A5 offline-eval shape)."""
+    import math
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def quant(group: pa.Table) -> pa.Table:
+        v = pc.cast(group["value"], pa.float64()).to_numpy(
+            zero_copy_only=False
+        ).copy()
+        v.sort()
+        n = len(v)
+
+        def disc(q: float) -> float:
+            return float(v[max(0, math.ceil(q * n) - 1)])
+
+        return pa.table(
+            {
+                "event_type": [group["event_type"][0].as_py()],
+                "n_rows": pa.array([n], pa.int64()),
+                "median_value": pa.array([disc(0.5)], pa.float64()),
+                "p95_value": pa.array([disc(0.95)], pa.float64()),
+            }
+        )
+
+    out = ds.groupby("event_type").map_groups(quant, batch_format="pyarrow")
+    return _sorted(_concat(out), "event_type")
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,7 @@
 """Host splitting, bin-packing, multimodal stages, seeded shuffle."""
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 import pytest
 
@@ -107,3 +108,74 @@ def test_seeded_shuffle_deterministic(ray_session, sf_small):
     assert a.equals(b)
     ids = a["doc_id"].to_pylist()
     assert ids != sorted(ids)  # actually shuffled
+
+
+def test_video_frame_sampler(ray_session):
+    import ray
+
+    from spider_ray.functions.multimodal import (
+        VideoFrameSampler,
+        sample_video_frames,
+    )
+
+    rows = [
+        {
+            "video_id": f"v{i}",
+            "bytes": bytes([i] * (2000 + i)),
+            "fps": 25.0,
+            "n_frames": 95 + i,
+        }
+        for i in range(4)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = pa.concat_tables(
+        ray.get(
+            sample_video_frames(ds, every_n=10, concurrency=2, batch_size=2)
+            .to_arrow_refs()
+        )
+    )
+    # v0: frames 0,10,...,90 -> 10 rows; v3: 98 frames -> still 10 rows
+    assert out.num_rows == 4 * 10
+    per = pl.from_arrow(out).group_by("video_id").agg(pl.len())
+    assert set(per["len"].to_list()) == {10}
+    # frame_ts follows fps; features deterministic across runs
+    out2 = pa.concat_tables(
+        ray.get(
+            sample_video_frames(ds, every_n=10, concurrency=2, batch_size=2)
+            .to_arrow_refs()
+        )
+    )
+    key = [("video_id", "ascending"), ("frame_idx", "ascending")]
+    assert out.sort_by(key).equals(out2.sort_by(key))
+    first = out.sort_by(key).slice(0, 2).to_pylist()
+    assert first[0]["frame_idx"] == 0 and first[1]["frame_idx"] == 10
+    assert abs(first[1]["frame_ts_s"] - 0.4) < 1e-6
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(fake=False)(pa.Table.from_pylist(rows[:1]))
+
+
+def test_hll_accuracy_and_merge(ray_session, sf_small):
+    import duckdb
+
+    from spider_ray.functions.sketch import (
+        hll_estimate,
+        hll_from_column,
+        hll_merge,
+        q_approx_distinct,
+    )
+
+    # mergeability: sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly
+    a = np.arange(0, 5000, dtype=np.int64)
+    b = np.arange(2500, 9000, dtype=np.int64)
+    ra, rb = hll_from_column(a, True), hll_from_column(b, True)
+    rull = hll_from_column(np.concatenate([a, b]), True)
+    assert np.array_equal(hll_merge(ra, rb), rull)
+    # accuracy on a known cardinality (9000 distinct), p=12 -> ~1.6% typical
+    est = hll_estimate(rull)
+    assert abs(est - 9000) / 9000 < 0.05
+    # end-to-end over the sf table vs exact
+    approx = q_approx_distinct(sf_small)["n_users_approx"][0].as_py()
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_small}/events.parquet'"
+    ).fetchone()[0]
+    assert abs(approx - exact) / max(exact, 1) < 0.05
