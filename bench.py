@@ -33,6 +33,9 @@ QUERY_NAMES = [
     "region_revenue",
     "latest_record",
     "window_hourly",
+    "sliding_window",
+    "asof_join",
+    "distinct_per_key",
     "union_dedup",
     "exact_dedup",
     "minhash_lsh_pairs",
@@ -65,6 +68,11 @@ def _bench_queries() -> dict[str, float]:
     import __ray_entry__ as E
 
     qs = E.queries()
+    # untimed warm-up: first pipeline otherwise absorbs one-time cluster
+    # costs (worker start, object-store setup), skewing its number
+    import ray as _ray
+
+    _ray.data.range(1000).map_batches(lambda b: b).count()
     out = {}
     for name in QUERY_NAMES:
         t0 = time.time()
