@@ -139,9 +139,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_shuffle": U.q_seeded_shuffle,
         # scheduling ops
         "binpack_customers": B.q_binpack_customers,
-        # sketches (rows-only: approximate by construction; accuracy bound
-        # vs the exact count asserted in tests/test_misc_ops.py)
+        # sketches (approx_distinct rows-only: approximate by construction,
+        # accuracy bound asserted in tests/test_misc_ops.py; heavy_hitters
+        # and bloom_anti_join are sketch-ACCELERATED but exact → SQL-checked)
         "approx_distinct": K.q_approx_distinct,
+        "heavy_hitters": K.q_heavy_hitters,
+        "bloom_anti_join": K.q_bloom_anti_join,
         # crawl engine (rows-only: non-SQL stateful streaming; exact parity
         # vs the single-process oracle is asserted in tests/test_crawl_parity)
         "crawl_order": lambda sf_dir: _crawl_demo()["order"],
@@ -328,6 +331,19 @@ def oracle_sql() -> dict[str, str]:
         "distinct_per_key": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "heavy_hitters": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
+            HAVING count(*) * 200 >= (SELECT count(*) FROM events)
+            ORDER BY user_id
+        """,
+        "bloom_anti_join": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey NOT IN (
+                SELECT l_partkey FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1996-01-01')
+            ORDER BY p_partkey
         """,
         "stratified_sample": """
             -- 10 rows per event_type with the smallest frozen

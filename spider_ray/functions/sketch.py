@@ -21,6 +21,7 @@ import ray
 
 from spider_ray.kernels.hashing import hash64, mix64_int
 from spider_ray.sources.tables import read_table
+from spider_ray.state.bloom import BloomFilter
 
 P = 12
 M = 1 << P  # 4096 registers
@@ -102,6 +103,159 @@ def q_approx_distinct(sf_dir: str) -> pa.Table:
     ds = read_table(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ds, "user_id", is_int=True)
     return pa.table({"n_users_approx": pa.array([int(round(est))], pa.int64())})
+
+
+MG_K = 512  # Misra-Gries counter budget per block summary
+
+
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """EXACT heavy hitters (users with ≥ 1/200 of all events) via the
+    two-pass sketch pattern:
+
+    pass 1 — per-block Misra-Gries-style summary (exact block counts,
+    keys with count ≤ block_n/K dropped): an item absent from EVERY block
+    summary has total count ≤ n/K < n/200, so the merged key union is a
+    guaranteed superset of the true heavy hitters while staying O(K·blocks)
+    small;
+    pass 2 — broadcast the candidate set, exact vectorized count of ONLY
+    candidate keys per block, tiny final combine + threshold filter.
+
+    The result is exact (SQL-oracle-checked), but the shuffle volume is
+    bounded by the candidate count instead of the key cardinality — the
+    scale path for heavy hitters over 10^10 rows."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["user_id"]))
+        n = df.height
+        counts = df.group_by("user_id").agg(pl.len().alias("c"))
+        kept = counts.filter(pl.col("c") * MG_K > n)
+        return pa.table(
+            {
+                "user_id": kept["user_id"].to_arrow(),
+                "c": kept["c"].cast(pl.Int64).to_arrow(),
+                "block_n": pa.array([n] * kept.height, pa.int64()),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    parts = ds.map_batches(summarize, batch_format="pyarrow")
+    tables = ray.get(parts.to_arrow_refs())
+    merged = pa.concat_tables([t for t in tables if t.num_rows],
+                              promote_options="default")
+    import polars as pl
+
+    m = pl.from_arrow(merged)
+    # total n must count every block, including ones whose summary kept no
+    # keys — recover it from per-block block_n would miss empty summaries,
+    # so count the dataset directly (cheap metadata count)
+    n_total = ds.count()
+    candidates = set(m["user_id"].unique().to_list())
+    cand_ref = ray.put(candidates)
+
+    def exact_count(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        cands = ray.get(cand_ref)
+        df = pl.from_arrow(batch.select(["user_id"]))
+        hit = df.filter(pl.col("user_id").is_in(list(cands)))
+        out = hit.group_by("user_id").agg(pl.len().cast(pl.Int64).alias("c"))
+        return out.to_arrow()
+
+    parts2 = ds.map_batches(exact_count, batch_format="pyarrow")
+    t2 = pa.concat_tables(
+        [t for t in ray.get(parts2.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    final = (
+        pl.from_arrow(t2)
+        .group_by("user_id")
+        .agg(n_events=pl.col("c").sum())
+        .filter(pl.col("n_events") * 200 >= n_total)
+        .sort("user_id")
+    )
+    return final.to_arrow()
+
+
+def q_bloom_anti_join(sf_dir: str) -> pa.Table:
+    """Bloom-prefiltered EXACT anti-join: parts with no shipment before
+    1996-01-01.
+
+    The seen side (l_partkey of early shipments, filtered AT THE READ)
+    streams through ``map_batches`` building one mergeable per-block Bloom
+    filter (OR-merged driver-side); the candidate side probes the broadcast
+    filter — bloom-NEGATIVE rows are definitely unseen and pass immediately
+    (no false negatives); bloom-POSITIVE rows (true hits + bounded FPs) go
+    through the exact membership check. At scale the exact pass is a
+    shuffled anti-join over only the shrunk positive set; here the distinct
+    seen keys are small so they're collected directly. Result exact,
+    SQL-oracle-checked (reference semantics: linkbase seen-suppression J3,
+    selector/mr_selector_r1_reducer.cc:54-156)."""
+    seen_ds = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"]
+    )
+    N_BITS, K = 1 << 17, 4
+    CUTOFF = "1996-01-01"
+
+    def early_keys(batch: pa.Table) -> np.ndarray:
+        cut = pa.scalar(CUTOFF).cast(batch.schema.field("l_shipdate").type)
+        mask = pa.compute.less(batch["l_shipdate"], cut)
+        return (
+            batch.filter(mask)["l_partkey"].to_numpy(zero_copy_only=False)
+        )
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        f = BloomFilter(N_BITS, k=K)
+        f.add(mix64_int(early_keys(batch), seed=_HLL_SEED))
+        return pa.table({"bits": pa.array([f.to_bytes()], pa.binary())})
+
+    blooms = ray.get(
+        seen_ds.map_batches(block_bloom, batch_format="pyarrow").to_arrow_refs()
+    )
+    merged = BloomFilter(N_BITS, k=K)
+    for t in blooms:
+        for b in t["bits"]:
+            merged.merge(BloomFilter.from_bytes(b.as_py(), k=K))
+    bloom_ref = ray.put(merged.to_bytes())
+    # exact seen set for the positive-verify pass (distinct keys, small here;
+    # at scale: shuffled anti-join over bloom-positive rows only)
+    def block_exact(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": pa.array(np.unique(early_keys(batch)), pa.int64())}
+        )
+
+    exact_seen = set(
+        pa.concat_tables(
+            ray.get(
+                seen_ds.map_batches(
+                    block_exact, batch_format="pyarrow"
+                ).to_arrow_refs()
+            ),
+            promote_options="default",
+        )["k"].to_pylist()
+    )
+    seen_ref = ray.put(exact_seen)
+
+    cand = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        f = BloomFilter.from_bytes(ray.get(bloom_ref), k=K)
+        keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        maybe = f.contains(mix64_int(keys, seed=_HLL_SEED))
+        seen = ray.get(seen_ref)
+        verify = np.array(
+            [k in seen for k in keys[maybe]], dtype=bool
+        )
+        keep = ~maybe
+        keep[np.flatnonzero(maybe)[~verify]] = True  # bloom FPs survive
+        return batch.filter(pa.array(keep))
+
+    out = pa.concat_tables(
+        ray.get(cand.map_batches(anti, batch_format="pyarrow").to_arrow_refs()),
+        promote_options="default",
+    )
+    return out.sort_by("p_partkey")
 
 
 from spider_ray._serial import register_all as _register_all  # noqa: E402

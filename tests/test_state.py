@@ -193,3 +193,31 @@ def test_policies():
     assert is_fetchable(2, "own") is False
     assert is_fetchable(0, "rush") is True
     assert is_fetchable(1, "own") is True
+
+
+def test_bloom_filter_contract():
+    import numpy as np
+
+    from spider_ray.kernels.hashing import mix64_int
+    from spider_ray.state.bloom import BloomFilter
+
+    keys = np.arange(0, 20000, dtype=np.int64)
+    h = mix64_int(keys, seed=1)
+    f = BloomFilter.for_capacity(20000, fp_rate=0.01)
+    f.add(h)
+    # no false negatives, ever
+    assert f.contains(h).all()
+    # false-positive rate near spec on disjoint probes
+    probe = mix64_int(np.arange(100000, 200000, dtype=np.int64), seed=1)
+    fp = f.contains(probe).mean()
+    assert fp < 0.03, fp
+    # OR-merge == build-on-union, bit-exact
+    a, b = (
+        BloomFilter(f.n_bits, k=f.k),
+        BloomFilter(f.n_bits, k=f.k),
+    )
+    a.add(h[:10000]); b.add(h[10000:])
+    assert np.array_equal(a.merge(b).bits, f.bits)
+    # serialization round-trip
+    r = BloomFilter.from_bytes(f.to_bytes(), k=f.k)
+    assert np.array_equal(r.bits, f.bits)
