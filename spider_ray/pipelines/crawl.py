@@ -32,6 +32,7 @@ import os
 import pickle
 
 import numpy as np
+import polars as pl
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -260,6 +261,16 @@ def _chunks(t: pa.Table, rows_per_chunk: int) -> list[pa.Table]:
     ]
 
 
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("depth", pa.int16()),
+        ("tried", pa.int16()),
+        ("priority", pa.int16()),
+        ("referer", pa.string()),
+    ]
+)
+
 SORT_KEYS = [("fetch_ts", "ascending"), ("priority", "ascending"),
              ("gen", "ascending"), ("seq", "ascending"), ("host", "ascending")]
 DS_SORT_THRESHOLD = 200_000  # permits above this use a distributed ds.sort
@@ -401,26 +412,32 @@ def run_crawl(
         pq.write_table(status_t, os.path.join(gen_dir, "status.parquet"))
 
         # 4b. image sink: first-wins dedup on REFS via shard actors, then
-        # decode/recompress/phash only the kept refs in the fetch pool
-        img_refs: list[dict] = []
-        for imgs in fetched["images"].to_pylist():
-            for im in imgs or []:
-                img_refs.append(im)
+        # decode/recompress/phash only the kept refs in the fetch pool.
+        # Vectorized explode keeps the parity seam: refs appear in global
+        # crawl order, in-page order; per-shard index lists stay increasing
+        # (np.flatnonzero), so each shard's admit order is unchanged.
+        refs_df = (
+            pl.from_arrow(fetched.select(["images"]))
+            .explode("images")
+            .drop_nulls("images")
+            .unnest("images")
+        )
         kept_refs: list[dict] = []
-        if img_refs:
-            ih = hash64([r["image_id"] for r in img_refs])
-            by_shard: dict[int, list[int]] = {}
-            for i, h in enumerate(ih):
-                by_shard.setdefault(int(h) % num_shards, []).append(i)
-            futs = {
-                s: actors[s].admit_images.remote([int(ih[i]) for i in idxs])
-                for s, idxs in by_shard.items()
-            }
-            keep = np.zeros(len(img_refs), dtype=bool)
-            for s, idxs in by_shard.items():
-                for i, m in zip(idxs, ray.get(futs[s])):
-                    keep[i] = m
-            kept_refs = [r for i, r in enumerate(img_refs) if keep[i]]
+        if refs_df.height:
+            ih = hash64(refs_df["image_id"].to_arrow())
+            shard_of = (ih % np.uint64(num_shards)).astype(np.int64)
+            futs, idx_by_shard = {}, {}
+            for s in range(num_shards):
+                idxs = np.flatnonzero(shard_of == s)
+                if len(idxs):
+                    idx_by_shard[s] = idxs
+                    futs[s] = actors[s].admit_images.remote(
+                        [int(h) for h in ih[idxs]]
+                    )
+            keep = np.zeros(refs_df.height, dtype=bool)
+            for s, idxs in idx_by_shard.items():
+                keep[idxs] = ray.get(futs[s])
+            kept_refs = refs_df.filter(pl.Series(keep)).to_dicts()
         if kept_refs:
             pfuts = [
                 fetch_pool[i % len(fetch_pool)].process_refs.remote(chunk, gen)
@@ -433,43 +450,35 @@ def run_crawl(
             images_t = pa.Table.from_pylist([], schema=IMAGE_SCHEMA)
         pq.write_table(images_t, os.path.join(gen_dir, "images.parquet"))
 
-        # 4c. next-gen candidates: retries (crawl order) then outlinks
-        next_rows: list[dict] = []
-        for r in fetched.to_pylist():
-            if r["retry"]:
-                next_rows.append(
-                    {
-                        "url": r["url"],
-                        "depth": r["depth"],
-                        "tried": r["tried"] + 1,
-                        "priority": r["priority"],
-                        "referer": r["referer"],
-                    }
-                )
-        for r in fetched.to_pylist():
-            for o in r["outlinks"] or []:
-                next_rows.append(
-                    {
-                        "url": o["url"],
-                        "depth": o["depth"],
-                        "tried": 0,
-                        "priority": None,
-                        "referer": r["effective_url"],
-                    }
-                )
-        candidates = _with_seq(
-            pa.Table.from_pylist(
-                next_rows,
-                schema=pa.schema(
-                    [
-                        ("url", pa.string()),
-                        ("depth", pa.int16()),
-                        ("tried", pa.int16()),
-                        ("priority", pa.int16()),
-                        ("referer", pa.string()),
-                    ]
-                ),
+        # 4c. next-gen candidates: retries (crawl order) then outlinks —
+        # vectorized; polars filter/explode preserve row order and in-list
+        # order, so the candidate sequence (the seq-assignment seam) is
+        # byte-identical to the per-row construction
+        fdf = pl.from_arrow(fetched)
+        retries_df = fdf.filter(pl.col("retry")).select(
+            pl.col("url"),
+            pl.col("depth").cast(pl.Int16),
+            (pl.col("tried") + 1).cast(pl.Int16).alias("tried"),
+            pl.col("priority").cast(pl.Int16),
+            pl.col("referer"),
+        )
+        outlinks_df = (
+            fdf.select(pl.col("effective_url"), pl.col("outlinks"))
+            .explode("outlinks")
+            .drop_nulls("outlinks")
+            .unnest("outlinks")
+            .select(
+                pl.col("url"),
+                pl.col("depth").cast(pl.Int16),
+                pl.lit(0, dtype=pl.Int16).alias("tried"),
+                pl.lit(None, dtype=pl.Int16).alias("priority"),
+                pl.col("effective_url").alias("referer"),
             )
+        )
+        candidates = _with_seq(
+            pl.concat([retries_df, outlinks_df])
+            .to_arrow()
+            .cast(CANDIDATE_SCHEMA)
         )
         pq.write_table(
             candidates, os.path.join(gen_dir, "next_candidates.parquet")
