@@ -276,6 +276,24 @@ SORT_KEYS = [("fetch_ts", "ascending"), ("priority", "ascending"),
 DS_SORT_THRESHOLD = 200_000  # permits above this use a distributed ds.sort
 
 
+def _sort_wave(fetched: pa.Table) -> pa.Table:
+    """Global crawl-order sort of one wave. Small waves sort driver-side
+    (arrow kernel); waves past ``DS_SORT_THRESHOLD`` go through a
+    distributed ``ray.data`` range-partitioned sort and come back as
+    globally-ordered blocks. SORT_KEYS is a total order ((gen, seq) is
+    unique), so both paths produce the identical table — asserted by
+    tests/test_crawl_parity.py::test_distributed_sort_path_identical."""
+    if fetched.num_rows <= DS_SORT_THRESHOLD:
+        return fetched.sort_by(SORT_KEYS)
+    ds = ray.data.from_arrow(_chunks(fetched, 65536))
+    parts = ray.get(
+        ds.sort([k for k, _ in SORT_KEYS]).to_arrow_refs()
+    )
+    return pa.concat_tables(
+        [p for p in parts if p.num_rows], promote_options="default"
+    ).combine_chunks()
+
+
 def run_crawl(
     corpus_dir: str,
     out_dir: str,
@@ -404,7 +422,7 @@ def run_crawl(
             if parts
             else pa.Table.from_pylist([], schema=PERMIT_SCHEMA)
         )
-        fetched = fetched.sort_by(SORT_KEYS)
+        fetched = _sort_wave(fetched)
         total_fetched += fetched.num_rows
 
         # 4a. status sink

@@ -147,3 +147,24 @@ def test_resume_no_refetch(corpus, oracle_out, ray_session):
         )
     seen = pq.read_table(os.path.join(out2, "seen.parquet")).to_pylist()
     assert seen == oracle_out["seen"]
+
+
+def test_distributed_sort_path_identical(corpus, oracle_out, ray_session, monkeypatch):
+    """Force every wave through the distributed ds.sort path (threshold 1)
+    and require byte-identical outputs to the oracle — proving the scale
+    path and the small-wave path implement the same ordering contract."""
+    import spider_ray.pipelines.crawl as C
+
+    monkeypatch.setattr(C, "DS_SORT_THRESHOLD", 1)
+    out = "/tmp/spider_ray_test_dsort"
+    shutil.rmtree(out, ignore_errors=True)
+    C.run_crawl(corpus, out, num_shards=2, fetch_concurrency=2)
+    eng = _engine_rows(out, "status.parquet")
+    gold = oracle_out["crawl_order"]
+    assert len(eng) == len(gold)
+    for e, g in zip(eng, gold):
+        assert (e["url"], e["fetch_ts"], e["gen"], e["seq"]) == (
+            g["url"], g["fetch_ts"], g["gen"], g["seq"]
+        )
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert seen == oracle_out["seen"]
