@@ -303,6 +303,7 @@ def run_crawl(
     fetch_concurrency: int = 4,
     resume: bool = False,
     seen_capacity: int = 1 << 18,
+    hot_hosts: tuple[str, ...] = (),
 ) -> dict:
     """Run (or resume) the crawl; writes per-gen parquet sinks under
     ``out_dir`` and returns summary paths + counters."""
@@ -365,7 +366,9 @@ def run_crawl(
 
         def _norm(batch: pa.Table, g=gen) -> pa.Table:
             rob = ray.get(robots_ref)
-            out, _m = normalize_batch(batch, rob, num_shards, g)
+            out, _m = normalize_batch(
+                batch, rob, num_shards, g, hot_hosts=hot_hosts
+            )
             return out
 
         norm_ds = cand_ds.map_batches(_norm, batch_format="pyarrow")

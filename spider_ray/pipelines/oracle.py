@@ -60,6 +60,7 @@ def run_oracle(
     num_shards: int = 4,
     max_gens: int = MAX_GENS,
     options: LoadOptions | None = None,
+    hot_hosts: tuple[str, ...] = (),
 ) -> dict:
     c = load_corpus(corpus_dir)
     index = WebIndex(c["pages"], c["images"])
@@ -88,7 +89,9 @@ def run_oracle(
     for gen in range(max_gens):
         if candidates.num_rows == 0:
             break
-        norm, m = normalize_batch(candidates, c["robots"], num_shards, gen)
+        norm, m = normalize_batch(
+            candidates, c["robots"], num_shards, gen, hot_hosts=hot_hosts
+        )
         rows = norm.to_pylist()
         by_shard: dict[int, list[dict]] = {}
         for r in rows:

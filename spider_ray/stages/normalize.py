@@ -47,6 +47,35 @@ def priority_band(scores: np.ndarray, url_hashes: np.ndarray) -> np.ndarray:
     return out
 
 
+def shard_of(
+    host_hashes: np.ndarray,
+    hosts: list[str],
+    num_shards: int,
+    hot_hosts: tuple[str, ...] = (),
+) -> np.ndarray:
+    """Shard assignment with the hot-host isolation valve (north rule:
+    "explicit salting of hot hosts"; reference valves: big_family_host.txt
+    robots scatter, data_prepare.cc:86-96,127-137, and the 100k-URL hot-IP
+    diversion, ip_url_split.cc:21,85-97). Each configured hot host owns a
+    DEDICATED shard at the top of the range — its politeness budget stays on
+    exactly ONE actor (the budget owner is never salted, SURVEY §4) while
+    its queue no longer competes with hash-assigned hosts. Shared by engine
+    and oracle, so the assignment is a parity seam, not a divergence."""
+    n_hot = len(hot_hosts)
+    n_reg = num_shards - n_hot
+    if n_hot == 0:
+        return (host_hashes % np.uint64(num_shards)).astype(np.int32)
+    if n_reg <= 0:
+        raise ValueError("num_shards must exceed len(hot_hosts)")
+    shard = (host_hashes % np.uint64(n_reg)).astype(np.int32)
+    hot_idx = {h: n_reg + i for i, h in enumerate(hot_hosts)}
+    for i, h in enumerate(hosts):
+        s = hot_idx.get(h)
+        if s is not None:
+            shard[i] = s
+    return shard
+
+
 def normalize_batch(
     batch: pa.Table,
     robots_groups: dict[str, dict],
@@ -54,6 +83,7 @@ def normalize_batch(
     gen: int,
     seq_offset: int = 0,
     blacklist: frozenset[str] = frozenset(),
+    hot_hosts: tuple[str, ...] = (),
 ) -> tuple[pa.Table, dict[str, int]]:
     """Returns (accepted table, metric counts). ``seq_offset`` gives this
     batch's first arrival-sequence number (caller guarantees global
@@ -120,7 +150,7 @@ def normalize_batch(
         [p if p is not None else int(b) for p, b in zip(rows["priority"], bands)],
         dtype=np.int16,
     )
-    shard = (hh % np.uint64(num_shards)).astype(np.int32)
+    shard = shard_of(hh, rows["host"], num_shards, hot_hosts)
     out = pa.table(
         {
             "url": pa.array(rows["url"], pa.string()),

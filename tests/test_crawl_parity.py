@@ -168,3 +168,41 @@ def test_distributed_sort_path_identical(corpus, oracle_out, ray_session, monkey
         )
     seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
     assert seen == oracle_out["seen"]
+
+
+def test_hot_host_isolation_parity(corpus, ray_session):
+    """Hot-host valve: the corpus's hottest host gets a dedicated shard;
+    engine and oracle share the assignment kernel, so crawl order and seen
+    set must STILL match exactly — and the hot host must never appear on a
+    regular shard."""
+    import collections
+
+    import pyarrow.parquet as _pq
+
+    from spider_ray.kernels.hashing import hash64
+    from spider_ray.pipelines.crawl import run_crawl
+    from spider_ray.stages.normalize import shard_of
+
+    graph = _pq.read_table(os.path.join(CORPUS, "web_graph.parquet"))
+    hosts = [u.split("/")[2] for u in graph["url"].to_pylist()]
+    hot = collections.Counter(hosts).most_common(1)[0][0]
+
+    # assignment kernel: hot host isolated, others spread over shards 0-1
+    hh = hash64(hosts)
+    sh = shard_of(hh, hosts, 3, hot_hosts=(hot,))
+    for h, s in zip(hosts, sh):
+        assert (s == 2) == (h == hot)
+
+    out = "/tmp/spider_ray_test_hothost"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(corpus, out, num_shards=3, fetch_concurrency=2,
+              hot_hosts=(hot,))
+    gold = run_oracle(corpus, num_shards=3, hot_hosts=(hot,))
+    eng = _engine_rows(out, "status.parquet")
+    assert len(eng) == len(gold["crawl_order"])
+    for e, g in zip(eng, gold["crawl_order"]):
+        assert (e["url"], e["fetch_ts"], e["gen"], e["seq"]) == (
+            g["url"], g["fetch_ts"], g["gen"], g["seq"]
+        )
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert seen == gold["seen"]
