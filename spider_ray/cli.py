@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-gens", type=int, default=8)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--num-cpus", type=int, default=None)
+    c.add_argument(
+        "--hot-hosts", default="",
+        help="comma-separated hosts that get dedicated scheduler shards "
+             "(the big_family_host.txt analog)",
+    )
 
     o = sub.add_parser("oracle", help="run the single-process golden crawler")
     o.add_argument("--corpus", required=True)
@@ -87,6 +92,9 @@ def main(argv: list[str] | None = None) -> int:
         fetch_concurrency=args.fetch_concurrency,
         max_gens=args.max_gens,
         resume=args.resume,
+        hot_hosts=tuple(
+            h.strip() for h in args.hot_hosts.split(",") if h.strip()
+        ),
     )
     print(json.dumps(res))
     ray.shutdown()
