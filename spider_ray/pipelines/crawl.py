@@ -232,7 +232,16 @@ class _FetchActorImpl(FetchWorker):
         return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
 
 
-FetchActorCls = ray.remote(_FetchActorImpl)
+# Fetch actors are deterministic and stateless across calls (the WebIndex
+# is rebuilt in __init__), so Ray may transparently restart one that dies
+# and retry its in-flight batch — fetch-sim results are pure functions of
+# the permit row. ShardActor deliberately has NO restarts: its scheduler
+# state is only valid as of the last per-gen checkpoint, so a mid-wave
+# death must fail the run loudly and be recovered via run_crawl(resume=True)
+# from the last _DONE generation (never silently with empty state).
+FetchActorCls = ray.remote(max_restarts=2, max_task_retries=2)(
+    _FetchActorImpl
+)
 
 
 def _seeds_candidates(seeds: pa.Table) -> pa.Table:

@@ -206,3 +206,39 @@ def test_hot_host_isolation_parity(corpus, ray_session):
         )
     seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
     assert seen == gold["seen"]
+
+
+def test_fetch_actor_survives_kill(corpus, ray_session):
+    """Fetch actors are restartable (stateless, deterministic): killing one
+    mid-stream must not change results — Ray restarts it and retries the
+    in-flight batch."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from spider_ray.pipelines.crawl import FetchActorCls
+    from spider_ray.pipelines.oracle import load_corpus
+    from spider_ray.kernels.hashing import hash64
+
+    c = load_corpus(corpus)
+    url = next(iter(c["pages"]))
+    host = url.split("/")[2]
+    permit = pa.table(
+        {
+            "fetch_ts": pa.array([0], pa.int64()),
+            "url": pa.array([url], pa.string()),
+            "url_hash": pa.array(hash64([url]), pa.uint64()),
+            "host": pa.array([host], pa.string()),
+            "priority": pa.array([5], pa.int16()),
+            "gen": pa.array([0], pa.int32()),
+            "seq": pa.array([0], pa.int64()),
+            "depth": pa.array([0], pa.int16()),
+            "tried": pa.array([0], pa.int16()),
+            "referer": pa.array([""], pa.string()),
+        }
+    )
+    a = FetchActorCls.remote(corpus)
+    before = _ray.get(a.fetch_batch.remote(permit))
+    _ray.kill(a, no_restart=False)
+    after = _ray.get(a.fetch_batch.remote(permit))  # restarted actor
+    assert before.equals(after)
+    _ray.kill(a)
