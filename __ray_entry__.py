@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": R.q_sessionize,
         "topn_per_group": R.q_topn_per_group,
         "distinct_per_key": R.q_distinct_per_key,
+        "rollup": R.q_rollup,
         "stratified_sample": R.q_stratified_sample,
         "quantiles": R.q_quantiles,
         # dedup suite (SURVEY §2.7 + training-data ops)
@@ -331,6 +332,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_per_key": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "rollup": """
+            SELECT n_name, s_name, count(*) AS n_items,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       / CAST(100 AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY ROLLUP(n_name, s_name)
+            ORDER BY n_name NULLS LAST, s_name NULLS LAST
         """,
         "heavy_hitters": """
             SELECT user_id, count(*) AS n_events

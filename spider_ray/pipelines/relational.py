@@ -654,6 +654,49 @@ def q_topn_per_group(sf_dir: str) -> pa.Table:
     return _sorted(_concat(out), ["o_custkey", "rn"])
 
 
+def q_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP aggregate — revenue per (nation, supplier) with nation
+    subtotals and a grand total. The detail level is a partial/final
+    aggregate over one broadcast-joined pass; the higher rollup levels are
+    derived from the detail PARTIALS (re-aggregation of a tiny table), so
+    the raw data is scanned exactly once no matter how many levels roll up
+    (the reference's host_stat / ip_host_url_stat report family,
+    control/schedule/host_stat.cc)."""
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"])
+    supp = read_small(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j = broadcast_join(li, supp, keys="l_suppkey", right_keys="s_suppkey")
+    j = broadcast_join(j, nation, keys="s_nationkey", right_keys="n_nationkey")
+
+    def partial(lf):
+        return lf.group_by("n_name", "s_name").agg(
+            n_items=pl.len(), cents=_cents("l_extendedprice").sum()
+        )
+
+    cols = ["n_name", "s_name", "n_items", "revenue"]
+
+    def final(lf):
+        detail = lf.group_by("n_name", "s_name").agg(
+            n_items=pl.col("n_items").sum(), revenue=pl.col("cents").sum()
+        )
+        nat = detail.group_by("n_name").agg(
+            n_items=pl.col("n_items").sum(), revenue=pl.col("revenue").sum()
+        ).with_columns(s_name=pl.lit(None, dtype=pl.Utf8))
+        tot = detail.select(
+            n_items=pl.col("n_items").sum(), revenue=pl.col("revenue").sum()
+        ).with_columns(
+            n_name=pl.lit(None, dtype=pl.Utf8),
+            s_name=pl.lit(None, dtype=pl.Utf8),
+        )
+        return pl.concat(
+            [detail.select(cols), nat.select(cols), tot.select(cols)]
+        ).sort(["n_name", "s_name"], nulls_last=True)
+
+    return _scale_cols(partial_final_agg(j, partial, final), {"revenue": 100})
+
+
 def q_distinct_per_key(sf_dir: str) -> pa.Table:
     """Exact distinct count per group with per-block pre-dedup — the shuffle
     moves only unique (type, user) pairs, not raw rows (the reference's
