@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,
         "simhash_pairs": D.q_simhash_pairs,
         "embedding_neardup": D.q_embedding_neardup,
+        "dup_clusters": D.q_dup_clusters,
         # text analysis
         "token_stats": T.q_token_stats,
         "bpe_token_count": T.q_bpe_token_count,
@@ -411,6 +412,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
         "minhash_lsh_pairs": _NGRAM_PAIRS_SQL,
+        "dup_clusters": f"""
+            -- connected components of the verified near-dup pair graph:
+            -- transitive closure by recursive CTE, rep = component minimum
+            WITH RECURSIVE p AS ({_NGRAM_PAIRS_SQL}),
+            edges AS (
+                SELECT a_id AS u, b_id AS v FROM p
+                UNION ALL SELECT b_id, a_id FROM p),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE r.u != e.v),
+            reps AS (
+                SELECT u, least(u, min(v)) AS rep FROM reach GROUP BY u)
+            SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep
+            FROM documents d LEFT JOIN reps r ON d.doc_id = r.u
+            ORDER BY d.doc_id
+        """,
         "embedding_neardup": """
             SELECT a_id, b_id, cosine FROM (
                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -265,6 +265,56 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     return _sorted(t, ["a_id", "b_id"])
 
 
+
+def q_dup_clusters(sf_dir: str) -> pa.Table:
+    """Duplicate-cluster resolution — the "keep one document per near-dup
+    cluster" step of a training-data pipeline: connected components over
+    the verified Jaccard-pair graph, each doc labeled with its component's
+    minimum doc_id (singletons label themselves).
+
+    Scale shape: the pair set is tiny relative to the corpus (near-dup
+    graphs are sparse), so union-find over pairs runs driver-side and the
+    doc→rep map broadcasts into a ``map_batches`` labeling pass over the
+    full corpus — the same small-side-broadcast discipline as J1. The
+    DuckDB oracle recomputes components with a recursive CTE."""
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["a_id"].to_pylist(), pairs["b_id"].to_pylist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rep = {x: find(x) for x in list(parent)}
+    rep_ref = ray.put(rep)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(rep_ref)
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_rep": pa.array(
+                    [m.get(i, i) for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    return _sorted(_concat(docs.map_batches(label, batch_format="pyarrow")),
+                   "doc_id")
+
+
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
