@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": R.q_sliding_window,
         "sessionize": R.q_sessionize,
         "topn_per_group": R.q_topn_per_group,
+        "running_total": R.q_running_total,
         "distinct_per_key": R.q_distinct_per_key,
         "rollup": R.q_rollup,
         "stratified_sample": R.q_stratified_sample,
@@ -333,6 +334,16 @@ def oracle_sql() -> dict[str, str]:
         "distinct_per_key": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "running_total": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING)
+                       / CAST(100 AS DOUBLE) AS running_total
+            FROM orders
+            ORDER BY o_custkey, o_orderdate, o_orderkey
         """,
         "rollup": """
             SELECT n_name, s_name, count(*) AS n_items,

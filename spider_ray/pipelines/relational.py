@@ -633,6 +633,33 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     return _sorted(_concat(out), "user_id")
 
 
+def q_running_total(sf_dir: str) -> pa.Table:
+    """Cumulative revenue per customer in order-date order — the running
+    window aggregate, as a distributed ``groupby(key).map_groups`` with a
+    vectorized in-group cumsum (per-key windows never cross partition
+    boundaries, so no global sort is needed)."""
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def running(group: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(group)
+            .sort(["o_orderdate", "o_orderkey"])
+            .with_columns(cents=_cents("o_totalprice"))
+            .with_columns(running_total=pl.col("cents").cum_sum())
+            .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
+        )
+        return df.to_arrow()
+
+    out = ds.groupby("o_custkey").map_groups(running, batch_format="pyarrow")
+    return _scale_cols(
+        _sorted(_concat(out), ["o_custkey", "o_orderdate", "o_orderkey"]),
+        {"running_total": 100},
+    )
+
+
 def q_topn_per_group(sf_dir: str) -> pa.Table:
     """Top-3 orders per customer — per-key window rank via distributed
     ``groupby(key).map_groups`` (A5 top-N evaluation shape)."""
