@@ -206,16 +206,45 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
 
     sigs_t = _concat(ds.map_batches(sig_batch, batch_format="pyarrow"))
     sig_map = dict(zip(sigs_t["doc_id"].to_pylist(), sigs_t["simhash"].to_pylist()))
-    # banded candidates (driver-side here; gb(band_key) at scale)
-    from collections import defaultdict
 
-    buckets: dict[int, list[int]] = defaultdict(list)
-    for did, sig in sig_map.items():
-        for bk in tk.simhash_bands(sig):
-            buckets[bk].append(did)
+    # distributed band groupby: explode (band, doc_id) pairs per block,
+    # partial per-block bucket lists, tiny final merge — the same
+    # shingle-bucket cogroup shape as q_ngram_jaccard_pairs; signatures
+    # (8 B/doc) broadcast for the verify step (at 10^10 docs the verify
+    # joins signatures back by doc_id instead)
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids, bands = [], []
+        for did, sig in zip(
+            batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()
+        ):
+            for bk in tk.simhash_bands(int(sig)):
+                ids.append(did)
+                bands.append(bk)
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.uint64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    exploded = ray.data.from_arrow(sigs_t).map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
+
+    def partial(lf: pl.LazyFrame) -> pl.LazyFrame:
+        return lf.group_by("band").agg(doc_ids=pl.col("doc_id").unique().sort())
+
+    def final(lf: pl.LazyFrame) -> pl.LazyFrame:
+        return lf.group_by("band").agg(
+            doc_ids=pl.col("doc_ids")
+            .list.explode(keep_nulls=False, empty_as_null=False)
+            .unique()
+            .sort()
+        )
+
+    buckets_t = partial_final_agg(exploded, partial, final)
     cand = set()
-    for ids in buckets.values():
-        ids = sorted(ids)
+    for ids in buckets_t["doc_ids"].to_pylist():
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 cand.add((ids[i], ids[j]))
