@@ -414,8 +414,8 @@ def run_crawl(
             pass
 
         # 3. schedule each shard's wave (politeness DES in the actors), then
-        # merge permits in the global crawl-order sort. Driver-side arrow
-        # sort here; at 10^10 scale this becomes ds.sort over permit blocks.
+        # merge permits in the global crawl-order sort (_sort_wave: arrow
+        # kernel for small waves, distributed ds.sort past the threshold).
         wave_res = ray.get(
             [a.schedule_wave.remote(wave_start) for a in actors]
         )
