@@ -139,12 +139,32 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
         return merged
 
     buckets = partial_final_agg(exploded, partial, final)
-    cand: set[tuple[int, int]] = set()
+    # bucket-count verify: each bucket key IS one distinct shingle, so
+    # |A∩B| = number of buckets containing both docs and |A| = number of
+    # buckets containing A — jaccard falls out of counting alone, with no
+    # per-pair set intersection (identical arithmetic to the SQL oracle:
+    # inter / (|A| + |B| - inter))
+    from collections import Counter
+
+    inter: Counter = Counter()
+    sizes: Counter = Counter()
     for ids in buckets["doc_ids"].to_pylist():
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cand.add((ids[i], ids[j]))
-    return _verify_pairs(cand, _shingle_map(sf_dir), JACCARD_TAU)
+        for i, a in enumerate(ids):
+            sizes[a] += 1
+            for b in ids[i + 1:]:
+                inter[(a, b)] += 1
+    rows = sorted(
+        (a, b, c / (sizes[a] + sizes[b] - c))
+        for (a, b), c in inter.items()
+        if c / (sizes[a] + sizes[b] - c) >= JACCARD_TAU
+    )
+    return pa.table(
+        {
+            "a_id": pa.array([r[0] for r in rows], pa.int64()),
+            "b_id": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
 
 
 def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
