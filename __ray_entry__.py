@@ -521,6 +521,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 _NGRAM_PAIRS_SQL = r"""
+    -- shingle self-join form: |A∩B| = shared distinct shingles, |A∪B| =
+    -- |A| + |B| - |A∩B| — identical doubles to the list_intersect form but
+    -- without the O(n^2) all-pairs scan
     WITH toks AS (
         SELECT doc_id, regexp_extract_all(text, '\S+') ws FROM documents),
     sh AS (
@@ -528,11 +531,17 @@ _NGRAM_PAIRS_SQL = r"""
             range(1, greatest(len(ws) - 1, 1)),
             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) g
         FROM toks),
-    pairs AS (
-        SELECT a.doc_id a_id, b.doc_id b_id,
-               len(list_intersect(a.g, b.g))::DOUBLE
-                   / nullif(len(list_distinct(list_concat(a.g, b.g))), 0) jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-    SELECT a_id, b_id, jaccard FROM pairs
-    WHERE jaccard >= 0.5 ORDER BY a_id, b_id
+    e AS (SELECT doc_id, unnest(g) s FROM sh),
+    sizes AS (SELECT doc_id, count(*) n FROM e GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT a_id, b_id,
+           c::DOUBLE / (sa.n + sb.n - c) jaccard
+    FROM inter
+    JOIN sizes sa ON a_id = sa.doc_id
+    JOIN sizes sb ON b_id = sb.doc_id
+    WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+    ORDER BY a_id, b_id
 """
