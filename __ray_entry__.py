@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": D.q_simhash_pairs,
         "embedding_neardup": D.q_embedding_neardup,
         "dup_clusters": D.q_dup_clusters,
+        "corpus_curate": D.q_corpus_curate,
         # text analysis
         "token_stats": T.q_token_stats,
         "bpe_token_count": T.q_bpe_token_count,
@@ -449,6 +450,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cosine >= 0.95 ORDER BY a_id, b_id
         """,
+        "corpus_curate": r"""
+            -- composed curation: keep each near-dup cluster's representative
+            -- doc, then quality-gate (tokens >= 30, punct ratio <= 0.05)
+            WITH RECURSIVE p AS ({_NGRAM}),
+            edges AS (
+                SELECT a_id AS u, b_id AS v FROM p
+                UNION ALL SELECT b_id, a_id FROM p),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE r.u != e.v),
+            reps AS (
+                SELECT u, least(u, min(v)) AS rep FROM reach GROUP BY u),
+            q AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                       len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE
+                           / length(text) AS punct_ratio
+                FROM documents)
+            SELECT q.doc_id, q.n_tokens, q.punct_ratio
+            FROM q LEFT JOIN reps r ON q.doc_id = r.u
+            WHERE coalesce(r.rep, q.doc_id) = q.doc_id
+              AND q.n_tokens >= 30 AND q.punct_ratio <= 0.05
+            ORDER BY q.doc_id
+        """.replace("{_NGRAM}", _NGRAM_PAIRS_SQL),
         "token_stats": r"""
             SELECT lang, count(*) AS n_docs,
                    sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,

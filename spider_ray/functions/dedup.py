@@ -364,6 +364,51 @@ def q_dup_clusters(sf_dir: str) -> pa.Table:
                    "doc_id")
 
 
+def q_corpus_curate(sf_dir: str) -> pa.Table:
+    """Composed corpus-curation pipeline — the training-data flow end to
+    end: near-dup cluster resolution (keep only each cluster's
+    representative) + quality gating (min token count, max punctuation
+    ratio), in ONE distributed pass over the documents: the sparse
+    drop-set from the pair graph broadcasts into the same ``map_batches``
+    that computes the vectorized quality columns. Fully SQL-oracle-checked
+    (recursive-CTE components + the same quality expressions)."""
+    clusters = q_dup_clusters(sf_dir)
+    drop = {
+        d
+        for d, r in zip(
+            clusters["doc_id"].to_pylist(), clusters["cluster_rep"].to_pylist()
+        )
+        if d != r
+    }
+    drop_ref = ray.put(drop)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def curate(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(drop_ref)
+        lf = (
+            pl.from_arrow(batch)
+            .with_columns(
+                n_chars=pl.col("text").str.len_chars().cast(pl.Int64),
+                n_tokens=pl.col("text").str.count_matches(r"\S+").cast(pl.Int64),
+                n_punct=pl.col("text")
+                .str.count_matches(r"[!-/:-@\[-`{-~]")
+                .cast(pl.Int64),
+            )
+            .with_columns(punct_ratio=pl.col("n_punct") / pl.col("n_chars"))
+        )
+        out = lf.filter(
+            ~pl.col("doc_id").is_in(sorted(dropped))
+            & (pl.col("n_tokens") >= 30)
+            & (pl.col("punct_ratio") <= 0.05)
+        ).select("doc_id", "n_tokens", "punct_ratio")
+        return out.to_arrow()
+
+    return _sorted(
+        _concat(ds.map_batches(curate, batch_format="pyarrow")), "doc_id"
+    )
+
+
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
