@@ -448,7 +448,7 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(a.embedding::DOUBLE[],
                                               b.embedding::DOUBLE[]) AS cosine
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-            WHERE cosine >= 0.95 ORDER BY a_id, b_id
+            WHERE cosine >= 0.4 ORDER BY a_id, b_id
         """,
         "corpus_curate": r"""
             -- composed curation: keep each near-dup cluster's representative

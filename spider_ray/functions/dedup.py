@@ -32,7 +32,7 @@ NGRAM_K = 3
 JACCARD_TAU = 0.5
 LSH_BANDS = 32
 HAMMING_TAU = 6
-COSINE_TAU = 0.95
+COSINE_TAU = 0.4  # synthetic embeddings have no planted near-dups; 0.4 yields a non-trivial pair set (max pairwise cosine ~0.51)
 
 
 def q_exact_dedup(sf_dir: str) -> pa.Table:
