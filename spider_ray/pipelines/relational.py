@@ -284,11 +284,27 @@ def q_cogroup_join(sf_dir: str) -> pa.Table:
 
 
 def q_anti_join(sf_dir: str) -> pa.Table:
-    """Customers with no orders — the linkbase anti-join / URL-seen
-    suppression (J3, mr_selector_r1_reducer.cc:54-156)."""
+    """Customers with no order before 1996-01-01 — the linkbase anti-join /
+    URL-seen suppression (J3, mr_selector_r1_reducer.cc:54-156). The date
+    gate keeps the result non-trivial at every sf (every customer has SOME
+    order in the sf tables, so the unfiltered variant is vacuously empty)."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    # seen-set side: distinct custkeys, collected small after dedup
-    seen = read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    # seen-set side: distinct custkeys among early orders, collected small
+    # after dedup
+
+    def early(batch: pa.Table) -> pa.Table:
+        cut = pa.scalar("1996-01-01").cast(
+            batch.schema.field("o_orderdate").type
+        )
+        return batch.filter(
+            pc.less(batch["o_orderdate"], cut)
+        ).select(["o_custkey"])
+
+    seen = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(early, batch_format="pyarrow")
+        .unique("o_custkey")
+    )
     seen_ref = ray.put(set(seen))
 
     def _anti(batch: pa.Table) -> pa.Table:
