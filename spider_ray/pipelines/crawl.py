@@ -316,7 +316,32 @@ def run_crawl(
 ) -> dict:
     """Run (or resume) the crawl; writes per-gen parquet sinks under
     ``out_dir`` and returns summary paths + counters."""
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
+    # pin the run's sharding topology: shard assignment (num_shards,
+    # hot_hosts) and seen-set sizing are part of the checkpointed state —
+    # a resume under a DIFFERENT topology would silently re-route hosts
+    # away from the actors holding their politeness/seen state
+    cfg_path = os.path.join(out_dir, "run_config.json")
+    cfg = {
+        "num_shards": num_shards,
+        "hot_hosts": list(hot_hosts),
+        "seen_capacity": seen_capacity,
+    }
+    if resume and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            stored = json.load(f)
+        if stored != cfg:
+            raise ValueError(
+                f"resume topology mismatch: run was started with {stored}, "
+                f"resume requested {cfg}; pass identical num_shards / "
+                "hot_hosts / seen_capacity (they shard the checkpointed "
+                "scheduler state)"
+            )
+    else:
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
     c = load_corpus(corpus_dir)
     meta_ref = ray.put(
         {u: (int(r["status_code"]), int(r["latency_us"])) for u, r in c["pages"].items()}

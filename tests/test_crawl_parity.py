@@ -242,3 +242,19 @@ def test_fetch_actor_survives_kill(corpus, ray_session):
     after = _ray.get(a.fetch_batch.remote(permit))  # restarted actor
     assert before.equals(after)
     _ray.kill(a)
+
+
+def test_resume_topology_mismatch_rejected(corpus, ray_session):
+    """Resuming with a different sharding topology must fail loudly: the
+    checkpointed scheduler state is partitioned by (num_shards, hot_hosts)
+    and silently re-routing hosts would orphan their politeness state."""
+    from spider_ray.pipelines.crawl import run_crawl
+
+    out = "/tmp/spider_ray_test_topology"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, max_gens=1)
+    with pytest.raises(ValueError, match="topology mismatch"):
+        run_crawl(corpus, out, num_shards=3, fetch_concurrency=2,
+                  resume=True)
+    # matching topology resumes fine
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, resume=True)
