@@ -133,6 +133,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": T.q_quality_scores,
         "langid": T.q_langid,
         "fingerprints": T.q_fingerprints,
+        "mixture_sample": T.q_mixture_sample,
+        # rows-only: greedy sequential packing isn't SQL-expressible;
+        # budget/contiguity/determinism invariants in tests/test_misc_ops.py
+        "sequence_pack": T.q_sequence_pack,
         # similarity search
         "knn_bruteforce": S.q_knn_bruteforce,
         "knn_ivf": S.q_knn_ivf,
@@ -451,6 +455,31 @@ def oracle_sql() -> dict[str, str]:
                                               b.embedding::DOUBLE[]) AS cosine
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cosine >= 0.4 ORDER BY a_id, b_id
+        """,
+        "mixture_sample": """
+            -- per-language keep rates decided by the frozen
+            -- mix64_int(doc_id, 20260817) key vs exact integer thresholds
+            -- (rate * 2^64; rates are exact binary fractions)
+            WITH s1 AS (
+                SELECT doc_id, lang,
+                       CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 20260817)
+                            % 18446744073709551616 AS UBIGINT) AS u
+                FROM documents),
+            s2 AS (SELECT doc_id, lang, xor(u, u >> 29) AS u FROM s1),
+            s3 AS (SELECT doc_id, lang,
+                          CAST((CAST(u AS HUGEINT) * 2246822519)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM s2),
+            s4 AS (SELECT doc_id, lang, xor(u, u >> 32) AS u FROM s3)
+            SELECT doc_id, lang FROM s4
+            WHERE CAST(u AS HUGEINT) < CASE lang
+                WHEN 'en' THEN HUGEINT '18446744073709551616'
+                WHEN 'zh' THEN HUGEINT '13835058055282163712'
+                WHEN 'de' THEN HUGEINT '9223372036854775808'
+                WHEN 'es' THEN HUGEINT '9223372036854775808'
+                WHEN 'fr' THEN HUGEINT '4611686018427387904'
+                ELSE HUGEINT '0' END
+            ORDER BY doc_id
         """,
         "corpus_curate": r"""
             -- composed curation: keep each near-dup cluster's representative

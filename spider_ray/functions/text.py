@@ -8,6 +8,7 @@ import polars as pl
 import pyarrow as pa
 
 from spider_ray.kernels import tokens as tk
+from spider_ray.kernels.hashing import mix64_int
 from spider_ray.pipelines.relational import _concat, _sorted
 from spider_ray.sources.tables import read_table
 from spider_ray.stages.agg import partial_final_agg
@@ -136,6 +137,79 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
     t = _concat(ds.map_batches(fp, batch_format="pyarrow"))
     return _sorted(t, "doc_id")
 
+
+
+MIX_RATES = {"en": 1.0, "zh": 0.75, "de": 0.5, "es": 0.5, "fr": 0.25}
+MIX_SEED = 20260817
+# exact integer thresholds (rates are exact binary fractions, so
+# rate * 2^64 is exact); comparison is uint64-exact on both engine and
+# oracle — never float, which loses the low 11 bits
+MIX_THRESH = {l: int(r * 2**64) for l, r in MIX_RATES.items()}
+
+
+def q_mixture_sample(sf_dir: str) -> pa.Table:
+    """Deterministic corpus-mixture sampling — per-language keep rates (the
+    data-mixing step of a training pipeline), decided per row by the frozen
+    ``mix64_int(doc_id, seed)`` key against ``rate * 2^64``. Fully
+    vectorized inside ``map_batches`` and reproduced exactly by the DuckDB
+    oracle (HUGEINT mixer), so the SAMPLE ITSELF is verified, not just its
+    size."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.cast(batch["doc_id"], pa.int64())
+        u = mix64_int(ids.to_numpy(zero_copy_only=False), seed=MIX_SEED)
+        lang_arr = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        keep = np.zeros(len(lang_arr), dtype=bool)
+        for lang, t64 in MIX_THRESH.items():
+            m = lang_arr == lang
+            if not m.any():
+                continue
+            keep[m] = True if t64 >= 2**64 else u[m] < np.uint64(t64)
+        return pa.table(
+            {"doc_id": ids, "lang": batch["lang"]}
+        ).filter(pa.array(keep))
+
+    return _sorted(_concat(ds.map_batches(pick, batch_format="pyarrow")),
+                   "doc_id")
+
+
+PACK_BUDGET = 256  # tokens per packed sequence
+
+
+def q_sequence_pack(sf_dir: str) -> pa.Table:
+    """Sequence packing — greedily pack documents (in doc_id order) into
+    contiguous bins of ≤ PACK_BUDGET whitespace tokens (the
+    context-window packing step of a training pipeline). Token counts are
+    computed vectorized and distributed; the sequential first-fit walk runs
+    over the tiny (doc_id, n_tokens) projection driver-side (8 B × docs —
+    at 10^10 docs this becomes a per-partition pack + partition-offset
+    merge, the same prefix-sum shape as O2 bin-packing).
+
+    Greedy sequential assignment is not SQL-expressible → rows-only;
+    invariants (budget respected, bins contiguous, determinism) are
+    asserted in tests/test_misc_ops.py."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        lf = pl.from_arrow(batch).with_columns(
+            n_tokens=pl.col("text").str.count_matches(r"\S+").cast(pl.Int64)
+        )
+        return lf.select("doc_id", "n_tokens").to_arrow()
+
+    t = _sorted(_concat(ds.map_batches(count, batch_format="pyarrow")),
+                "doc_id")
+    bins, fill = [], 0
+    b = 0
+    for n in t["n_tokens"].to_pylist():
+        if fill > 0 and fill + n > PACK_BUDGET:
+            b += 1
+            fill = 0
+        fill += n
+        bins.append(b)
+    return t.append_column("bin", pa.array(bins, pa.int64()))
 
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 

@@ -179,3 +179,26 @@ def test_hll_accuracy_and_merge(ray_session, sf_small):
         f"SELECT count(DISTINCT user_id) FROM '{sf_small}/events.parquet'"
     ).fetchone()[0]
     assert abs(approx - exact) / max(exact, 1) < 0.05
+
+
+def test_sequence_pack_invariants(ray_session, sf_small):
+    from spider_ray.functions.text import PACK_BUDGET, q_sequence_pack
+
+    a = q_sequence_pack(sf_small)
+    b = q_sequence_pack(sf_small)
+    assert a.equals(b)  # deterministic
+    df = pl.from_arrow(a)
+    per_bin = df.group_by("bin").agg(
+        total=pl.col("n_tokens").sum(), n_docs=pl.len()
+    )
+    # budget respected unless a single doc alone exceeds it
+    over = per_bin.filter(pl.col("total") > PACK_BUDGET)
+    assert over.filter(pl.col("n_docs") > 1).height == 0
+    # bins are contiguous in doc_id order and start at 0
+    bins = df.sort("doc_id")["bin"].to_list()
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # packing is reasonably tight: average fill > 50% of budget
+    filled = per_bin.filter(pl.col("total") <= PACK_BUDGET)["total"]
+    if len(filled) > 2:
+        assert filled.mean() > PACK_BUDGET * 0.5
