@@ -83,6 +83,23 @@ def _crawl_demo() -> dict:
     return res
 
 
+def _phash_neardup_query(sf_dir: str) -> Any:
+    """Near-dup images by phash over the deterministic demo corpus's
+    image+caption table (the input_hint schema; rows-only — verified
+    against a brute-force Hamming scan in tests/test_misc_ops.py)."""
+    import os as _os
+
+    from spider_ray.functions.multimodal import phash_neardup
+    from spider_ray.sources.webgen import generate
+
+    # needs a corpus big enough to contain real near-dup pairs (the tiny
+    # entry corpus has none): 2000 pages → ~1000 images, ~150 pairs at τ=6
+    corpus = "/tmp/spider_ray_phash_corpus"
+    if not _os.path.exists(_os.path.join(corpus, "images.parquet")):
+        generate(corpus, n_pages=2000, n_hosts=24, seed=42)
+    return phash_neardup(_os.path.join(corpus, "images.parquet"))
+
+
 def entry() -> Any:
     """Flagship: the crawl loop end-to-end on a small deterministic corpus —
     returns the politeness-ordered crawl log (stable schema, ≥ 1 row)."""
@@ -155,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_anti_join": K.q_bloom_anti_join,
         # crawl engine (rows-only: non-SQL stateful streaming; exact parity
         # vs the single-process oracle is asserted in tests/test_crawl_parity)
+        "phash_neardup": _phash_neardup_query,
         "crawl_order": lambda sf_dir: _crawl_demo()["order"],
         "crawl_images": lambda sf_dir: _crawl_demo()["images"],
         "crawl_seen": lambda sf_dir: _crawl_demo()["seen"],

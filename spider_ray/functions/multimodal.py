@@ -177,6 +177,81 @@ def sample_video_frames(
     )
 
 
+def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
+    """Near-duplicate images by perceptual-hash Hamming distance — D5's
+    image analog (the reference's simhash near-dup, dedup/html_simhash,
+    applied to the input_hint table's ``phash`` column). Reads ONLY
+    (image_id, phash) from the bytes-heavy image table (column pruning at
+    the read), bands each 64-bit phash into 8×8-bit keys (pigeonhole:
+    hamming ≤ 7 ⇒ at least one band collides, so τ=6 has zero misses),
+    groups candidates by band via the partial/final bucket pattern, and
+    verifies with exact vectorized Hamming against a broadcast id→phash
+    map (8 B/image)."""
+    import polars as pl
+
+    from spider_ray.kernels import tokens as tk
+    from spider_ray.stages.agg import partial_final_agg
+
+    BANDS = 8
+    ds = ray.data.read_parquet(images_path, columns=["image_id", "phash"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for iid, ph in zip(
+            batch["image_id"].to_pylist(), batch["phash"].to_pylist()
+        ):
+            for bk in tk.simhash_bands(int(np.int64(ph).view(np.uint64)
+                                           if ph is not None else 0),
+                                       bands=BANDS):
+                ids.append(iid)
+                keys.append(bk)
+        return pa.table(
+            {
+                "band": pa.array(keys, pa.uint64()),
+                "image_id": pa.array(ids, pa.string()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def partial(lf):
+        return lf.group_by("band").agg(ids=pl.col("image_id").unique().sort())
+
+    def final(lf):
+        return lf.group_by("band").agg(
+            ids=pl.col("ids")
+            .list.explode(keep_nulls=False, empty_as_null=False)
+            .unique()
+            .sort()
+        )
+
+    buckets = partial_final_agg(exploded, partial, final)
+
+    ph_tabs = ray.get(ds.to_arrow_refs())
+    phm: dict[str, int] = {}
+    for t in ph_tabs:
+        for iid, ph in zip(t["image_id"].to_pylist(), t["phash"].to_pylist()):
+            phm[iid] = int(np.int64(ph).view(np.uint64)) if ph is not None else 0
+
+    cand: set[tuple[str, str]] = set()
+    for ids in buckets["ids"].to_pylist():
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    rows = sorted(
+        (a, b, tk.hamming64(phm[a], phm[b]))
+        for a, b in cand
+        if tk.hamming64(phm[a], phm[b]) <= tau
+    )
+    return pa.table(
+        {
+            "a_id": pa.array([r[0] for r in rows], pa.string()),
+            "b_id": pa.array([r[1] for r in rows], pa.string()),
+            "hamming": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 def extract_image_features(
     ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 64
 ) -> ray.data.Dataset:

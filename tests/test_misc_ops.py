@@ -202,3 +202,35 @@ def test_sequence_pack_invariants(ray_session, sf_small):
     filled = per_bin.filter(pl.col("total") <= PACK_BUDGET)["total"]
     if len(filled) > 2:
         assert filled.mean() > PACK_BUDGET * 0.5
+
+
+def test_phash_neardup_matches_bruteforce(ray_session):
+    """Banded phash near-dup must find EXACTLY the pairs a brute-force
+    Hamming scan finds (8 bands guarantee zero misses at tau=6)."""
+    import pyarrow.parquet as pq
+
+    import os
+
+    from spider_ray.functions.multimodal import phash_neardup
+    from spider_ray.sources.webgen import generate
+
+    path = "/tmp/spider_ray_test_corpus/images.parquet"
+    if not os.path.exists(path):
+        generate("/tmp/spider_ray_test_corpus", n_pages=200, n_hosts=8,
+                 seed=42)
+    got = phash_neardup(path, tau=6)
+    t = pq.read_table(path, columns=["image_id", "phash"])
+    ids = t["image_id"].to_pylist()
+    ph = t["phash"].to_numpy().astype(np.uint64)
+    x = ph[:, None] ^ ph[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(ph), len(ph), 8),
+                        axis=2).sum(2)
+    expect = sorted(
+        (min(ids[i], ids[j]), max(ids[i], ids[j]), int(ham[i, j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if ham[i, j] <= 6
+    )
+    rows = sorted(zip(got["a_id"].to_pylist(), got["b_id"].to_pylist(),
+                      got["hamming"].to_pylist()))
+    assert rows == expect
