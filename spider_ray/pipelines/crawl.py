@@ -91,6 +91,8 @@ class ShardActor:
             "permits": [p.__dict__ for p in permits],
             "dedup_hits": hits,
             "candidates": len(rows),
+            "top_host": getattr(self.sched, "last_top_host", ""),
+            "top_host_n": getattr(self.sched, "last_top_host_n", 0),
         }
 
     def enqueue(self, table: pa.Table) -> int:
@@ -560,6 +562,8 @@ def run_crawl(
                 "candidates": res["candidates"],
                 "dedup_hits": res["dedup_hits"],
                 "scheduled": len(res["permits"]),
+                "top_host": res.get("top_host", ""),
+                "top_host_n": res.get("top_host_n", 0),
                 "cuckoo_fp_audit": res.get("fp_audit", 0),
                 "seen_size": res.get("seen_size", 0),
                 "shard_clock_us": res.get("clock", 0),

@@ -109,6 +109,8 @@ def run_oracle(
                 "candidates": len(srows),
                 "dedup_hits": hits,
                 "scheduled": len(sp),
+                "top_host": getattr(sched, "last_top_host", ""),
+                "top_host_n": getattr(sched, "last_top_host_n", 0),
             }
             if s == 0:
                 mrow.update({f"norm_{k}": v for k, v in m.items()})

@@ -117,6 +117,20 @@ class ShardScheduler:
             if r["tried"] == 0:
                 self.seen_urls.append((int(r["url_hash"]), r["url"], int(r["gen"])))
             accepted.append(r)
+        # host_stat analog (A2, control/schedule/host_stat.cc): the shard's
+        # heaviest host this wave — the signal the hot-host valve acts on.
+        # Computed HERE (shared kernel) so engine and oracle metrics agree.
+        if accepted:
+            counts: dict[str, int] = {}
+            for r in accepted:
+                counts[r["host"]] = counts.get(r["host"], 0) + 1
+            self.last_top_host = min(
+                counts, key=lambda h: (-counts[h], h)
+            )
+            self.last_top_host_n = counts[self.last_top_host]
+        else:
+            self.last_top_host = ""
+            self.last_top_host_n = 0
         return accepted, hits
 
     def admit_images(self, image_hashes: np.ndarray) -> np.ndarray:

@@ -107,12 +107,13 @@ def test_metrics_written(engine_out):
 def test_metrics_parity_with_oracle(engine_out, oracle_out):
     """Per-(gen, shard) scheduling counters must match the oracle exactly:
     candidates routed, dedup hits, permits scheduled."""
+    keys = ("candidates", "dedup_hits", "scheduled", "top_host", "top_host_n")
     eng = {
-        (r["gen"], r["shard"]): (r["candidates"], r["dedup_hits"], r["scheduled"])
+        (r["gen"], r["shard"]): tuple(r[k] for k in keys)
         for r in _engine_rows(OUT, "metrics.parquet")
     }
     gold = {
-        (r["gen"], r["shard"]): (r["candidates"], r["dedup_hits"], r["scheduled"])
+        (r["gen"], r["shard"]): tuple(r[k] for k in keys)
         for r in oracle_out["metrics"]
     }
     assert eng == gold
