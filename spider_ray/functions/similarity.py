@@ -25,9 +25,10 @@ N_QUERIES = 8
 IVF_CENTROIDS = 16
 # The synthetic embeddings are near-isotropic (no cluster structure), so a
 # high nprobe is needed for recall; on clusterable real data nprobe/centroids
-# would be tuned down. Measured recall@10 on sf0.001: nprobe=4 → 0.63,
-# nprobe=8 → 0.85, nprobe=12 → 0.95.
-IVF_NPROBE = 8
+# would be tuned down. Measured recall@10: nprobe=4 → 0.63, nprobe=8 →
+# 0.85 (sf0.001) / 0.80 (sf0.01), nprobe=12 → 0.95+ at both scales while
+# still skipping a quarter of the corpus.
+IVF_NPROBE = 12
 
 
 def _load_matrix(sf_dir: str):
@@ -196,10 +197,17 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     base = ((margins > 0) @ (1 << np.arange(bits))).astype(np.int64)
     probe_sets = []
     for qi in range(Q.shape[0]):
-        # multi-probe: own bucket + ALL single-bit flips ordered by margin
+        # multi-probe: own bucket + ALL single-bit flips, plus two-bit
+        # flips over the 4 lowest-margin hyperplanes (the bits most likely
+        # to be on the wrong side for a true neighbor)
         codes = {int(base[qi])}
-        for f in np.argsort(np.abs(margins[qi])):
+        order = np.argsort(np.abs(margins[qi]))
+        for f in order:
             codes.add(int(base[qi]) ^ (1 << int(f)))
+        low = [int(f) for f in order[: min(4, len(order))]]
+        for i in range(len(low)):
+            for j in range(i + 1, len(low)):
+                codes.add(int(base[qi]) ^ (1 << low[i]) ^ (1 << low[j]))
         probe_sets.append(np.array(sorted(codes), dtype=np.int64))
     state_ref = ray.put((qids, Q, H, probe_sets))
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
