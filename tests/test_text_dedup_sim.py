@@ -105,3 +105,29 @@ def test_ivf_recall_vs_bruteforce(ray_session, sf_small):
         for a, b in zip(j["vec_id"].to_list(), j["vec_id_ivf"].to_list())
     ]
     assert np.mean(recalls) >= 0.75, recalls
+
+
+def test_ann_recall_holds_at_sf001(ray_session, sf_mid):
+    """Recall must hold at the driver's correctness scale too (it was 0.65
+    LSH / 0.80 IVF before multi-probe tuning): both variants >= 0.9."""
+    import polars as pl
+
+    from spider_ray.functions.similarity import (
+        q_knn_bruteforce,
+        q_knn_ivf,
+        q_knn_lsh,
+    )
+
+    bf = pl.from_arrow(q_knn_bruteforce(sf_mid)).group_by("query_id").agg(
+        pl.col("vec_id")
+    )
+    for fn in (q_knn_ivf, q_knn_lsh):
+        ap = pl.from_arrow(fn(sf_mid)).group_by("query_id").agg(
+            pl.col("vec_id")
+        )
+        j = bf.join(ap, on="query_id", suffix="_a")
+        recalls = [
+            len(set(a) & set(b)) / len(a)
+            for a, b in zip(j["vec_id"].to_list(), j["vec_id_a"].to_list())
+        ]
+        assert np.mean(recalls) >= 0.9, (fn.__name__, recalls)
