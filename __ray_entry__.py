@@ -430,7 +430,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, count(*) AS n_events,
-                   sum(new_session) AS n_sessions
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions
             FROM gaps GROUP BY user_id ORDER BY user_id
         """,
         "topn_per_group": """
@@ -527,14 +527,16 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{_NGRAM}", _NGRAM_PAIRS_SQL),
         "token_stats": r"""
             SELECT lang, count(*) AS n_docs,
-                   sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '\S+')))
+                        AS BIGINT) AS total_tokens,
                    sum(n_chars) / count(*) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "bpe_token_count": r"""
             SELECT source, count(*) AS n_docs,
-                   sum(len(regexp_extract_all(
-                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens
+                   CAST(sum(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                        AS BIGINT) AS bpe_tokens
             FROM documents GROUP BY source ORDER BY source
         """,
         "quality_scores": r"""

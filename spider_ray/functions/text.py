@@ -34,9 +34,11 @@ def q_token_stats(sf_dir: str) -> pa.Table:
         return (
             lf.group_by("lang")
             .agg(
-                n_docs=pl.col("n_docs").sum(),
-                total_tokens=pl.col("total_tokens").sum(),
-                avg_chars=pl.col("total_chars").sum() / pl.col("n_docs").sum(),
+                n_docs=pl.col("n_docs").sum().cast(pl.Int64),
+                total_tokens=pl.col("total_tokens").sum().cast(pl.Int64),
+                avg_chars=(
+                    pl.col("total_chars").sum() / pl.col("n_docs").sum()
+                ).cast(pl.Float64),
             )
             .sort("lang")
         )
@@ -62,8 +64,8 @@ def q_bpe_token_count(sf_dir: str) -> pa.Table:
         return (
             lf.group_by("source")
             .agg(
-                n_docs=pl.col("n_docs").sum(),
-                bpe_tokens=pl.col("bpe_tokens").sum(),
+                n_docs=pl.col("n_docs").sum().cast(pl.Int64),
+                bpe_tokens=pl.col("bpe_tokens").sum().cast(pl.Int64),
             )
             .sort("source")
         )

@@ -16,7 +16,11 @@ import ray
 
 from spider_ray.kernels.hashing import mix64_int
 from spider_ray.sources.tables import read_small, read_table
-from spider_ray.stages.agg import broadcast_join, partial_final_agg
+from spider_ray.stages.agg import (
+    broadcast_join,
+    partial_final_agg,
+    unsigned_to_int64,
+)
 
 
 
@@ -47,7 +51,7 @@ def _sorted(t: pa.Table, keys, descending=False) -> pa.Table:
     if isinstance(keys, str):
         keys = [keys]
     order = "descending" if descending else "ascending"
-    return t.sort_by([(k, order) for k in keys])
+    return unsigned_to_int64(t.sort_by([(k, order) for k in keys]))
 
 
 # ---------------------------------------------------------------------------
@@ -639,8 +643,8 @@ def q_sessionize(sf_dir: str) -> pa.Table:
         return (
             df.group_by("user_id")
             .agg(
-                n_events=pl.len(),
-                n_sessions=pl.col("new_session").sum(),
+                n_events=pl.len().cast(pl.Int64),
+                n_sessions=pl.col("new_session").sum().cast(pl.Int64),
             )
             .to_arrow()
         )

@@ -43,7 +43,19 @@ def partial_final_agg(
     tables = ray.get(partials.to_arrow_refs())
     chunks = [pl.from_arrow(t) for t in tables if t.num_rows > 0]
     merged = pl.concat(chunks) if chunks else pl.from_arrow(tables[0])
-    return final_exprs(merged.lazy()).collect().to_arrow()
+    out = final_exprs(merged.lazy()).collect().to_arrow()
+    return unsigned_to_int64(out)
+
+
+def unsigned_to_int64(t: pa.Table) -> pa.Table:
+    """Cast unsigned-int result columns to int64 so engine output dtypes
+    match the DuckDB oracle's BIGINT exactly (polars ``len()``/bool-sum
+    yield UInt32, which the driver's value hash treats as a different
+    column).  uint64 is left alone — hash columns use the full range."""
+    for i, f in enumerate(t.schema):
+        if pa.types.is_unsigned_integer(f.type) and f.type.bit_width < 64:
+            t = t.set_column(i, f.name, t[i].cast(pa.int64()))
+    return t
 
 
 def broadcast_join(
