@@ -5,14 +5,19 @@ first-wins), near-dup simhash D5 (``dedup/html_simhash``), sub-resource
 fetch dedup D6. Re-expressed as Ray Data pipelines:
 
 * exact: hash-partitioned group-by text-hash, first-wins;
-* MinHash+LSH: shingle → minhash signature → band → bucket groupby →
-  candidate pairs → exact-Jaccard verify;
-* SimHash: 64-bit signature + banded candidate generation, Hamming verify;
+* MinHash+LSH: shingle → minhash signature → band → distributed bucket
+  cogroup → candidate pairs → exact-Jaccard verify via signature re-join;
+* SimHash: 64-bit signature + banded candidates, Hamming verify by
+  signature re-join;
 * n-gram Jaccard: exhaustive shingle-bucket cogroup (zero-miss candidate
   generation; at 100 TB the LSH variant is the scale path, this one is the
-  oracle-checkable exact variant);
+  oracle-checkable exact variant) with counting-only verify;
 * embedding cosine near-dup: blockwise matmul against a broadcast
-  normalized matrix.
+  normalized matrix (exact tiny-scale oracle variant).
+
+The reduce side of every near-dup op is fully distributed
+(_bucket_cogroup_pairs + hash joins): the driver only ever materializes
+the final pair list, never bucket contents or per-doc signatures.
 """
 
 from __future__ import annotations
@@ -25,7 +30,6 @@ import ray
 from spider_ray.kernels.hashing import hash64
 from spider_ray.kernels import tokens as tk
 from spider_ray.sources.tables import read_table
-from spider_ray.stages.agg import partial_final_agg
 from spider_ray.pipelines.relational import _concat, _sorted
 
 NGRAM_K = 3
@@ -33,6 +37,177 @@ JACCARD_TAU = 0.5
 LSH_BANDS = 32
 HAMMING_TAU = 6
 COSINE_TAU = 0.4  # synthetic embeddings have no planted near-dups; 0.4 yields a non-trivial pair set (max pairwise cosine ~0.51)
+
+# Reduce-side fan-out. COGROUP_PARTITIONS bounds the per-worker slice of the
+# bucket table during candidate generation; JOIN_PARTITIONS is the hash-join
+# fan-out for the signature re-join. Both scale with cluster size, not
+# corpus size — at 256 nodes raise them to ~4× total cores.
+COGROUP_PARTITIONS = 32
+JOIN_PARTITIONS = 16
+
+# Modest per-aggregator reservation: Ray's default join memory estimate
+# reserves partition-sized heap per aggregator, which deadlocks two chained
+# joins on a small (4-8 CPU) dev box; pairs/signature tables are far below
+# the reservation. At cluster scale raise memory with the partition size.
+JOIN_AGG_ARGS = {"num_cpus": 0.05, "memory": 128 * 1024 * 1024}
+
+
+def _hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+) -> ray.data.Dataset:
+    """Inner hash join with aggregator args sized for this sandbox."""
+    return left.join(
+        right,
+        join_type="inner",
+        num_partitions=JOIN_PARTITIONS,
+        on=(on,),
+        right_on=(right_on,),
+        aggregator_ray_remote_args=dict(JOIN_AGG_ARGS),
+    )
+
+
+def _rename_col(old: str, new: str):
+    """Zero-copy per-batch column rename stage (Arrow metadata only)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [new if c == old else c for c in t.column_names]
+        )
+
+    return f
+
+
+def _conform(schema: pa.Schema):
+    """Normalize blocks coming out of a hash join / shuffle: empty join
+    partitions surface as ZERO-FIELD blocks, which crash a chained join
+    ("No match for FieldRef") and any column access downstream. Empty
+    blocks are replaced by an empty table of the expected schema; non-empty
+    blocks are positionally renamed to the expected names (join output
+    order is left columns then right payload columns)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return schema.empty_table()
+        assert t.num_columns == len(schema.names), (
+            f"block columns {t.column_names} != expected {schema.names}"
+        )
+        return t.rename_columns(schema.names)
+
+    return f
+
+
+def _bucket_cogroup_pairs(
+    exploded: ray.data.Dataset, id_type: pa.DataType = None
+) -> ray.data.Dataset:
+    """Distributed candidate-pair generation from a (bucket, doc_id) table.
+
+    The reduce is reducer-side end to end (the reference's discipline:
+    selector/mr_selector_r1_reducer.cc:54-156 merges per key inside the
+    reducer, never in a collected map): hash-partition rows by bucket,
+    polars self-join on bucket inside each partition group (vectorized pair
+    expansion — one partition holds every row of its buckets), then a
+    native distributed groupby merges per-pair counts across partitions.
+    The driver never sees a bucket list.
+
+    Returns a Dataset with columns (a_id, b_id, n_shared) where n_shared is
+    the number of buckets the pair co-occurs in. Skew note: a degenerate
+    bucket of n docs emits O(n²) pairs inside one worker — same cost the
+    SQL oracle's self-join pays; LSH band width is the knob that bounds it.
+    """
+
+    def to_part(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .with_columns(
+                part=(pl.col("bucket") % COGROUP_PARTITIONS).cast(pl.Int32)
+            )
+            .to_arrow()
+        )
+
+    def cogroup(group: pa.Table) -> pa.Table:
+        f = pl.from_arrow(group).select("bucket", "doc_id")
+        j = f.join(f, on="bucket", suffix="_r").filter(
+            pl.col("doc_id") < pl.col("doc_id_r")
+        )
+        return (
+            j.group_by("doc_id", "doc_id_r")
+            .len(name="n")
+            .rename({"doc_id": "a_id", "doc_id_r": "b_id"})
+            .with_columns(pl.col("n").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = exploded.map_batches(to_part, batch_format="pyarrow")
+    partials = parts.groupby("part").map_groups(
+        cogroup, batch_format="pyarrow"
+    )
+    id_t = id_type if id_type is not None else pa.int64()
+    merged = partials.groupby(["a_id", "b_id"]).aggregate(Sum("n"))
+    return merged.map_batches(
+        _conform(pa.schema(
+            [("a_id", id_t), ("b_id", id_t), ("n_shared", pa.int64())]
+        )),
+        batch_format="pyarrow",
+    )
+
+
+def _jaccard_verify(
+    cand: ray.data.Dataset, sh: ray.data.Dataset, tau: float
+) -> pa.Table:
+    """Exact-Jaccard verify of candidate pairs by joining the shingle table
+    back twice (a side, b side) — two distributed hash joins, then exact
+    Jaccard per candidate row inside the worker. No per-doc state ever
+    lands on the driver. Shingle sets travel as packed uint64 binary blobs
+    because Ray's hash join rejects list-typed payload columns."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        blobs = [
+            np.asarray(sh_list, dtype=np.uint64).tobytes()
+            for sh_list in batch["shingles"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shb": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    sh_bin = sh.map_batches(pack, batch_format="pyarrow").materialize()
+    ids = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
+    j = _hash_join(cand, sh_bin, "a_id", "doc_id").map_batches(
+        _conform(ids.append(pa.field("sh_a", pa.binary()))),
+        batch_format="pyarrow",
+    )
+    j = _hash_join(j, sh_bin, "b_id", "doc_id").map_batches(
+        _conform(
+            ids.append(pa.field("sh_a", pa.binary()))
+            .append(pa.field("sh_b", pa.binary()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_bin = batch["sh_a"].to_pylist()
+        b_bin = batch["sh_b"].to_pylist()
+        jac = np.empty(len(a_bin), dtype=np.float64)
+        for i, (ab, bb) in enumerate(zip(a_bin, b_bin)):
+            jac[i] = tk.jaccard(
+                np.frombuffer(ab, dtype=np.uint64),
+                np.frombuffer(bb, dtype=np.uint64),
+            )
+        keep = jac >= tau
+        kept = batch.filter(pa.array(keep)).select(["a_id", "b_id"])
+        return kept.append_column(
+            "jaccard", pa.array(jac[keep], pa.float64())
+        )
+
+    t = _concat(j.map_batches(verify, batch_format="pyarrow"))
+    return _sorted(t, ["a_id", "b_id"])
 
 
 def q_exact_dedup(sf_dir: str) -> pa.Table:
@@ -79,39 +254,15 @@ def _shingle_table(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(shingle, batch_format="pyarrow")
 
 
-def _verify_pairs(cand: set[tuple[int, int]], shingle_map: dict[int, np.ndarray],
-                  tau: float) -> pa.Table:
-    rows = []
-    for a, b in sorted(cand):
-        j = tk.jaccard(shingle_map[a], shingle_map[b])
-        if j >= tau:
-            rows.append((a, b, j))
-    return pa.table(
-        {
-            "a_id": pa.array([r[0] for r in rows], pa.int64()),
-            "b_id": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-        }
-    )
-
-
-def _shingle_map(sf_dir: str) -> dict[int, np.ndarray]:
-    """doc_id → shingle hash array, materialized driver-side for the verify
-    join (documents is the small side here; at 100 TB this becomes a second
-    bucket-join against the shingle table, keyed by pair ids)."""
-    tabs = ray.get(_shingle_table(sf_dir).to_arrow_refs())
-    out: dict[int, np.ndarray] = {}
-    for t in tabs:
-        for did, sh in zip(t["doc_id"].to_pylist(), t["shingles"].to_pylist()):
-            out[did] = np.asarray(sh, dtype=np.uint64)
-    return out
-
-
 def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     """Near-dup pairs by exact k-word-shingle Jaccard ≥ τ. Candidates come
     from an exhaustive shingle-bucket cogroup (any pair with j>0 shares a
-    shingle → zero misses), then exact verify. The `gb(bucket)` is the D6
-    'dedup by key before expensive work' pattern."""
+    shingle → zero misses). Each bucket key IS one distinct shingle, so
+    |A∩B| = number of buckets the pair shares and |A| = the doc's bucket
+    count — jaccard falls out of counting alone (identical arithmetic to
+    the SQL oracle: inter / (|A| + |B| - inter)), with the whole reduce
+    distributed: cogroup pair counts per hash partition, native groupby
+    merge, per-doc sizes joined back by id."""
     sh = _shingle_table(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -126,50 +277,57 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
             }
         )
 
-    exploded = sh.map_batches(explode, batch_format="pyarrow")
+    from ray.data.aggregate import Count
 
-    def partial(lf: pl.LazyFrame) -> pl.LazyFrame:
-        return lf.group_by("bucket").agg(doc_ids=pl.col("doc_id").unique().sort())
-
-    def final(lf: pl.LazyFrame) -> pl.LazyFrame:
-        # merge per-block bucket lists, then emit pairs
-        merged = lf.group_by("bucket").agg(
-            doc_ids=pl.col("doc_ids").list.explode(keep_nulls=False, empty_as_null=False).unique().sort()
+    exploded = sh.map_batches(explode, batch_format="pyarrow").materialize()
+    inter = _bucket_cogroup_pairs(exploded)
+    sizes = (
+        exploded.groupby("doc_id")
+        .aggregate(Count())
+        .map_batches(
+            _conform(pa.schema(
+                [("doc_id", pa.int64()), ("size", pa.int64())]
+            )),
+            batch_format="pyarrow",
         )
-        return merged
-
-    buckets = partial_final_agg(exploded, partial, final)
-    # bucket-count verify: each bucket key IS one distinct shingle, so
-    # |A∩B| = number of buckets containing both docs and |A| = number of
-    # buckets containing A — jaccard falls out of counting alone, with no
-    # per-pair set intersection (identical arithmetic to the SQL oracle:
-    # inter / (|A| + |B| - inter))
-    from collections import Counter
-
-    inter: Counter = Counter()
-    sizes: Counter = Counter()
-    for ids in buckets["doc_ids"].to_pylist():
-        for i, a in enumerate(ids):
-            sizes[a] += 1
-            for b in ids[i + 1:]:
-                inter[(a, b)] += 1
-    rows = sorted(
-        (a, b, c / (sizes[a] + sizes[b] - c))
-        for (a, b), c in inter.items()
-        if c / (sizes[a] + sizes[b] - c) >= JACCARD_TAU
+        .materialize()
     )
-    return pa.table(
-        {
-            "a_id": pa.array([r[0] for r in rows], pa.int64()),
-            "b_id": pa.array([r[1] for r in rows], pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-        }
+    base = pa.schema(
+        [("a_id", pa.int64()), ("b_id", pa.int64()), ("n_shared", pa.int64())]
     )
+    j = _hash_join(inter, sizes, "a_id", "doc_id").map_batches(
+        _conform(base.append(pa.field("size_a", pa.int64()))),
+        batch_format="pyarrow",
+    )
+    j = _hash_join(j, sizes, "b_id", "doc_id").map_batches(
+        _conform(
+            base.append(pa.field("size_a", pa.int64()))
+            .append(pa.field("size_b", pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch)
+            .with_columns(
+                jaccard=pl.col("n_shared")
+                / (pl.col("size_a") + pl.col("size_b") - pl.col("n_shared"))
+            )
+            .filter(pl.col("jaccard") >= JACCARD_TAU)
+            .select("a_id", "b_id", "jaccard")
+        )
+        return out.to_arrow()
+
+    t = _concat(j.map_batches(score, batch_format="pyarrow"))
+    return _sorted(t, ["a_id", "b_id"])
 
 
 def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup: 128-perm signatures, 32 bands × 4 rows →
-    band-bucket groupby → candidates → exact-Jaccard verify ≥ τ=0.5.
+    distributed band-bucket cogroup → candidate pairs → exact-Jaccard
+    verify ≥ τ=0.5 via a signature re-join by doc_id (reduce side fully
+    distributed; the driver only ever sees the final pair list).
     P(miss) at the corpus's true-pair similarity (≥0.9) is < 1e-14, so the
     result equals the exhaustive oracle."""
     sh = _shingle_table(sf_dir)
@@ -188,24 +346,12 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
             }
         )
 
-    exploded = sh.map_batches(band_rows, batch_format="pyarrow")
-
-    def partial(lf: pl.LazyFrame) -> pl.LazyFrame:
-        return lf.group_by("bucket").agg(doc_ids=pl.col("doc_id").unique().sort())
-
-    def final(lf: pl.LazyFrame) -> pl.LazyFrame:
-        return lf.group_by("bucket").agg(
-            doc_ids=pl.col("doc_ids").list.explode(keep_nulls=False, empty_as_null=False).unique().sort()
-        )
-
-    buckets = partial_final_agg(exploded, partial, final)
-    cand: set[tuple[int, int]] = set()
-    for ids in buckets["doc_ids"].to_pylist():
-        if len(ids) > 1:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    cand.add((ids[i], ids[j]))
-    return _verify_pairs(cand, _shingle_map(sf_dir), JACCARD_TAU)
+    sh_mat = sh.materialize()
+    exploded = sh_mat.map_batches(band_rows, batch_format="pyarrow")
+    # distinct candidate pairs, reduce fully distributed (n_shared = number
+    # of bands that collided; only pair identity matters for the verify)
+    cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
+    return _jaccard_verify(cand, sh_mat, JACCARD_TAU)
 
 
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
@@ -224,14 +370,12 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
             }
         )
 
-    sigs_t = _concat(ds.map_batches(sig_batch, batch_format="pyarrow"))
-    sig_map = dict(zip(sigs_t["doc_id"].to_pylist(), sigs_t["simhash"].to_pylist()))
+    sigs = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
 
-    # distributed band groupby: explode (band, doc_id) pairs per block,
-    # partial per-block bucket lists, tiny final merge — the same
-    # shingle-bucket cogroup shape as q_ngram_jaccard_pairs; signatures
-    # (8 B/doc) broadcast for the verify step (at 10^10 docs the verify
-    # joins signatures back by doc_id instead)
+    # distributed band cogroup: explode (band, doc_id) rows per block, then
+    # the same hash-partitioned pair reduce as the shingle path; signatures
+    # (8 B/doc) are joined back by doc_id for the Hamming verify — never
+    # collected driver-side
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids, bands = [], []
         for did, sig in zip(
@@ -242,44 +386,43 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
                 bands.append(bk)
         return pa.table(
             {
-                "band": pa.array(bands, pa.uint64()),
+                "bucket": pa.array(bands, pa.uint64()),
                 "doc_id": pa.array(ids, pa.int64()),
             }
         )
 
-    exploded = ray.data.from_arrow(sigs_t).map_batches(
-        explode_bands, batch_format="pyarrow"
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
+    ids = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
+    j = _hash_join(cand, sigs, "a_id", "doc_id").map_batches(
+        _conform(ids.append(pa.field("sig_a", pa.uint64()))),
+        batch_format="pyarrow",
+    )
+    j = _hash_join(j, sigs, "b_id", "doc_id").map_batches(
+        _conform(
+            ids.append(pa.field("sig_a", pa.uint64()))
+            .append(pa.field("sig_b", pa.uint64()))
+        ),
+        batch_format="pyarrow",
     )
 
-    def partial(lf: pl.LazyFrame) -> pl.LazyFrame:
-        return lf.group_by("band").agg(doc_ids=pl.col("doc_id").unique().sort())
-
-    def final(lf: pl.LazyFrame) -> pl.LazyFrame:
-        return lf.group_by("band").agg(
-            doc_ids=pl.col("doc_ids")
-            .list.explode(keep_nulls=False, empty_as_null=False)
-            .unique()
-            .sort()
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["sig_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch["sig_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+        ham = (
+            np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+            if x.size
+            else np.empty(0, dtype=np.int64)
+        )
+        keep = ham <= HAMMING_TAU
+        kept = batch.filter(pa.array(keep)).select(["a_id", "b_id"])
+        return kept.append_column(
+            "hamming", pa.array(ham[keep].astype(np.int64), pa.int64())
         )
 
-    buckets_t = partial_final_agg(exploded, partial, final)
-    cand = set()
-    for ids in buckets_t["doc_ids"].to_pylist():
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cand.add((ids[i], ids[j]))
-    rows = [
-        (a, b, tk.hamming64(sig_map[a], sig_map[b]))
-        for a, b in sorted(cand)
-        if tk.hamming64(sig_map[a], sig_map[b]) <= HAMMING_TAU
-    ]
-    return pa.table(
-        {
-            "a_id": pa.array([r[0] for r in rows], pa.int64()),
-            "b_id": pa.array([r[1] for r in rows], pa.int64()),
-            "hamming": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
+    t = _concat(j.map_batches(verify, batch_format="pyarrow"))
+    return _sorted(t, ["a_id", "b_id"])
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:

@@ -184,72 +184,86 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     (image_id, phash) from the bytes-heavy image table (column pruning at
     the read), bands each 64-bit phash into 8×8-bit keys (pigeonhole:
     hamming ≤ 7 ⇒ at least one band collides, so τ=6 has zero misses),
-    groups candidates by band via the partial/final bucket pattern, and
-    verifies with exact vectorized Hamming against a broadcast id→phash
-    map (8 B/image)."""
-    import polars as pl
-
+    cogroups candidates by band with the fully distributed pair reduce
+    (spider_ray.functions.dedup._bucket_cogroup_pairs), and verifies with
+    vectorized Hamming after joining the 8 B/image phash back by id — the
+    driver only sees the final pair list."""
+    from spider_ray.functions.dedup import (
+        _bucket_cogroup_pairs,
+        _conform,
+        _hash_join,
+    )
     from spider_ray.kernels import tokens as tk
-    from spider_ray.stages.agg import partial_final_agg
 
     BANDS = 8
     ds = ray.data.read_parquet(images_path, columns=["image_id", "phash"])
 
+    def norm(batch: pa.Table) -> pa.Table:
+        ph = [
+            int(np.int64(p).view(np.uint64)) if p is not None else 0
+            for p in batch["phash"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["image_id"].cast(pa.string()),
+                "sig": pa.array(ph, pa.uint64()),
+            }
+        )
+
+    sigs = ds.map_batches(norm, batch_format="pyarrow").materialize()
+
     def explode(batch: pa.Table) -> pa.Table:
         ids, keys = [], []
-        for iid, ph in zip(
-            batch["image_id"].to_pylist(), batch["phash"].to_pylist()
+        for iid, sig in zip(
+            batch["doc_id"].to_pylist(), batch["sig"].to_pylist()
         ):
-            for bk in tk.simhash_bands(int(np.int64(ph).view(np.uint64)
-                                           if ph is not None else 0),
-                                       bands=BANDS):
+            for bk in tk.simhash_bands(int(sig), bands=BANDS):
                 ids.append(iid)
                 keys.append(bk)
         return pa.table(
             {
-                "band": pa.array(keys, pa.uint64()),
-                "image_id": pa.array(ids, pa.string()),
+                "bucket": pa.array(keys, pa.uint64()),
+                "doc_id": pa.array(ids, pa.string()),
             }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    cand = _bucket_cogroup_pairs(exploded, pa.string()).select_columns(
+        ["a_id", "b_id"]
+    )
+    ids = pa.schema([("a_id", pa.string()), ("b_id", pa.string())])
+    j = _hash_join(cand, sigs, "a_id", "doc_id").map_batches(
+        _conform(ids.append(pa.field("sig_a", pa.uint64()))),
+        batch_format="pyarrow",
+    )
+    j = _hash_join(j, sigs, "b_id", "doc_id").map_batches(
+        _conform(
+            ids.append(pa.field("sig_a", pa.uint64()))
+            .append(pa.field("sig_b", pa.uint64()))
+        ),
+        batch_format="pyarrow",
+    )
 
-    def partial(lf):
-        return lf.group_by("band").agg(ids=pl.col("image_id").unique().sort())
-
-    def final(lf):
-        return lf.group_by("band").agg(
-            ids=pl.col("ids")
-            .list.explode(keep_nulls=False, empty_as_null=False)
-            .unique()
-            .sort()
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["sig_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch["sig_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+        ham = (
+            np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+            if x.size
+            else np.empty(0, dtype=np.int64)
+        )
+        keep = ham <= tau
+        kept = batch.filter(pa.array(keep)).select(["a_id", "b_id"])
+        return kept.append_column(
+            "hamming", pa.array(ham[keep].astype(np.int64), pa.int64())
         )
 
-    buckets = partial_final_agg(exploded, partial, final)
-
-    ph_tabs = ray.get(ds.to_arrow_refs())
-    phm: dict[str, int] = {}
-    for t in ph_tabs:
-        for iid, ph in zip(t["image_id"].to_pylist(), t["phash"].to_pylist()):
-            phm[iid] = int(np.int64(ph).view(np.uint64)) if ph is not None else 0
-
-    cand: set[tuple[str, str]] = set()
-    for ids in buckets["ids"].to_pylist():
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cand.add((ids[i], ids[j]))
-    rows = sorted(
-        (a, b, tk.hamming64(phm[a], phm[b]))
-        for a, b in cand
-        if tk.hamming64(phm[a], phm[b]) <= tau
+    out = j.map_batches(verify, batch_format="pyarrow")
+    t = pa.concat_tables(
+        ray.get(out.to_arrow_refs()), promote_options="default"
     )
-    return pa.table(
-        {
-            "a_id": pa.array([r[0] for r in rows], pa.string()),
-            "b_id": pa.array([r[1] for r in rows], pa.string()),
-            "hamming": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
+    return t.sort_by([("a_id", "ascending"), ("b_id", "ascending")])
 
 
 def extract_image_features(

@@ -131,3 +131,43 @@ def test_ann_recall_holds_at_sf001(ray_session, sf_mid):
             for a, b in zip(j["vec_id"].to_list(), j["vec_id_a"].to_list())
         ]
         assert np.mean(recalls) >= 0.9, (fn.__name__, recalls)
+
+
+def test_bucket_cogroup_pairs_matches_bruteforce(ray_session):
+    """The distributed pair reduce must produce exactly the pairs (and
+    co-occurrence counts) of a brute-force bucket scan — and do so without
+    any driver-side bucket merge (it returns a lazy Dataset)."""
+    import itertools
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from spider_ray.functions.dedup import _bucket_cogroup_pairs
+
+    rng = np.random.RandomState(7)
+    buckets = rng.randint(0, 40, size=500).astype(np.uint64)
+    docs = rng.randint(0, 60, size=500).astype(np.int64)
+    # distinct (bucket, doc) rows — the contract of the exploded tables
+    rows = sorted({(int(b), int(d)) for b, d in zip(buckets, docs)})
+    t = pa.table(
+        {
+            "bucket": pa.array([r[0] for r in rows], pa.uint64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    expected: Counter = Counter()
+    by_bucket: dict = {}
+    for b, d in rows:
+        by_bucket.setdefault(b, []).append(d)
+    for ids in by_bucket.values():
+        for a, b in itertools.combinations(sorted(set(ids)), 2):
+            expected[(a, b)] += 1
+
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = _bucket_cogroup_pairs(ds)
+    assert isinstance(out, ray.data.Dataset)  # lazy — no driver reduce
+    got = Counter()
+    for r in out.to_pandas().itertuples():
+        got[(r.a_id, r.b_id)] = r.n_shared
+    assert got == expected
