@@ -44,25 +44,60 @@ except Exception:
 _CRAWL_CACHE: dict[str, dict] = {}
 
 
+def _build_once(path: str, done_name: str, build) -> str:
+    """Build a deterministic artifact directory exactly once, atomically:
+    construct in a process-unique sibling dir, then ``os.rename`` into
+    place. Concurrent builders (the correctness driver runs queries in
+    parallel processes) each build their own copy and the first rename
+    wins — nobody ever reads a half-written or mid-rmtree directory."""
+    import shutil
+    import tempfile
+
+    done = os.path.join(path, done_name)
+    if os.path.exists(done):
+        return path
+    tmp = tempfile.mkdtemp(
+        prefix=os.path.basename(path) + ".", dir=os.path.dirname(path) or "/tmp"
+    )
+    build(tmp)
+    with open(os.path.join(tmp, done_name), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, done_name)):
+            # lost the race — someone else's finished copy is in place
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale partial dir from a crashed older run: replace it
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def _crawl_demo() -> dict:
     """Run the flagship crawl pipeline once on a deterministic synthetic
     corpus (cached for the process lifetime); returns its output tables."""
     if "demo" in _CRAWL_CACHE:
         return _CRAWL_CACHE["demo"]
     import glob
-    import shutil
 
     import pyarrow.parquet as pq
 
     from spider_ray.pipelines.crawl import run_crawl
     from spider_ray.sources.webgen import generate
 
-    corpus = "/tmp/spider_ray_entry_corpus"
-    out = "/tmp/spider_ray_entry_crawl"
-    if not os.path.exists(os.path.join(corpus, "web_graph.parquet")):
-        generate(corpus, n_pages=150, n_hosts=6, seed=42)
-    shutil.rmtree(out, ignore_errors=True)
-    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2)
+    corpus = _build_once(
+        "/tmp/spider_ray_entry_corpus", "_DONE",
+        lambda d: generate(d, n_pages=150, n_hosts=6, seed=42),
+    )
+    out = _build_once(
+        "/tmp/spider_ray_entry_crawl_v2", "_DONE",
+        lambda d: run_crawl(corpus, d, num_shards=2, fetch_concurrency=2),
+    )
     import pyarrow as pa
 
     status, images = [], []
@@ -87,23 +122,41 @@ def _phash_neardup_query(sf_dir: str) -> Any:
     """Near-dup images by phash over the deterministic demo corpus's
     image+caption table (the input_hint schema; rows-only — verified
     against a brute-force Hamming scan in tests/test_misc_ops.py)."""
-    import os as _os
-
     from spider_ray.functions.multimodal import phash_neardup
     from spider_ray.sources.webgen import generate
 
     # needs a corpus big enough to contain real near-dup pairs (the tiny
     # entry corpus has none): 2000 pages → ~1000 images, ~150 pairs at τ=6
-    corpus = "/tmp/spider_ray_phash_corpus"
-    if not _os.path.exists(_os.path.join(corpus, "images.parquet")):
-        generate(corpus, n_pages=2000, n_hosts=24, seed=42)
-    return phash_neardup(_os.path.join(corpus, "images.parquet"))
+    corpus = _build_once(
+        "/tmp/spider_ray_phash_corpus", "_DONE",
+        lambda d: generate(d, n_pages=2000, n_hosts=24, seed=42),
+    )
+    return phash_neardup(os.path.join(corpus, "images.parquet"))
 
 
 def entry() -> Any:
     """Flagship: the crawl loop end-to-end on a small deterministic corpus —
     returns the politeness-ordered crawl log (stable schema, ≥ 1 row)."""
     return _crawl_demo()["order"]
+
+
+def _crawl_order_query(sf_dir: str) -> Any:
+    """Politeness-ordered crawl log of the deterministic demo crawl
+    (rows-only: exact-order parity vs the single-process oracle crawler is
+    asserted in tests/test_crawl_parity.py)."""
+    return _crawl_demo()["order"]
+
+
+def _crawl_images_query(sf_dir: str) -> Any:
+    """Image+caption rows fetched by the demo crawl (rows-only; pixel/
+    caption parity in tests/test_crawl_parity.py)."""
+    return _crawl_demo()["images"]
+
+
+def _crawl_seen_query(sf_dir: str) -> Any:
+    """Final URL-seen set of the demo crawl (rows-only; seen-set parity in
+    tests/test_crawl_parity.py)."""
+    return _crawl_demo()["seen"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -142,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,
         "simhash_pairs": D.q_simhash_pairs,
         "embedding_neardup": D.q_embedding_neardup,
+        # rows-only: LSH-bucketed scale path of embedding_neardup (random
+        # hyperplanes → not SQL-expressible); recall vs the exact variant
+        # asserted in tests/test_text_dedup_sim.py
+        "embedding_neardup_lsh": S.q_embedding_neardup_lsh,
         "dup_clusters": D.q_dup_clusters,
         "corpus_curate": D.q_corpus_curate,
         # text analysis
@@ -173,9 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (rows-only: non-SQL stateful streaming; exact parity
         # vs the single-process oracle is asserted in tests/test_crawl_parity)
         "phash_neardup": _phash_neardup_query,
-        "crawl_order": lambda sf_dir: _crawl_demo()["order"],
-        "crawl_images": lambda sf_dir: _crawl_demo()["images"],
-        "crawl_seen": lambda sf_dir: _crawl_demo()["seen"],
+        "crawl_order": _crawl_order_query,
+        "crawl_images": _crawl_images_query,
+        "crawl_seen": _crawl_seen_query,
     }
     return q
 

@@ -17,12 +17,17 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from spider_ray.kernels.hashing import mix64_int
 from spider_ray.pipelines.relational import _concat, _sorted
 from spider_ray.sources.tables import read_table
 
 TOP_K = 10
 N_QUERIES = 8
 IVF_CENTROIDS = 16
+# k-means trains on a hash-gated sample of at most this many rows — the
+# driver never pulls the full embedding matrix (at 100 TB the corpus can't
+# land on one node; a 100k sample trains centroids just as well).
+IVF_TRAIN_MAX = 100_000
 # The synthetic embeddings are near-isotropic (no cluster structure), so a
 # high nprobe is needed for recall; on clusterable real data nprobe/centroids
 # would be tuned down. Measured recall@10: nprobe=4 → 0.63, nprobe=8 →
@@ -31,10 +36,23 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 12
 
 
-def _load_matrix(sf_dir: str):
-    t = pa.concat_tables(
-        ray.get(read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_arrow_refs())
-    )
+def _collect_vectors(sf_dir: str, stride: int = 1, max_id: int | None = None):
+    """Distributed filter → driver collect of a BOUNDED vector subset:
+    rows pass the deterministic hash gate ``mix64(vec_id) % stride == 0``
+    (and optionally ``vec_id < max_id``). Only the selected rows ever leave
+    the workers; the driver never holds the full matrix."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = np.ones(len(ids), dtype=bool)
+        if max_id is not None:
+            keep &= ids < max_id
+        if stride > 1:
+            keep &= (mix64_int(ids) % np.uint64(stride)) == 0
+        return batch.filter(pa.array(keep))
+
+    t = _concat(ds.map_batches(pick, batch_format="pyarrow"))
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
@@ -46,10 +64,10 @@ def _normalize(M: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(sf_dir: str):
-    """The first N_QUERIES vec_ids serve as the query set (deterministic)."""
-    ids, M = _load_matrix(sf_dir)
-    sel = ids < N_QUERIES
-    return ids[sel], _normalize(M[sel])
+    """The first N_QUERIES vec_ids serve as the query set (deterministic) —
+    collected via a distributed filtered read, not a full-matrix pull."""
+    ids, M = _collect_vectors(sf_dir, max_id=N_QUERIES)
+    return ids, _normalize(M)
 
 
 def q_knn_bruteforce(sf_dir: str) -> pa.Table:
@@ -100,25 +118,33 @@ def q_knn_bruteforce(sf_dir: str) -> pa.Table:
 
 def _kmeans(M: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     """Deterministic seeded k-means (k-means‖-free simple variant: seeds are
-    evenly spaced rows of the id-sorted matrix)."""
+    evenly spaced rows of the id-sorted matrix). Distances via the matmul
+    identity (‖m‖² is constant per row, so argmin over −2·M·Cᵀ + ‖c‖²
+    equals argmin over squared Euclid) — O(n·k) memory, never the
+    O(n·k·d) broadcast-subtract array."""
     n = M.shape[0]
     seed_idx = (np.arange(k) * max(n // k, 1)) % n
     C = M[seed_idx].copy()
     for _ in range(iters):
-        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = d.argmin(1)
-        for j in range(k):
-            sel = assign == j
-            if sel.any():
-                C[j] = M[sel].mean(0)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, M)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nonzero = counts > 0
+        C[nonzero] = sums[nonzero] / counts[nonzero, None]
     return C
 
 
 def q_knn_ivf(sf_dir: str) -> pa.Table:
     """IVF approximate top-k: assign vectors to 16 seeded-k-means centroid
-    buckets; probe the 4 closest buckets per query. Approximate → no SQL
-    oracle; tests assert recall ≥ 0.9 vs q_knn_bruteforce."""
-    ids, M = _load_matrix(sf_dir)
+    buckets; probe the nprobe closest buckets per query. Centroids train on
+    a hash-gated sample of ≤ IVF_TRAIN_MAX rows (assignment + probing stay
+    fully distributed). Approximate → no SQL oracle; tests assert recall
+    ≥ 0.9 vs q_knn_bruteforce."""
+    n_total = read_table(sf_dir, "embeddings", columns=["vec_id"]).count()
+    stride = max(1, -(-n_total // IVF_TRAIN_MAX))  # ceil div
+    ids, M = _collect_vectors(sf_dir, stride=stride)
     Mn = _normalize(M)
     C = _kmeans(Mn, IVF_CENTROIDS)
     Cn = _normalize(C)
@@ -172,8 +198,8 @@ def _lsh_bits(n: int) -> int:
     return max(3, int(np.log2(max(n / 64, 2))))
 
 
-def _hyperplanes(dim: int, bits: int) -> np.ndarray:
-    rng = np.random.RandomState(10416)
+def _hyperplanes(dim: int, bits: int, seed: int = 10416) -> np.ndarray:
+    rng = np.random.RandomState(seed)
     return rng.normal(size=(dim, bits))
 
 
@@ -189,8 +215,8 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     flips. Per-batch work: assign codes, keep rows in probed buckets, local
     top-k; driver merges. Approximate → rows-only; recall tested vs brute
     force."""
-    ids_all, _M = _load_matrix(sf_dir)
-    bits = _lsh_bits(len(ids_all))
+    n_total = read_table(sf_dir, "embeddings", columns=["vec_id"]).count()
+    bits = _lsh_bits(n_total)
     qids, Q = _query_matrix(sf_dir)
     H = _hyperplanes(Q.shape[1], bits)
     margins = Q @ H  # (nq, bits)
@@ -252,3 +278,110 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+# --- embedding near-dup, LSH-bucketed scale path ----------------------------
+
+# Few bits + many tables because the synthetic corpus's pair threshold
+# (cos ≥ 0.4 ⇒ collision prob ≈ 0.63/bit) is low; a real near-dup corpus
+# (cos ≥ 0.9 ⇒ ≈ 0.86/bit) would use more bits and fewer tables.
+EMB_LSH_TABLES = 12
+EMB_LSH_BITS = 3
+
+
+def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH banding —
+    the 100 TB scale path next to the exact O(N²) oracle variant
+    (``q_embedding_neardup``): vectors land in EMB_LSH_TABLES independent
+    hash tables (EMB_LSH_BITS hyperplane signs each); candidate pairs come
+    from the fully distributed bucket cogroup; the cosine verify joins the
+    normalized vectors back by id (packed float64 blobs). Approximate →
+    rows-only driver check; recall vs the exact variant is pytest-asserted.
+    """
+    from spider_ray.functions.dedup import (
+        COSINE_TAU,
+        _bucket_cogroup_pairs,
+        _conform,
+        _hash_join,
+    )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    probe = ds.take(1)
+    dim = len(probe[0]["embedding"])
+    H = np.stack(
+        [
+            _hyperplanes(dim, EMB_LSH_BITS, seed=10416 + t)
+            for t in range(EMB_LSH_TABLES)
+        ]
+    )  # (tables, dim, bits)
+    h_ref = ray.put(H)
+    powers = 1 << np.arange(EMB_LSH_BITS)
+
+    def code_rows(batch: pa.Table) -> pa.Table:
+        bH = ray.get(h_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        V = _normalize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        out_ids, out_buckets = [], []
+        for t in range(bH.shape[0]):
+            codes = ((V @ bH[t]) > 0) @ powers
+            out_ids.append(ids)
+            out_buckets.append(
+                codes.astype(np.uint64) | (np.uint64(t) << np.uint64(32))
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_buckets), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            }
+        )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        V = _normalize(
+            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["vec_id"].cast(pa.int64()),
+                "vb": pa.array([v.tobytes() for v in V], pa.binary()),
+            }
+        )
+
+    vecs = ds.map_batches(pack, batch_format="pyarrow").materialize()
+    exploded = ds.map_batches(code_rows, batch_format="pyarrow")
+    cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
+    ids_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
+    j = _hash_join(cand, vecs, "a_id", "doc_id").map_batches(
+        _conform(ids_schema.append(pa.field("v_a", pa.binary()))),
+        batch_format="pyarrow",
+    )
+    j = _hash_join(j, vecs, "b_id", "doc_id").map_batches(
+        _conform(
+            ids_schema.append(pa.field("v_a", pa.binary()))
+            .append(pa.field("v_b", pa.binary()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_bin = batch["v_a"].to_pylist()
+        b_bin = batch["v_b"].to_pylist()
+        if a_bin:
+            A = np.frombuffer(b"".join(a_bin), dtype=np.float64).reshape(
+                len(a_bin), -1
+            )
+            B = np.frombuffer(b"".join(b_bin), dtype=np.float64).reshape(
+                len(b_bin), -1
+            )
+            cos = (A * B).sum(axis=1)
+        else:
+            cos = np.empty(0, dtype=np.float64)
+        keep = cos >= COSINE_TAU
+        kept = batch.filter(pa.array(keep)).select(["a_id", "b_id"])
+        return kept.append_column(
+            "cosine", pa.array(cos[keep], pa.float64())
+        )
+
+    t = _concat(j.map_batches(verify, batch_format="pyarrow"))
+    return _sorted(t, ["a_id", "b_id"])

@@ -151,15 +151,15 @@ def q_heavy_hitters(sf_dir: str) -> pa.Table:
     # keys — recover it from per-block block_n would miss empty summaries,
     # so count the dataset directly (cheap metadata count)
     n_total = ds.count()
-    candidates = set(m["user_id"].unique().to_list())
-    cand_ref = ray.put(candidates)
+    candidates = sorted(set(m["user_id"].unique().to_list()))
+    cand_ref = ray.put(pl.Series("user_id", candidates))
 
     def exact_count(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        cands = ray.get(cand_ref)
+        cands = ray.get(cand_ref)  # pre-built Series, no per-batch rebuild
         df = pl.from_arrow(batch.select(["user_id"]))
-        hit = df.filter(pl.col("user_id").is_in(list(cands)))
+        hit = df.filter(pl.col("user_id").is_in(cands))
         out = hit.group_by("user_id").agg(pl.len().cast(pl.Int64).alias("c"))
         return out.to_arrow()
 
@@ -225,7 +225,7 @@ def q_bloom_anti_join(sf_dir: str) -> pa.Table:
             {"k": pa.array(np.unique(early_keys(batch)), pa.int64())}
         )
 
-    exact_seen = set(
+    exact_seen = np.unique(
         pa.concat_tables(
             ray.get(
                 seen_ds.map_batches(
@@ -233,7 +233,7 @@ def q_bloom_anti_join(sf_dir: str) -> pa.Table:
                 ).to_arrow_refs()
             ),
             promote_options="default",
-        )["k"].to_pylist()
+        )["k"].to_numpy(zero_copy_only=False)
     )
     seen_ref = ray.put(exact_seen)
 
@@ -244,9 +244,7 @@ def q_bloom_anti_join(sf_dir: str) -> pa.Table:
         keys = batch["p_partkey"].to_numpy(zero_copy_only=False)
         maybe = f.contains(mix64_int(keys, seed=_HLL_SEED))
         seen = ray.get(seen_ref)
-        verify = np.array(
-            [k in seen for k in keys[maybe]], dtype=bool
-        )
+        verify = np.isin(keys[maybe], seen)
         keep = ~maybe
         keep[np.flatnonzero(maybe)[~verify]] = True  # bloom FPs survive
         return batch.filter(pa.array(keep))

@@ -309,12 +309,12 @@ def q_anti_join(sf_dir: str) -> pa.Table:
         .map_batches(early, batch_format="pyarrow")
         .unique("o_custkey")
     )
-    seen_ref = ray.put(set(seen))
+    seen_ref = ray.put(pa.array(sorted(seen), pa.int64()))
 
     def _anti(batch: pa.Table) -> pa.Table:
-        seen_set = ray.get(seen_ref)
-        mask = [k not in seen_set for k in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(mask))
+        seen_keys = ray.get(seen_ref)
+        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=seen_keys))
+        return batch.filter(mask)
 
     t = _concat(cust.map_batches(_anti, batch_format="pyarrow"))
     return _sorted(t, "c_custkey")
@@ -354,24 +354,42 @@ def q_region_revenue(sf_dir: str) -> pa.Table:
 def q_latest_record(sf_dir: str) -> pa.Table:
     """Per-user latest event — the batch⋈delta linkbase merge keep-max-
     timestamp rule (J6, mr_combine_batch_delta_reducer.cc:33-95). Two-stage:
-    per-block partial latest, then final latest over partials."""
+    per-block partial latest, then a DISTRIBUTED final: partials are
+    hash-partitioned by user and each partition reduces vectorized in a
+    ``groupby(part).map_groups`` worker (output is O(users) — never a
+    driver-side merge)."""
     ds = read_table(
         sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
     )
 
-    def latest(lf: pl.LazyFrame) -> pl.LazyFrame:
+    def latest(df: pl.DataFrame) -> pl.DataFrame:
         return (
-            lf.sort(["ts", "event_id"], descending=[True, True])
+            df.sort(["ts", "event_id"], descending=[True, True])
             .group_by("user_id", maintain_order=True)
             .first()
         )
 
-    def final(lf):
-        return latest(lf).sort("user_id").select(
-            "user_id", "event_id", "ts", "event_type", "value"
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-block combine plus the partition key for the distributed
+        # final (output is O(users) — never driver-merged)
+        out = latest(pl.from_arrow(batch)).with_columns(
+            part=(pl.col("user_id") % 32).cast(pl.Int32)
+        )
+        return out.to_arrow()
+
+    def final_group(group: pa.Table) -> pa.Table:
+        return (
+            latest(pl.from_arrow(group))
+            .select("user_id", "event_id", "ts", "event_type", "value")
+            .to_arrow()
         )
 
-    return partial_final_agg(ds, latest, final)
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_group, batch_format="pyarrow")
+    )
+    return _sorted(_concat(out), "user_id")
 
 
 def q_asof_join(sf_dir: str) -> pa.Table:

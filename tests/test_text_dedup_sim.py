@@ -171,3 +171,17 @@ def test_bucket_cogroup_pairs_matches_bruteforce(ray_session):
     for r in out.to_pandas().itertuples():
         got[(r.a_id, r.b_id)] = r.n_shared
     assert got == expected
+
+
+def test_embedding_neardup_lsh_recall(ray_session, sf_small):
+    """The LSH-bucketed scale path must recover ≥0.9 of the exact O(N²)
+    variant's pairs with perfect precision (the verify is exact cosine)."""
+    from spider_ray.functions.dedup import q_embedding_neardup
+    from spider_ray.functions.similarity import q_embedding_neardup_lsh
+
+    exact = q_embedding_neardup(sf_small)
+    lsh = q_embedding_neardup_lsh(sf_small)
+    ep = set(zip(exact["a_id"].to_pylist(), exact["b_id"].to_pylist()))
+    lp = set(zip(lsh["a_id"].to_pylist(), lsh["b_id"].to_pylist()))
+    assert lp <= ep  # exact verify ⇒ no false positives
+    assert len(lp & ep) / max(len(ep), 1) >= 0.9
