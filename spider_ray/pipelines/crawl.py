@@ -20,10 +20,15 @@ fetch → extract → frontier[g+1]):
    metrics rows → a killed run resumes at the last complete generation
    without re-fetching (fetch lookups are counted to prove it).
 
-The driver-side lists touched here are wave-sized (one generation's
-candidates/permits), never corpus-sized; at 10^10-frontier scale each becomes
-a partitioned dataset and the actor calls take block refs — the code is
-structured so that swap is local (see routes/_schedule_group).
+The wave flows by OBJECT-STORE BLOCK REFS end to end: candidates enter as
+block refs, permits come back from the shard actors as per-shard Arrow table
+refs, big waves sort distributed (ray.data over those refs), fetched blocks
+stay in the object store, and every sink (status / images / next-candidates /
+seen) streams one small derived block at a time through a ParquetWriter —
+driver RSS is bounded by a single block regardless of wave or frontier size.
+Small waves (≤ DS_SORT_THRESHOLD permits) take a driver-side shortcut for the
+permit sort only; both paths produce byte-identical output
+(test_distributed_sort_path_identical forces the refs path).
 """
 
 from __future__ import annotations
@@ -87,13 +92,32 @@ class ShardActor:
         rows = sorted(rows, key=lambda r: r["seq"])
         accepted, hits = self.sched.admit(rows)
         permits = self.sched.run_wave(accepted, wave_start, self.meta)
+        self._permits = permits
+        self._dedup_hits = hits
         return {
-            "permits": [p.__dict__ for p in permits],
             "dedup_hits": hits,
             "candidates": len(rows),
+            "scheduled": len(permits),
             "top_host": getattr(self.sched, "last_top_host", ""),
             "top_host_n": getattr(self.sched, "last_top_host_n", 0),
         }
+
+    def take_permits(self) -> pa.Table:
+        """This wave's permits as one Arrow table (the actor's shard slice).
+        Returned as a separate remote call so the driver can hold only the
+        ObjectRef and feed it straight into the permit sort / fetch stage —
+        permits never materialize driver-side."""
+        permits = getattr(self, "_permits", [])
+        self._permits = []
+        rows = [
+            {
+                **p.__dict__,
+                "dedup_hits": self._dedup_hits,
+                "shard": self.sched.shard_id,
+            }
+            for p in permits
+        ]
+        return pa.Table.from_pylist(rows, schema=PERMIT_SCHEMA)
 
     def enqueue(self, table: pa.Table) -> int:
         """Streamed routing: map_batches tasks push this shard's rows here
@@ -131,6 +155,27 @@ class ShardActor:
 
     def seen_rows(self) -> list[tuple]:
         return self.sched.seen_urls
+
+    def seen_count(self) -> int:
+        return len(self.sched.seen_urls)
+
+    def seen_table(self) -> pa.Table:
+        """This shard's seen set as one Arrow table (with the
+        order-preserving int64 ``sort_key`` for the distributed sort)."""
+        rows = self.sched.seen_urls
+        uh = np.array([r[0] for r in rows], dtype=np.uint64)
+        return pa.table(
+            {
+                "url_hash": pa.array(uh, pa.uint64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "first_gen": pa.array(
+                    [r[2] for r in rows], pa.int32()
+                ),
+                "sort_key": pa.array(
+                    (uh ^ np.uint64(1 << 63)).view(np.int64), pa.int64()
+                ),
+            }
+        )
 
 
 class FetchWorker:
@@ -217,6 +262,32 @@ IMAGE_SCHEMA = pa.schema(
     ]
 )
 
+SEEN_SCHEMA = pa.schema(
+    [
+        ("url_hash", pa.uint64()),
+        ("url", pa.string()),
+        ("first_gen", pa.int32()),
+    ]
+)
+
+# FetchWorker output minus the two list columns — the per-gen status sink
+STATUS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("fetch_ts", pa.int64()),
+        ("gen", pa.int32()),
+        ("seq", pa.int64()),
+        ("priority", pa.int16()),
+        ("depth", pa.int16()),
+        ("tried", pa.int16()),
+        ("referer", pa.string()),
+        ("status", pa.int32()),
+        ("effective_url", pa.string()),
+        ("retry", pa.bool_()),
+    ]
+)
+
 
 class _FetchActorImpl(FetchWorker):
     def fetch_batch(self, batch: pa.Table) -> pa.Table:
@@ -287,22 +358,60 @@ SORT_KEYS = [("fetch_ts", "ascending"), ("priority", "ascending"),
 DS_SORT_THRESHOLD = 200_000  # permits above this use a distributed ds.sort
 
 
-def _sort_wave(fetched: pa.Table) -> pa.Table:
-    """Global crawl-order sort of one wave. Small waves sort driver-side
-    (arrow kernel); waves past ``DS_SORT_THRESHOLD`` go through a
-    distributed ``ray.data`` range-partitioned sort and come back as
-    globally-ordered blocks. SORT_KEYS is a total order ((gen, seq) is
-    unique), so both paths produce the identical table — asserted by
-    tests/test_crawl_parity.py::test_distributed_sort_path_identical."""
-    if fetched.num_rows <= DS_SORT_THRESHOLD:
-        return fetched.sort_by(SORT_KEYS)
-    ds = ray.data.from_arrow(_chunks(fetched, 65536))
-    parts = ray.get(
-        ds.sort([k for k, _ in SORT_KEYS]).to_arrow_refs()
+# --- per-block derivative tasks (refs-mode wave flow) -----------------------
+# Each takes an ObjectRef of a fetched block and returns a SMALL derived
+# table; the heavy fetched block itself never lands on the driver.
+
+
+@ray.remote
+def _block_status(block: pa.Table) -> pa.Table:
+    return block.drop_columns(["outlinks", "images"])
+
+
+@ray.remote
+def _block_image_refs(block: pa.Table) -> pa.Table:
+    """(image_id, alt) refs of one fetched block — global crawl order and
+    in-page order preserved (polars explode keeps both)."""
+    df = (
+        pl.from_arrow(block.select(["images"]))
+        .explode("images")
+        .drop_nulls("images")
+        .unnest("images")
     )
-    return pa.concat_tables(
-        [p for p in parts if p.num_rows], promote_options="default"
-    ).combine_chunks()
+    return df.to_arrow()
+
+
+@ray.remote(num_returns=2)
+def _block_candidates(block: pa.Table):
+    """One fetched block → (retry candidates, outlink candidates), both in
+    crawl order. The wave-level candidate sequence is ALL retries (block
+    order) then ALL outlinks (block order) — the seq-assignment seam the
+    oracle shares."""
+    fdf = pl.from_arrow(block)
+    retries = fdf.filter(pl.col("retry")).select(
+        pl.col("url"),
+        pl.col("depth").cast(pl.Int16),
+        (pl.col("tried") + 1).cast(pl.Int16).alias("tried"),
+        pl.col("priority").cast(pl.Int16),
+        pl.col("referer"),
+    )
+    outlinks = (
+        fdf.select(pl.col("effective_url"), pl.col("outlinks"))
+        .explode("outlinks")
+        .drop_nulls("outlinks")
+        .unnest("outlinks")
+        .select(
+            pl.col("url"),
+            pl.col("depth").cast(pl.Int16),
+            pl.lit(0, dtype=pl.Int16).alias("tried"),
+            pl.lit(None, dtype=pl.Int16).alias("priority"),
+            pl.col("effective_url").alias("referer"),
+        )
+    )
+    return (
+        retries.to_arrow().cast(CANDIDATE_SCHEMA),
+        outlinks.to_arrow().cast(CANDIDATE_SCHEMA),
+    )
 
 
 def run_crawl(
@@ -367,8 +476,13 @@ def run_crawl(
         FetchActorCls.remote(corpus_dir) for _ in range(fetch_concurrency)
     ]
 
+    def _as_blocks(t: pa.Table) -> tuple[list, int]:
+        """Chunk a candidate table into object-store block refs — from here
+        on the wave flows by refs."""
+        return [ray.put(ch) for ch in _chunks(t, 4096)], t.num_rows
+
     start_gen = 0
-    candidates = _with_seq(_seeds_candidates(c["seeds"]))
+    cand_blocks, cand_count = _as_blocks(_with_seq(_seeds_candidates(c["seeds"])))
     wave_start = 0
     if resume:
         done_gens = sorted(
@@ -384,21 +498,22 @@ def run_crawl(
                 with open(os.path.join(ck, f"shard_{s}.pkl"), "rb") as f:
                     ray.get(a.load_state.remote(f.read()))
             cand_path = os.path.join(out_dir, f"gen={g}", "next_candidates.parquet")
-            candidates = pq.read_table(cand_path)
+            cand_blocks, cand_count = _as_blocks(pq.read_table(cand_path))
             with open(os.path.join(ck, "wave_start.txt")) as f:
                 wave_start = int(f.read())
             start_gen = g + 1
 
     total_fetched = 0
     for gen in range(start_gen, max_gens):
-        if candidates.num_rows == 0:
+        if cand_count == 0:
             break
         gen_dir = os.path.join(out_dir, f"gen={gen}")
         os.makedirs(os.path.join(gen_dir, "ckpt"), exist_ok=True)
 
-        # 1. normalize (stateless mb; robots broadcast). Chunk the wave
-        # into multiple blocks so normalize parallelizes across the pool.
-        cand_ds = ray.data.from_arrow(_chunks(candidates, 4096))
+        # 1. normalize (stateless mb; robots broadcast) over the candidate
+        # block refs — the wave enters as object-store blocks, not a
+        # driver table.
+        cand_ds = ray.data.from_arrow_refs(list(cand_blocks))
 
         def _norm(batch: pa.Table, g=gen) -> pa.Table:
             rob = ray.get(robots_ref)
@@ -440,48 +555,78 @@ def run_crawl(
         ):
             pass
 
-        # 3. schedule each shard's wave (politeness DES in the actors), then
-        # merge permits in the global crawl-order sort (_sort_wave: arrow
-        # kernel for small waves, distributed ds.sort past the threshold).
+        # 3. schedule each shard's wave (politeness DES in the actors).
+        # Permits come back as per-shard Arrow TABLE REFS — the driver holds
+        # ObjectRefs, never the rows.
         wave_res = ray.get(
             [a.schedule_wave.remote(wave_start) for a in actors]
         )
-        permit_rows = []
-        for sh, res in enumerate(wave_res):
-            for p in res["permits"]:
-                permit_rows.append({**p, "dedup_hits": res["dedup_hits"], "shard": sh})
-        permits_t = pa.Table.from_pylist(permit_rows, schema=PERMIT_SCHEMA)
-        futs = [
-            fetch_pool[i % len(fetch_pool)].fetch_batch.remote(chunk)
-            for i, chunk in enumerate(_chunks(permits_t, 256))
-        ]
-        parts = ray.get(futs) if futs else []
-        fetched = (
-            pa.concat_tables(parts, promote_options="default")
-            if parts
-            else pa.Table.from_pylist([], schema=PERMIT_SCHEMA)
-        )
-        fetched = _sort_wave(fetched)
-        total_fetched += fetched.num_rows
+        permit_refs = [a.take_permits.remote() for a in actors]
+        n_permits = sum(r["scheduled"] for r in wave_res)
 
-        # 4a. status sink
-        status_t = fetched.drop_columns(["outlinks", "images"])
-        pq.write_table(status_t, os.path.join(gen_dir, "status.parquet"))
+        # permits → global crawl-order sort → fetch pool. Small waves pull
+        # the bounded permit tables and sort with the arrow kernel; waves
+        # past DS_SORT_THRESHOLD sort distributed (ray.data over the refs)
+        # and the sorted blocks go straight to the fetch actors. SORT_KEYS
+        # is a total order, so both paths yield the identical global row
+        # sequence (asserted by test_distributed_sort_path_identical).
+        if n_permits <= DS_SORT_THRESHOLD:
+            permits_t = pa.concat_tables(
+                ray.get(permit_refs), promote_options="default"
+            ).sort_by(SORT_KEYS)
+            fetch_in = _chunks(permits_t, 256) if permits_t.num_rows else []
+        else:
+            sorted_ds = ray.data.from_arrow_refs(permit_refs).sort(
+                [k for k, _ in SORT_KEYS]
+            )
+            fetch_in = list(sorted_ds.to_arrow_refs())
+        fetched_refs = [
+            fetch_pool[i % len(fetch_pool)].fetch_batch.remote(chunk)
+            for i, chunk in enumerate(fetch_in)
+        ]
+
+        # 4. per-block derivative tasks, submitted up front and consumed in
+        # global crawl order — the heavy fetched blocks stay in the object
+        # store; the driver only streams SMALL derived tables, one block at
+        # a time, into single-file parquet sinks (RSS stays flat no matter
+        # the wave size).
+        status_refs = [_block_status.remote(r) for r in fetched_refs]
+        imref_refs = [_block_image_refs.remote(r) for r in fetched_refs]
+        cand_refs = [_block_candidates.remote(r) for r in fetched_refs]
+
+        # 4a. status sink (streamed, global crawl order)
+        n_fetched = n2 = n4 = n5 = 0
+        status_writer = None
+        status_path = os.path.join(gen_dir, "status.parquet")
+        for sref in status_refs:
+            st = ray.get(sref)
+            if status_writer is None:
+                status_writer = pq.ParquetWriter(status_path, st.schema)
+            status_writer.write_table(st)
+            n_fetched += st.num_rows
+            codes = st["status"].to_numpy(zero_copy_only=False)
+            n2 += int(((codes >= 200) & (codes < 300)).sum())
+            n4 += int(((codes >= 400) & (codes < 500)).sum())
+            n5 += int(((codes >= 500)).sum())
+        if status_writer is None:
+            pq.write_table(
+                pa.Table.from_pylist([], schema=STATUS_SCHEMA), status_path
+            )
+        else:
+            status_writer.close()
+        total_fetched += n_fetched
 
         # 4b. image sink: first-wins dedup on REFS via shard actors, then
         # decode/recompress/phash only the kept refs in the fetch pool.
-        # Vectorized explode keeps the parity seam: refs appear in global
-        # crawl order, in-page order; per-shard index lists stay increasing
-        # (np.flatnonzero), so each shard's admit order is unchanged.
-        refs_df = (
-            pl.from_arrow(fetched.select(["images"]))
-            .explode("images")
-            .drop_nulls("images")
-            .unnest("images")
-        )
-        kept_refs: list[dict] = []
-        if refs_df.height:
-            ih = hash64(refs_df["image_id"].to_arrow())
+        # Blocks are admitted strictly in crawl order (sequential ray.get
+        # per block), so each shard sees the same hash sequence as the
+        # whole-wave path — the parity seam is block-size-invariant.
+        img_futs = []
+        for iref in imref_refs:
+            refs_t = ray.get(iref)
+            if refs_t.num_rows == 0:
+                continue
+            ih = hash64(refs_t["image_id"])
             shard_of = (ih % np.uint64(num_shards)).astype(np.int64)
             futs, idx_by_shard = {}, {}
             for s in range(num_shards):
@@ -491,55 +636,69 @@ def run_crawl(
                     futs[s] = actors[s].admit_images.remote(
                         [int(h) for h in ih[idxs]]
                     )
-            keep = np.zeros(refs_df.height, dtype=bool)
+            keep = np.zeros(refs_t.num_rows, dtype=bool)
             for s, idxs in idx_by_shard.items():
                 keep[idxs] = ray.get(futs[s])
-            kept_refs = refs_df.filter(pl.Series(keep)).to_dicts()
-        if kept_refs:
-            pfuts = [
-                fetch_pool[i % len(fetch_pool)].process_refs.remote(chunk, gen)
-                for i, chunk in enumerate(
-                    [kept_refs[j : j + 64] for j in range(0, len(kept_refs), 64)]
+            kept = refs_t.filter(pa.array(keep)).to_pylist()
+            img_futs.extend(
+                fetch_pool[len(img_futs) % len(fetch_pool)].process_refs.remote(
+                    kept[j : j + 64], gen
                 )
-            ]
-            images_t = pa.concat_tables(ray.get(pfuts), promote_options="default")
-        else:
-            images_t = pa.Table.from_pylist([], schema=IMAGE_SCHEMA)
-        pq.write_table(images_t, os.path.join(gen_dir, "images.parquet"))
-
-        # 4c. next-gen candidates: retries (crawl order) then outlinks —
-        # vectorized; polars filter/explode preserve row order and in-list
-        # order, so the candidate sequence (the seq-assignment seam) is
-        # byte-identical to the per-row construction
-        fdf = pl.from_arrow(fetched)
-        retries_df = fdf.filter(pl.col("retry")).select(
-            pl.col("url"),
-            pl.col("depth").cast(pl.Int16),
-            (pl.col("tried") + 1).cast(pl.Int16).alias("tried"),
-            pl.col("priority").cast(pl.Int16),
-            pl.col("referer"),
-        )
-        outlinks_df = (
-            fdf.select(pl.col("effective_url"), pl.col("outlinks"))
-            .explode("outlinks")
-            .drop_nulls("outlinks")
-            .unnest("outlinks")
-            .select(
-                pl.col("url"),
-                pl.col("depth").cast(pl.Int16),
-                pl.lit(0, dtype=pl.Int16).alias("tried"),
-                pl.lit(None, dtype=pl.Int16).alias("priority"),
-                pl.col("effective_url").alias("referer"),
+                for j in range(0, len(kept), 64)
             )
-        )
-        candidates = _with_seq(
-            pl.concat([retries_df, outlinks_df])
-            .to_arrow()
-            .cast(CANDIDATE_SCHEMA)
-        )
-        pq.write_table(
-            candidates, os.path.join(gen_dir, "next_candidates.parquet")
-        )
+        n_images = 0
+        img_writer = None
+        images_path = os.path.join(gen_dir, "images.parquet")
+        for f in img_futs:
+            t = ray.get(f)
+            if img_writer is None:
+                img_writer = pq.ParquetWriter(images_path, t.schema)
+            img_writer.write_table(t)
+            n_images += t.num_rows
+        if img_writer is None:
+            pq.write_table(
+                pa.Table.from_pylist([], schema=IMAGE_SCHEMA), images_path
+            )
+        else:
+            img_writer.close()
+
+        # 4c. next-gen candidates: ALL retries (crawl order) then ALL
+        # outlinks (crawl order) — identical sequence to the whole-wave
+        # construction; seq assigned with a running offset per block. The
+        # seq'd blocks are re-put as the next wave's input refs AND streamed
+        # into the single-file checkpoint.
+        retry_refs = [p[0] for p in cand_refs]
+        outlink_refs = [p[1] for p in cand_refs]
+        cand_writer = None
+        cand_path = os.path.join(gen_dir, "next_candidates.parquet")
+        next_cand_refs: list = []
+        offset = 0
+        for ref in retry_refs + outlink_refs:
+            t = ray.get(ref)  # one small block at a time
+            if t.num_rows == 0:
+                continue
+            t = t.append_column(
+                "seq",
+                pa.array(np.arange(offset, offset + t.num_rows), pa.int64()),
+            )
+            offset += t.num_rows
+            if cand_writer is None:
+                cand_writer = pq.ParquetWriter(cand_path, t.schema)
+            cand_writer.write_table(t)
+            next_cand_refs.append(ray.put(t))
+        if cand_writer is None:
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [], schema=CANDIDATE_SCHEMA.append(
+                        pa.field("seq", pa.int64())
+                    )
+                ),
+                cand_path,
+            )
+        else:
+            cand_writer.close()
+        cand_blocks = next_cand_refs
+        cand_count = offset
 
         # 5. checkpoint: scheduler state per shard + wave clock + marker
         wave_start = max(ray.get([a.clock.remote() for a in actors]))
@@ -550,29 +709,26 @@ def run_crawl(
         with open(os.path.join(gen_dir, "ckpt", "wave_start.txt"), "w") as f:
             f.write(str(wave_start))
         # per-(gen, shard) lineage + metrics rows (north rule: every
-        # partition checkpoints its lineage and metrics)
-        status_codes = fetched["status"].to_pylist() if fetched.num_rows else []
-        n2 = sum(1 for c in status_codes if 200 <= c < 300)
-        n4 = sum(1 for c in status_codes if 400 <= c < 500)
-        n5 = sum(1 for c in status_codes if c >= 500)
+        # partition checkpoints its lineage and metrics); counters were
+        # accumulated during the streaming sinks
         mrows = [
             {
                 "gen": gen,
                 "shard": sh,
                 "candidates": res["candidates"],
                 "dedup_hits": res["dedup_hits"],
-                "scheduled": len(res["permits"]),
+                "scheduled": res["scheduled"],
                 "top_host": res.get("top_host", ""),
                 "top_host_n": res.get("top_host_n", 0),
                 "cuckoo_fp_audit": res.get("fp_audit", 0),
                 "seen_size": res.get("seen_size", 0),
                 "shard_clock_us": res.get("clock", 0),
-                "fetched_total": fetched.num_rows,
+                "fetched_total": n_fetched,
                 "http_2xx": n2,
                 "http_4xx": n4,
                 "http_5xx": n5,
-                "images": images_t.num_rows,
-                "next_candidates": candidates.num_rows,
+                "images": n_images,
+                "next_candidates": cand_count,
                 "wave_end_us": wave_start,
             }
             for sh, res in enumerate(wave_res)
@@ -582,22 +738,37 @@ def run_crawl(
         with open(os.path.join(gen_dir, "_DONE"), "w") as f:
             f.write("ok")
 
-    # final: merged seen table
-    seen_rows = []
-    for a in actors:
-        seen_rows.extend(
-            {"url_hash": uh, "url": u, "first_gen": g}
-            for uh, u, g in ray.get(a.seen_rows.remote())
+    # final: merged seen table, globally sorted by (url_hash, url). Small
+    # sets concat+sort driver-side (bounded); big sets sort distributed
+    # over the per-shard table refs using the order-preserving int64
+    # bit-flip key (ray's sort doesn't take uint64) and stream-write.
+    seen_refs = [a.seen_table.remote() for a in actors]
+    seen_path = os.path.join(out_dir, "seen.parquet")
+    n_seen = sum(ray.get([a.seen_count.remote() for a in actors]))
+    if n_seen <= DS_SORT_THRESHOLD:
+        seen_t = pa.concat_tables(
+            ray.get(seen_refs), promote_options="default"
+        ).sort_by([("url_hash", "ascending"), ("url", "ascending")])
+        pq.write_table(seen_t.drop_columns(["sort_key"]), seen_path)
+    else:
+        sorted_ds = ray.data.from_arrow_refs(seen_refs).sort(
+            ["sort_key", "url"]
         )
-    seen_rows.sort(key=lambda r: (r["url_hash"], r["url"]))
-    seen_t = pa.Table.from_pylist(
-        seen_rows,
-        schema=pa.schema(
-            [("url_hash", pa.uint64()), ("url", pa.string()),
-             ("first_gen", pa.int32())]
-        ),
-    )
-    pq.write_table(seen_t, os.path.join(out_dir, "seen.parquet"))
+        writer = None
+        for bref in sorted_ds.to_arrow_refs():
+            b = ray.get(bref)
+            if b.num_rows == 0:
+                continue
+            b = b.drop_columns(["sort_key"])
+            if writer is None:
+                writer = pq.ParquetWriter(seen_path, b.schema)
+            writer.write_table(b)
+        if writer is None:
+            pq.write_table(
+                pa.Table.from_pylist([], schema=SEEN_SCHEMA), seen_path
+            )
+        else:
+            writer.close()
 
     for a in actors + fetch_pool:
         ray.kill(a)
