@@ -56,6 +56,17 @@ from spider_ray.state.scheduler import FetchPermit, ShardScheduler
 
 MAX_GENS = 8
 
+
+def _driver_rss_kb() -> int:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
 PERMIT_SCHEMA = pa.schema(
     [
         ("fetch_ts", pa.int64()),
@@ -710,7 +721,9 @@ def run_crawl(
             f.write(str(wave_start))
         # per-(gen, shard) lineage + metrics rows (north rule: every
         # partition checkpoints its lineage and metrics); counters were
-        # accumulated during the streaming sinks
+        # accumulated during the streaming sinks. driver_rss_kb proves the
+        # block-ref wave flow: it must stay flat across generations even as
+        # the frontier grows.
         mrows = [
             {
                 "gen": gen,
@@ -730,6 +743,7 @@ def run_crawl(
                 "images": n_images,
                 "next_candidates": cand_count,
                 "wave_end_us": wave_start,
+                "driver_rss_kb": _driver_rss_kb(),
             }
             for sh, res in enumerate(wave_res)
         ]
