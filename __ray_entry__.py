@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": T.q_token_stats,
         "bpe_token_count": T.q_bpe_token_count,
         "quality_scores": T.q_quality_scores,
+        "charset_decode": T.q_charset_decode,
         "langid": T.q_langid,
         "fingerprints": T.q_fingerprints,
         "mixture_sample": T.q_mixture_sample,
@@ -219,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": U.q_url_canonicalize,
         "host_split": U.q_host_split,
         "seeded_shuffle": U.q_seeded_shuffle,
+        "ip_url_split": U.q_ip_url_split,
         # scheduling ops
         "binpack_customers": B.q_binpack_customers,
         # sketches (approx_distinct rows-only: approximate by construction,
@@ -605,11 +607,58 @@ def oracle_sql() -> dict[str, str]:
                        / length(text) AS digit_ratio
             FROM documents ORDER BY doc_id
         """,
+        "charset_decode": """
+            -- the engine's encode→decode roundtrip is lossless (utf-8 and
+            -- gb18030 both cover all of Unicode), so the oracle reproduces
+            -- the output directly: charset from the frozen
+            -- mix64_int(doc_id, 7031) key, text/n_chars from the source
+            WITH s1 AS (
+                SELECT doc_id, text,
+                       CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 7031)
+                            % 18446744073709551616 AS UBIGINT) AS u
+                FROM documents),
+            s2 AS (SELECT doc_id, text, xor(u, u >> 29) AS u FROM s1),
+            s3 AS (SELECT doc_id, text,
+                          CAST((CAST(u AS HUGEINT) * 2246822519)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM s2),
+            s4 AS (SELECT doc_id, text, xor(u, u >> 32) AS u FROM s3)
+            SELECT doc_id, text,
+                   CASE WHEN u % 2 = 0 THEN 'utf-8' ELSE 'gb18030' END
+                       AS charset,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   TRUE AS decode_ok
+            FROM s4 ORDER BY doc_id
+        """,
         "url_canonicalize": """
             SELECT doc_id,
                    'http://' || lower(source) || '.example.com/docs/'
                        || doc_id || '?a=1&b=2' AS url
             FROM documents ORDER BY doc_id
+        """,
+        "ip_url_split": """
+            -- J4 hot-IP diversion: skewed host->IP map (ip index =
+            -- floor(sqrt(host rank))), per-IP URL counts, relative
+            -- threshold 1.5x mean, proxy/direct routing
+            WITH hosts AS (
+                SELECT doc_id, lower(source) || '.example.com' AS host
+                FROM documents),
+            ranks AS (
+                SELECT host,
+                       CAST(row_number() OVER (ORDER BY host) - 1 AS INT) AS r
+                FROM (SELECT DISTINCT host FROM hosts)),
+            ips AS (
+                SELECT h.doc_id,
+                       '10.0.0.' || CAST(floor(sqrt(r)) AS INT) AS ip
+                FROM hosts h JOIN ranks USING (host)),
+            counts AS (SELECT ip, count(*) AS n FROM ips GROUP BY ip),
+            hot AS (
+                SELECT ip FROM counts
+                WHERE n > 1.5 * (SELECT avg(n) FROM counts))
+            SELECT doc_id, ip,
+                   CASE WHEN ip IN (SELECT ip FROM hot)
+                        THEN 'proxy' ELSE 'direct' END AS route
+            FROM ips ORDER BY doc_id
         """,
         "host_split": """
             SELECT doc_id,

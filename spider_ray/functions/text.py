@@ -216,3 +216,49 @@ def q_sequence_pack(sf_dir: str) -> pa.Table:
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+def q_charset_decode(sf_dir: str) -> pa.Table:
+    """M7 TEXT path (HTML→UTF-8 best-effort conversion,
+    fetch_result_handler.cc:182-224): synthesize per-doc charset-encoded
+    bodies — charset picked by the frozen mix64 key, declared in the
+    Content-Type header — then run the decode stage and emit the recovered
+    text. The roundtrip is lossless (utf-8 / gb18030 both encode all of
+    Unicode), so the DuckDB oracle reproduces the full output including the
+    text column; mojibake/failure behavior is covered by the golden
+    fixtures in tests/test_textdecode.py."""
+    import numpy as np
+
+    from spider_ray.stages.textdecode import decode_pages
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        u = mix64_int(ids, seed=7031)
+        labels = np.where(u % np.uint64(2) == 0, "utf-8", "gb18030")
+        bodies = [
+            t.encode(cs)
+            for t, cs in zip(batch["text"].to_pylist(), labels)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "body": pa.array(bodies, pa.binary()),
+                "content_type": pa.array(
+                    [f"text/html; charset={c}" for c in labels], pa.string()
+                ),
+            }
+        )
+
+    decoded = decode_pages(ds.map_batches(encode, batch_format="pyarrow"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["doc_id", "text", "charset", "n_chars", "decode_ok"]
+        )
+
+    return _sorted(
+        _concat(decoded.map_batches(project, batch_format="pyarrow")),
+        "doc_id",
+    )

@@ -90,3 +90,49 @@ def q_seeded_shuffle(sf_dir: str) -> pa.Table:
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+def q_ip_url_split(sf_dir: str) -> pa.Table:
+    """IP-level hot diversion valve (J4, ip_url_split.cc:21,85-97): per-IP
+    URL counts → IPs above the relative threshold divert to the PROXY
+    partition. The synthetic host→IP map is deliberately skewed (ip index =
+    floor(sqrt(host rank)), so one IP serves 7 hosts) to force a non-trivial
+    split at every scale; the DuckDB oracle reproduces map, counts,
+    threshold and routing exactly."""
+    import math
+
+    from spider_ray.stages.iproute import ip_url_split
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    hosts = sorted(
+        {f"{s.lower()}.example.com" for s in docs.unique("source")}
+    )  # rank over sorted hosts — the oracle ranks identically
+    host_ips = {
+        h: [f"10.0.0.{int(math.isqrt(r))}"] for r, h in enumerate(hosts)
+    }
+
+    def mk_urls(batch: pa.Table) -> pa.Table:
+        urls = [
+            f"http://{s.lower()}.example.com/docs/{d}?a=1&b=2"
+            for d, s in zip(
+                batch["doc_id"].to_pylist(), batch["source"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+
+    tagged = ip_url_split(
+        docs.map_batches(mk_urls, batch_format="pyarrow"), host_ips
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "ip", "route"])
+
+    return _sorted(
+        _concat(tagged.map_batches(project, batch_format="pyarrow")),
+        "doc_id",
+    )

@@ -435,10 +435,31 @@ def run_crawl(
     resume: bool = False,
     seen_capacity: int = 1 << 18,
     hot_hosts: tuple[str, ...] = (),
+    host_ips: dict[str, list[str]] | None = None,
+    hot_ips: tuple[str, ...] = (),
 ) -> dict:
     """Run (or resume) the crawl; writes per-gen parquet sinks under
-    ``out_dir`` and returns summary paths + counters."""
+    ``out_dir`` and returns summary paths + counters.
+
+    ``hot_ips`` is the IP-level diversion valve (J4,
+    ip_url_split.cc:21,85-97): every host whose resolved IP (per
+    ``host_ips``) is hot gets the SAME dedicated-shard treatment as an
+    explicit hot host — its politeness budget owns one proxy-flagged
+    partition and stops competing with hash-assigned hosts. The derivation
+    is deterministic (sorted host walk), so it is a parity seam shared with
+    the oracle, which receives the derived host set."""
     import json
+
+    if hot_ips:
+        if not host_ips:
+            raise ValueError("hot_ips requires a host_ips resolution table")
+        derived = tuple(
+            h
+            for h in sorted(host_ips)
+            if any(ip in hot_ips for ip in host_ips[h])
+            and h not in hot_hosts
+        )
+        hot_hosts = tuple(hot_hosts) + derived
 
     os.makedirs(out_dir, exist_ok=True)
     # pin the run's sharding topology: shard assignment (num_shards,

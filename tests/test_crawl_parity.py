@@ -259,3 +259,50 @@ def test_resume_topology_mismatch_rejected(corpus, ray_session):
                   resume=True)
     # matching topology resumes fine
     run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, resume=True)
+
+
+def test_hot_ip_diversion_parity(corpus, ray_session):
+    """IP-level diversion valve (J4, ip_url_split.cc semantics): force the
+    corpus's hottest host through the valve by marking its resolved IP hot.
+    The run must (a) byte-match an explicit hot-host run — the IP valve is
+    the same dedicated-shard diversion, derived through the resolution
+    table — and (b) stay in exact crawl-order/seen parity with the oracle."""
+    import collections
+    import filecmp
+
+    import pyarrow.parquet as _pq
+
+    from spider_ray.pipelines.crawl import run_crawl
+
+    graph = _pq.read_table(os.path.join(CORPUS, "web_graph.parquet"))
+    hosts = sorted({u.split("/")[2] for u in graph["url"].to_pylist()})
+    hot = collections.Counter(
+        u.split("/")[2] for u in graph["url"].to_pylist()
+    ).most_common(1)[0][0]
+    # synthetic resolution table: unique IP per host; the hot host's IP is
+    # marked hot
+    host_ips = {h: [f"10.1.0.{i}"] for i, h in enumerate(hosts)}
+    hot_ip = host_ips[hot][0]
+
+    out_ip = "/tmp/spider_ray_test_hotip"
+    shutil.rmtree(out_ip, ignore_errors=True)
+    run_crawl(corpus, out_ip, num_shards=3, fetch_concurrency=2,
+              host_ips=host_ips, hot_ips=(hot_ip,))
+
+    out_hh = "/tmp/spider_ray_test_hotip_ref"
+    shutil.rmtree(out_hh, ignore_errors=True)
+    run_crawl(corpus, out_hh, num_shards=3, fetch_concurrency=2,
+              hot_hosts=(hot,))
+
+    eng = _engine_rows(out_ip, "status.parquet")
+    ref = _engine_rows(out_hh, "status.parquet")
+    assert eng == ref  # IP valve == host valve for the derived host
+
+    gold = run_oracle(corpus, num_shards=3, hot_hosts=(hot,))
+    assert len(eng) == len(gold["crawl_order"])
+    for e, g in zip(eng, gold["crawl_order"]):
+        assert (e["url"], e["fetch_ts"], e["gen"], e["seq"]) == (
+            g["url"], g["fetch_ts"], g["gen"], g["seq"]
+        )
+    seen = pq.read_table(os.path.join(out_ip, "seen.parquet")).to_pylist()
+    assert seen == gold["seen"]
