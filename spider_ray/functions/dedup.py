@@ -230,7 +230,10 @@ def q_exact_dedup(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Min
 
     out = hashed.groupby("text_hash").aggregate(Min("doc_id"), Count())
-    t = pa.concat_tables(ray.get(out.to_arrow_refs()), promote_options="default")
+    t = pa.concat_tables(
+        ray.get(out.materialize().to_arrow_refs()),
+        promote_options="default",
+    )
     t = t.select(["min(doc_id)", "count()"]).rename_columns(
         ["doc_id", "dup_count"]
     )
@@ -429,7 +432,7 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (cos ≥ τ): per-batch matmul against a
     broadcast normalized matrix (ray.put once) — the ANN-free exact variant."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    all_t = pa.concat_tables(ray.get(emb.to_arrow_refs()))
+    all_t = pa.concat_tables(ray.get(emb.materialize().to_arrow_refs()))
     ids = np.asarray(all_t["vec_id"].to_pylist(), dtype=np.int64)
     M = np.asarray(all_t["embedding"].to_pylist(), dtype=np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)

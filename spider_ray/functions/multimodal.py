@@ -261,7 +261,8 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
 
     out = j.map_batches(verify, batch_format="pyarrow")
     t = pa.concat_tables(
-        ray.get(out.to_arrow_refs()), promote_options="default"
+        ray.get(out.materialize().to_arrow_refs()),
+        promote_options="default",
     )
     return t.sort_by([("a_id", "ascending"), ("b_id", "ascending")])
 

@@ -87,7 +87,7 @@ def approx_distinct(
         return pa.table({"reg": pa.array([reg.tobytes()], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    tables = ray.get(parts.to_arrow_refs())
+    tables = ray.get(parts.materialize().to_arrow_refs())
     regs = [
         np.frombuffer(b.as_py(), dtype=np.uint8)
         for t in tables
@@ -141,7 +141,7 @@ def q_heavy_hitters(sf_dir: str) -> pa.Table:
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
     parts = ds.map_batches(summarize, batch_format="pyarrow")
-    tables = ray.get(parts.to_arrow_refs())
+    tables = ray.get(parts.materialize().to_arrow_refs())
     merged = pa.concat_tables([t for t in tables if t.num_rows],
                               promote_options="default")
     import polars as pl
@@ -165,7 +165,7 @@ def q_heavy_hitters(sf_dir: str) -> pa.Table:
 
     parts2 = ds.map_batches(exact_count, batch_format="pyarrow")
     t2 = pa.concat_tables(
-        [t for t in ray.get(parts2.to_arrow_refs()) if t.num_rows],
+        [t for t in ray.get(parts2.materialize().to_arrow_refs()) if t.num_rows],
         promote_options="default",
     )
     final = (
@@ -211,7 +211,8 @@ def q_bloom_anti_join(sf_dir: str) -> pa.Table:
         return pa.table({"bits": pa.array([f.to_bytes()], pa.binary())})
 
     blooms = ray.get(
-        seen_ds.map_batches(block_bloom, batch_format="pyarrow").to_arrow_refs()
+        seen_ds.map_batches(block_bloom, batch_format="pyarrow")
+        .materialize().to_arrow_refs()
     )
     merged = BloomFilter(N_BITS, k=K)
     for t in blooms:
@@ -230,7 +231,7 @@ def q_bloom_anti_join(sf_dir: str) -> pa.Table:
             ray.get(
                 seen_ds.map_batches(
                     block_exact, batch_format="pyarrow"
-                ).to_arrow_refs()
+                ).materialize().to_arrow_refs()
             ),
             promote_options="default",
         )["k"].to_numpy(zero_copy_only=False)
@@ -250,7 +251,8 @@ def q_bloom_anti_join(sf_dir: str) -> pa.Table:
         return batch.filter(pa.array(keep))
 
     out = pa.concat_tables(
-        ray.get(cand.map_batches(anti, batch_format="pyarrow").to_arrow_refs()),
+        ray.get(cand.map_batches(anti, batch_format="pyarrow")
+                .materialize().to_arrow_refs()),
         promote_options="default",
     )
     return out.sort_by("p_partkey")

@@ -65,6 +65,16 @@ def hash64(values) -> np.ndarray:
     return np.array([_fnv1a64(v or "") for v in values], dtype=np.uint64)
 
 
+def hash64_expr(col: str):
+    """The SAME frozen hash as :func:`hash64`, as a polars EXPRESSION — for
+    fully-lazy pipelines that would otherwise pay an arrow→polars→numpy
+    round-trip per batch. Equality with the array form is pinned by
+    tests/test_hashing.py::test_expr_matches_array."""
+    import polars as pl
+
+    return pl.col(col).fill_null("").hash(seed=SEED)
+
+
 def hash64_one(value: str) -> int:
     """Scalar convenience — same function as :func:`hash64`."""
     return int(hash64([value])[0])

@@ -26,7 +26,7 @@ import polars as pl
 import pyarrow as pa
 import ray
 
-from spider_ray.kernels.hashing import SEED
+from spider_ray.kernels.hashing import SEED, hash64_expr
 from spider_ray.kernels.urlnorm import MAX_PATH_DEPTH, MAX_QUERY_LEN, canonicalize_vector
 
 _HOST_POOL = 1000
@@ -70,9 +70,12 @@ def _frontier_stage(batch: pa.Table, num_shards: int) -> pa.Table:
         (pl.col("path_depth") <= MAX_PATH_DEPTH)
         & (pl.col("query_len") <= MAX_QUERY_LEN)
     )
+    # the FROZEN production hash kernel (kernels/hashing.py hash64_expr —
+    # bit-identical to hash64, pinned by test): the bench measures exactly
+    # the hash the crawl pipeline runs
     df = df.with_columns(
-        url_hash=pl.col("url").hash(seed=SEED),
-        shard=(pl.col("host").hash(seed=SEED) % num_shards).cast(pl.Int64),
+        url_hash=hash64_expr("url"),
+        shard=(hash64_expr("host") % num_shards).cast(pl.Int64),
     )
     # per-block partial dedup (map-side combine)
     df = df.unique(subset=["url_hash"])

@@ -902,7 +902,10 @@ def q_quantiles(sf_dir: str) -> pa.Table:
 
 
 def _concat(ds: ray.data.Dataset) -> pa.Table:
-    tables = ray.get(ds.to_arrow_refs())
+    # materialize first: to_arrow_refs() on a LAZY dataset runs the plan a
+    # second time (a limit-1 schema probe) — on join-bearing plans that
+    # doubles the wall time; on a MaterializedDataset the refs are free
+    tables = ray.get(ds.materialize().to_arrow_refs())
     return pa.concat_tables(tables, promote_options="default")
 
 

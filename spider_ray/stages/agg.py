@@ -40,7 +40,7 @@ def partial_final_agg(
         return out.to_arrow()
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
-    tables = ray.get(partials.to_arrow_refs())
+    tables = ray.get(partials.materialize().to_arrow_refs())
     chunks = [pl.from_arrow(t) for t in tables if t.num_rows > 0]
     merged = pl.concat(chunks) if chunks else pl.from_arrow(tables[0])
     out = final_exprs(merged.lazy()).collect().to_arrow()

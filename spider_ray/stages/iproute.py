@@ -54,6 +54,7 @@ def ip_url_split(
         with_ip.groupby("ip")
         .aggregate(Count())
         .rename_columns({"count()": "n"})
+        .materialize()
         .to_arrow_refs()
     )
     counts_t = pa.concat_tables(ray.get(counts), promote_options="default")

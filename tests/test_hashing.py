@@ -29,3 +29,19 @@ def test_derive_scalar_and_vector():
     assert derive(int(h[0]), 7) == int(d[0])
     # different salt → different stream
     assert (derive(h, 8) != d).any()
+
+
+def test_expr_matches_array():
+    """hash64_expr (lazy polars form) must be bit-identical to hash64 (the
+    array kernel) — the frontier bench uses the expression, production
+    stages use the array; parity between them is frozen."""
+    import numpy as np
+    import polars as pl
+
+    from spider_ray.kernels.hashing import hash64, hash64_expr
+
+    vals = ["http://a.example.com/x", "", "abc", None, "日本語", "x" * 5000]
+    df = pl.DataFrame({"u": pl.Series(vals, dtype=pl.Utf8)})
+    via_expr = df.select(hash64_expr("u"))["u"].to_numpy().astype(np.uint64)
+    via_arr = hash64(df["u"].to_arrow())
+    assert (via_expr == via_arr).all()
