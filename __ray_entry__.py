@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": T.q_bpe_token_count,
         "quality_scores": T.q_quality_scores,
         "charset_decode": T.q_charset_decode,
+        "main_content": T.q_main_content,
         "langid": T.q_langid,
         "fingerprints": T.q_fingerprints,
         "mixture_sample": T.q_mixture_sample,
@@ -605,6 +606,12 @@ def oracle_sql() -> dict[str, str]:
                        / length(text) AS punct_ratio,
                    len(regexp_extract_all(text, '[0-9]'))::DOUBLE
                        / length(text) AS digit_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "main_content": """
+            -- the extractor must strip all template chrome and recover the
+            -- source text exactly, so the oracle states the expected output
+            SELECT doc_id, 'Doc ' || doc_id AS title, trim(text) AS content
             FROM documents ORDER BY doc_id
         """,
         "charset_decode": """

@@ -262,3 +262,48 @@ def q_charset_decode(sf_dir: str) -> pa.Table:
         _concat(decoded.map_batches(project, batch_format="pyarrow")),
         "doc_id",
     )
+
+
+def q_main_content(sf_dir: str) -> pa.Table:
+    """M17 DOM main-content extraction (content_collector.cc): each doc's
+    text is wrapped in a realistic page template (header / nav / sidebar
+    links / footer boilerplate + a fine-print sibling inside the content
+    div), the extractor strips the chrome via the dominant-cluster ratio
+    walk, and the recovered (title, content) must equal the source — which
+    the DuckDB oracle states directly. Chrome-stripping corner cases are
+    golden-tested in tests/test_domtext.py."""
+    import html as _html
+
+    from spider_ray.kernels.domtext import extract_main_content
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        titles, contents = [], []
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            page = (
+                f"<html><head><title>Doc {did}</title>"
+                "<style>.x{color:red}</style></head><body>"
+                "<header>Example Site</header>"
+                '<nav><a href="/">home</a><a href="/about">about</a></nav>'
+                '<div id="page"><div id="main">'
+                f"<p>{_html.escape(text)}</p>"
+                '<p class="fineprint">(c) example</p></div>'
+                '<aside><a href="/x">related one</a>'
+                '<a href="/y">related two</a></aside></div>'
+                "<footer>contact us</footer></body></html>"
+            )
+            title, content = extract_main_content(page)
+            titles.append(title)
+            contents.append(content)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "title": pa.array(titles, pa.string()),
+                "content": pa.array(contents, pa.string()),
+            }
+        )
+
+    return _sorted(_concat(ds.map_batches(run, batch_format="pyarrow")),
+                   "doc_id")

@@ -535,10 +535,46 @@ def run_crawl(
                 wave_start = int(f.read())
             start_gen = g + 1
 
+    # T8 dynamic-config watch (zk-watch analog, job_manager.cc:191-237):
+    # `control.json` in out_dir is re-read at every generation boundary.
+    # Hot-swappable mid-run: pause, graceful stop_after_gen (resumable —
+    # the normal resume path continues the crawl), fetch_concurrency
+    # (fetch actors are stateless, so the pool resizes freely). Politeness
+    # / sharding knobs are deliberately NOT hot-swappable — they shard the
+    # checkpointed scheduler state (same invariant the resume topology
+    # check enforces).
+    ctl_path = os.path.join(out_dir, "control.json")
+
+    def _read_control() -> dict:
+        try:
+            with open(ctl_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    stopped_by_control = False
     total_fetched = 0
     for gen in range(start_gen, max_gens):
         if cand_count == 0:
             break
+        ctl = _read_control()
+        while ctl.get("pause"):
+            import time as _time
+
+            _time.sleep(0.2)
+            ctl = _read_control()
+        if (
+            ctl.get("stop_after_gen") is not None
+            and gen > int(ctl["stop_after_gen"])
+        ):
+            stopped_by_control = True
+            break
+        want = int(ctl.get("fetch_concurrency") or 0)
+        if want > 0 and want != len(fetch_pool):
+            while len(fetch_pool) < want:
+                fetch_pool.append(FetchActorCls.remote(corpus_dir))
+            while len(fetch_pool) > want:
+                ray.kill(fetch_pool.pop())
         gen_dir = os.path.join(out_dir, f"gen={gen}")
         os.makedirs(os.path.join(gen_dir, "ckpt"), exist_ok=True)
 
@@ -807,7 +843,12 @@ def run_crawl(
 
     for a in actors + fetch_pool:
         ray.kill(a)
-    return {"out_dir": out_dir, "total_fetched": total_fetched}
+    return {
+        "out_dir": out_dir,
+        "total_fetched": total_fetched,
+        "stopped_by_control": stopped_by_control,
+        "fetch_pool_size": len(fetch_pool),
+    }
 
 
 from spider_ray._serial import register_all as _register_all  # noqa: E402

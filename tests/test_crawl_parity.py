@@ -306,3 +306,36 @@ def test_hot_ip_diversion_parity(corpus, ray_session):
         )
     seen = pq.read_table(os.path.join(out_ip, "seen.parquet")).to_pylist()
     assert seen == gold["seen"]
+
+
+def test_dynamic_control_stop_and_resume(corpus, oracle_out, ray_session):
+    """T8 dynamic-config watch: control.json can stop a run gracefully at a
+    generation boundary and hot-swap the fetch pool size; the stopped run
+    resumes through the normal checkpoint path to the identical result."""
+    import json
+
+    from spider_ray.pipelines.crawl import run_crawl
+
+    out = "/tmp/spider_ray_test_control"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    with open(os.path.join(out, "control.json"), "w") as f:
+        json.dump({"stop_after_gen": 1, "fetch_concurrency": 5}, f)
+    part = run_crawl(corpus, out, num_shards=2, fetch_concurrency=2)
+    assert part["stopped_by_control"]
+    assert part["fetch_pool_size"] == 5  # hot-swapped mid-run
+    done = [d for d in os.listdir(out) if d.startswith("gen=")
+            and os.path.exists(os.path.join(out, d, "_DONE"))]
+    assert sorted(done) == ["gen=0", "gen=1"]
+
+    os.remove(os.path.join(out, "control.json"))
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, resume=True)
+    eng = _engine_rows(out, "status.parquet")
+    gold = oracle_out["crawl_order"]
+    assert len(eng) == len(gold)
+    for e, g in zip(eng, gold):
+        assert (e["url"], e["fetch_ts"], e["gen"], e["seq"]) == (
+            g["url"], g["fetch_ts"], g["gen"], g["seq"]
+        )
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert seen == oracle_out["seen"]
