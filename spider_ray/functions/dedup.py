@@ -45,28 +45,98 @@ COSINE_TAU = 0.4  # synthetic embeddings have no planted near-dups; 0.4 yields a
 COGROUP_PARTITIONS = 32
 JOIN_PARTITIONS = 16
 
-# Modest per-aggregator reservation: Ray's default join memory estimate
-# reserves partition-sized heap per aggregator, which deadlocks two chained
-# joins on a small (4-8 CPU) dev box; pairs/signature tables are far below
-# the reservation. At cluster scale raise memory with the partition size.
-JOIN_AGG_ARGS = {"num_cpus": 0.05, "memory": 128 * 1024 * 1024}
-
-
 def _hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on: str,
     right_on: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    rename: dict[str, str] | None = None,
 ) -> ray.data.Dataset:
-    """Inner hash join with aggregator args sized for this sandbox."""
-    return left.join(
-        right,
-        join_type="inner",
-        num_partitions=JOIN_PARTITIONS,
-        on=(on,),
-        right_on=(right_on,),
-        aggregator_ray_remote_args=dict(JOIN_AGG_ARGS),
+    """Distributed inner hash join via the partition-cogroup pattern: tag
+    each side with ``part = hash64(key) % JOIN_PARTITIONS``, pad both sides
+    to one shared schema (side tag + nulls for the other side's columns),
+    union, ``groupby(part)``, and join the two sides inside each partition
+    group with a vectorized polars join.
+
+    This deliberately avoids ``Dataset.join``: its aggregator-actor pool
+    deadlocks at low CPU counts under the default memory reservation and
+    races schema broadcast on empty partitions (zero-field blocks →
+    "No match for FieldRef" in chained joins). The cogroup shape uses only
+    the native sort-based groupby, which has neither failure mode, and
+    moves each row exactly once — same shuffle volume as a hash join.
+
+    Schemas are passed explicitly (``ds.schema()`` would trigger a plan
+    execution). Output columns: ``left_schema`` fields then the right
+    side's non-key fields, with ``rename`` applied to the right payload.
+    """
+    from spider_ray.kernels.hashing import SEED
+
+    rename = rename or {}
+    r_payload = [f for f in right_schema if f.name != right_on]
+    out_schema = pa.schema(
+        list(left_schema)
+        + [pa.field(rename.get(f.name, f.name), f.type) for f in r_payload]
     )
+    union_schema = pa.schema(
+        [pa.field("__part", pa.int32()), pa.field("__side", pa.int8())]
+        + list(left_schema)
+        + r_payload
+    )
+
+    def pad(key: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            part = (
+                pl.from_arrow(t.select([key]))
+                .select(
+                    (pl.col(key).hash(seed=SEED) % JOIN_PARTITIONS)
+                    .cast(pl.Int32)
+                )
+                .to_series()
+                .to_numpy()
+            )
+            cols = {"__part": pa.array(part, pa.int32()),
+                    "__side": pa.array(np.full(t.num_rows, side, np.int8))}
+            for f_ in union_schema:
+                if f_.name in ("__part", "__side"):
+                    continue
+                src = f_.name
+                if side == 1:
+                    # the right key travels in the LEFT key's column slot
+                    if src == on:
+                        src = right_on
+                    elif src not in t.column_names:
+                        cols[f_.name] = pa.nulls(t.num_rows, f_.type)
+                        continue
+                elif src not in t.column_names:
+                    cols[f_.name] = pa.nulls(t.num_rows, f_.type)
+                    continue
+                cols[f_.name] = t[src].cast(f_.type)
+            return pa.table({f_.name: cols[f_.name] for f_ in union_schema})
+
+        return f
+
+    tagged = left.map_batches(pad(on, 0), batch_format="pyarrow").union(
+        right.map_batches(pad(right_on, 1), batch_format="pyarrow")
+    )
+
+    l_names = [f.name for f in left_schema]
+    p_names = [f.name for f in r_payload]
+
+    def cogroup(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        l = df.filter(pl.col("__side") == 0).select(l_names)
+        r = df.filter(pl.col("__side") == 1).select([on] + p_names)
+        out = l.join(r, on=on, how="inner").rename(
+            {k: v for k, v in rename.items() if k in p_names}
+        )
+        return out.to_arrow().select(out_schema.names).cast(out_schema)
+
+    joined = tagged.groupby("__part").map_groups(
+        cogroup, batch_format="pyarrow"
+    )
+    return joined.map_batches(_conform(out_schema), batch_format="pyarrow")
 
 
 def _rename_col(old: str, new: str):
@@ -179,16 +249,13 @@ def _jaccard_verify(
 
     sh_bin = sh.map_batches(pack, batch_format="pyarrow").materialize()
     ids = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
-    j = _hash_join(cand, sh_bin, "a_id", "doc_id").map_batches(
-        _conform(ids.append(pa.field("sh_a", pa.binary()))),
-        batch_format="pyarrow",
-    )
-    j = _hash_join(j, sh_bin, "b_id", "doc_id").map_batches(
-        _conform(
-            ids.append(pa.field("sh_a", pa.binary()))
-            .append(pa.field("sh_b", pa.binary()))
-        ),
-        batch_format="pyarrow",
+    shb = pa.schema([("doc_id", pa.int64()), ("shb", pa.binary())])
+    j = _hash_join(cand, sh_bin, "a_id", "doc_id", ids, shb,
+                   rename={"shb": "sh_a"})
+    j = _hash_join(
+        j, sh_bin, "b_id", "doc_id",
+        ids.append(pa.field("sh_a", pa.binary())), shb,
+        rename={"shb": "sh_b"},
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -298,16 +365,13 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     base = pa.schema(
         [("a_id", pa.int64()), ("b_id", pa.int64()), ("n_shared", pa.int64())]
     )
-    j = _hash_join(inter, sizes, "a_id", "doc_id").map_batches(
-        _conform(base.append(pa.field("size_a", pa.int64()))),
-        batch_format="pyarrow",
-    )
-    j = _hash_join(j, sizes, "b_id", "doc_id").map_batches(
-        _conform(
-            base.append(pa.field("size_a", pa.int64()))
-            .append(pa.field("size_b", pa.int64()))
-        ),
-        batch_format="pyarrow",
+    size_schema = pa.schema([("doc_id", pa.int64()), ("size", pa.int64())])
+    j = _hash_join(inter, sizes, "a_id", "doc_id", base, size_schema,
+                   rename={"size": "size_a"})
+    j = _hash_join(
+        j, sizes, "b_id", "doc_id",
+        base.append(pa.field("size_a", pa.int64())), size_schema,
+        rename={"size": "size_b"},
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -397,16 +461,13 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
     cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
     ids = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
-    j = _hash_join(cand, sigs, "a_id", "doc_id").map_batches(
-        _conform(ids.append(pa.field("sig_a", pa.uint64()))),
-        batch_format="pyarrow",
-    )
-    j = _hash_join(j, sigs, "b_id", "doc_id").map_batches(
-        _conform(
-            ids.append(pa.field("sig_a", pa.uint64()))
-            .append(pa.field("sig_b", pa.uint64()))
-        ),
-        batch_format="pyarrow",
+    sig_schema = pa.schema([("doc_id", pa.int64()), ("simhash", pa.uint64())])
+    j = _hash_join(cand, sigs, "a_id", "doc_id", ids, sig_schema,
+                   rename={"simhash": "sig_a"})
+    j = _hash_join(
+        j, sigs, "b_id", "doc_id",
+        ids.append(pa.field("sig_a", pa.uint64())), sig_schema,
+        rename={"simhash": "sig_b"},
     )
 
     def verify(batch: pa.Table) -> pa.Table:

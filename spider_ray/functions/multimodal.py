@@ -190,7 +190,6 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     driver only sees the final pair list."""
     from spider_ray.functions.dedup import (
         _bucket_cogroup_pairs,
-        _conform,
         _hash_join,
     )
     from spider_ray.kernels import tokens as tk
@@ -232,16 +231,13 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
         ["a_id", "b_id"]
     )
     ids = pa.schema([("a_id", pa.string()), ("b_id", pa.string())])
-    j = _hash_join(cand, sigs, "a_id", "doc_id").map_batches(
-        _conform(ids.append(pa.field("sig_a", pa.uint64()))),
-        batch_format="pyarrow",
-    )
-    j = _hash_join(j, sigs, "b_id", "doc_id").map_batches(
-        _conform(
-            ids.append(pa.field("sig_a", pa.uint64()))
-            .append(pa.field("sig_b", pa.uint64()))
-        ),
-        batch_format="pyarrow",
+    sig_schema = pa.schema([("doc_id", pa.string()), ("sig", pa.uint64())])
+    j = _hash_join(cand, sigs, "a_id", "doc_id", ids, sig_schema,
+                   rename={"sig": "sig_a"})
+    j = _hash_join(
+        j, sigs, "b_id", "doc_id",
+        ids.append(pa.field("sig_a", pa.uint64())), sig_schema,
+        rename={"sig": "sig_b"},
     )
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -301,7 +301,6 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
     from spider_ray.functions.dedup import (
         COSINE_TAU,
         _bucket_cogroup_pairs,
-        _conform,
         _hash_join,
     )
 
@@ -352,16 +351,13 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
     exploded = ds.map_batches(code_rows, batch_format="pyarrow")
     cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
     ids_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
-    j = _hash_join(cand, vecs, "a_id", "doc_id").map_batches(
-        _conform(ids_schema.append(pa.field("v_a", pa.binary()))),
-        batch_format="pyarrow",
-    )
-    j = _hash_join(j, vecs, "b_id", "doc_id").map_batches(
-        _conform(
-            ids_schema.append(pa.field("v_a", pa.binary()))
-            .append(pa.field("v_b", pa.binary()))
-        ),
-        batch_format="pyarrow",
+    vec_schema = pa.schema([("doc_id", pa.int64()), ("vb", pa.binary())])
+    j = _hash_join(cand, vecs, "a_id", "doc_id", ids_schema, vec_schema,
+                   rename={"vb": "v_a"})
+    j = _hash_join(
+        j, vecs, "b_id", "doc_id",
+        ids_schema.append(pa.field("v_a", pa.binary())), vec_schema,
+        rename={"vb": "v_b"},
     )
 
     def verify(batch: pa.Table) -> pa.Table:
