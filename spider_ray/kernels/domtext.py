@@ -171,3 +171,12 @@ def extract_main_content(page_utf8: str, url: str = "") -> tuple[str, str]:
             break
         node = best
     return title, _node_text(node)
+
+
+# Imported lazily (inside query functions), AFTER the pipeline modules'
+# registration pass ran — so this module must register itself for
+# pickle-by-value or its functions ship by reference to workers that may
+# not have the repo on sys.path.
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

@@ -68,3 +68,12 @@ def ip_url_split(
         return batch.append_column("route", route.cast(pa.string()))
 
     return with_ip.map_batches(tag, batch_format="pyarrow")
+
+
+# Imported lazily (inside query functions), AFTER the pipeline modules'
+# registration pass ran — so this module must register itself for
+# pickle-by-value or its functions ship by reference to workers that may
+# not have the repo on sys.path.
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

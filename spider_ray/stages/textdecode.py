@@ -127,3 +127,12 @@ def decode_pages(ds, **map_kwargs):
     """The Ray stage: ``decode_pages(ds)`` over any Dataset with
     (doc_id, body, content_type) columns."""
     return ds.map_batches(decode_batch, batch_format="pyarrow", **map_kwargs)
+
+
+# Imported lazily (inside query functions), AFTER the pipeline modules'
+# registration pass ran — so this module must register itself for
+# pickle-by-value or its functions ship by reference to workers that may
+# not have the repo on sys.path.
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()
