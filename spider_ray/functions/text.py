@@ -181,37 +181,87 @@ def q_mixture_sample(sf_dir: str) -> pa.Table:
 PACK_BUDGET = 256  # tokens per packed sequence
 
 
+PACK_RANGE = 4096  # docs per pack partition (bins never cross a range)
+
+
 def q_sequence_pack(sf_dir: str) -> pa.Table:
     """Sequence packing — greedily pack documents (in doc_id order) into
     contiguous bins of ≤ PACK_BUDGET whitespace tokens (the
-    context-window packing step of a training pipeline). Token counts are
-    computed vectorized and distributed; the sequential first-fit walk runs
-    over the tiny (doc_id, n_tokens) projection driver-side (8 B × docs —
-    at 10^10 docs this becomes a per-partition pack + partition-offset
-    merge, the same prefix-sum shape as O2 bin-packing).
+    context-window packing step of a training pipeline), DISTRIBUTED as
+    per-range pack + offset merge (the O2 prefix-sum shape): doc_id ranges
+    of PACK_RANGE docs pack independently in a ``groupby(range).
+    map_groups`` (greedy walk vectorized-adjacent inside the worker), a
+    tiny (range → bin count) table cumsums driver-side, and a second pass
+    adds each range's bin offset. Bins never span a range boundary — the
+    defined semantics of the distributed operator (at most one underfull
+    bin per 4096 docs); bin ids stay globally contiguous.
 
     Greedy sequential assignment is not SQL-expressible → rows-only;
     invariants (budget respected, bins contiguous, determinism) are
     asserted in tests/test_misc_ops.py."""
+    import numpy as np
+
+    from ray.data.aggregate import Max
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
         lf = pl.from_arrow(batch).with_columns(
-            n_tokens=pl.col("text").str.count_matches(r"\S+").cast(pl.Int64)
+            n_tokens=pl.col("text").str.count_matches(r"\S+").cast(pl.Int64),
+            range_id=(pl.col("doc_id") // PACK_RANGE).cast(pl.Int64),
         )
-        return lf.select("doc_id", "n_tokens").to_arrow()
+        return lf.select("doc_id", "n_tokens", "range_id").to_arrow()
 
-    t = _sorted(_concat(ds.map_batches(count, batch_format="pyarrow")),
-                "doc_id")
-    bins, fill = [], 0
-    b = 0
-    for n in t["n_tokens"].to_pylist():
-        if fill > 0 and fill + n > PACK_BUDGET:
-            b += 1
-            fill = 0
-        fill += n
-        bins.append(b)
-    return t.append_column("bin", pa.array(bins, pa.int64()))
+    def pack_range(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("doc_id")
+        bins, fill, b = [], 0, 0
+        for n in df["n_tokens"].to_list():
+            if fill > 0 and fill + n > PACK_BUDGET:
+                b += 1
+                fill = 0
+            fill += n
+            bins.append(b)
+        return df.with_columns(
+            local_bin=pl.Series(bins, dtype=pl.Int64)
+        ).to_arrow()
+
+    packed = (
+        ds.map_batches(count, batch_format="pyarrow")
+        .groupby("range_id")
+        .map_groups(pack_range, batch_format="pyarrow")
+        .materialize()
+    )
+    # offsets: O(ranges) rows — the only driver-side state
+    counts = packed.groupby("range_id").aggregate(Max("local_bin")).to_pandas()
+    counts = counts.sort_values("range_id", ignore_index=True)
+    n_bins = counts["max(local_bin)"].to_numpy() + 1
+    offsets = dict(
+        zip(
+            counts["range_id"].tolist(),
+            np.concatenate([[0], np.cumsum(n_bins)[:-1]]).tolist(),
+        )
+    )
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    def add_offset(batch: pa.Table) -> pa.Table:
+        off = _ray.get(off_ref)
+        rid = batch["range_id"].to_pylist()
+        base = np.array([off[r] for r in rid], dtype=np.int64)
+        local = batch["local_bin"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "bin": pa.array(base + local, pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(packed.map_batches(add_offset, batch_format="pyarrow")),
+        "doc_id",
+    )
 
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 

@@ -339,3 +339,26 @@ def test_dynamic_control_stop_and_resume(corpus, oracle_out, ray_session):
         )
     seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
     assert seen == oracle_out["seen"]
+
+
+def test_refs_mode_resume_parity(corpus, oracle_out, ray_session, monkeypatch):
+    """Resume THROUGH the forced block-ref path (threshold 1): interrupt
+    after 2 generations, resume, and require the combined streamed sinks to
+    match the oracle byte-for-byte — proving the refs-mode writers and the
+    checkpoint/rehydrate seam compose."""
+    import spider_ray.pipelines.crawl as C
+
+    monkeypatch.setattr(C, "DS_SORT_THRESHOLD", 1)
+    out = "/tmp/spider_ray_test_refs_resume"
+    shutil.rmtree(out, ignore_errors=True)
+    C.run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, max_gens=2)
+    C.run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, resume=True)
+    eng = _engine_rows(out, "status.parquet")
+    gold = oracle_out["crawl_order"]
+    assert len(eng) == len(gold)
+    for e, g in zip(eng, gold):
+        assert (e["url"], e["fetch_ts"], e["gen"], e["seq"]) == (
+            g["url"], g["fetch_ts"], g["gen"], g["seq"]
+        )
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert seen == oracle_out["seen"]
