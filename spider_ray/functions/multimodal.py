@@ -84,33 +84,75 @@ AUDIO_FEATURE_SCHEMA = pa.schema(
 )
 
 
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL PCM WAV decode on the stdlib ``wave`` module (no external
+    codec needed) → (float64 samples in [-1, 1], sample_rate). Raises
+    ``wave.Error`` on non-WAV bytes."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    return x, rate
+
+
 class AudioFeatureExtractor:
-    """Audio decode is NOT available in this container (no soundfile /
-    ffmpeg). ``fake=True`` (default) computes deterministic pseudo-features
-    from the raw bytes so the pipeline plumbing is exercised end-to-end;
-    ``fake=False`` raises NotImplementedError at the decode step, marking
-    exactly what a production build must replace."""
+    """Actor-pool audio feature stage. PCM WAV decodes for REAL (stdlib
+    ``wave`` — duration / RMS energy / sample fingerprint computed from the
+    actual waveform). Compressed formats (mp3/ogg/aac) need ffmpeg, which
+    this container lacks: ``fake=True`` (default) falls back to
+    deterministic pseudo-features for non-WAV bytes so the pipeline
+    plumbing is exercised end-to-end; ``fake=False`` raises
+    NotImplementedError at that seam, marking exactly what a production
+    build must replace."""
 
     def __init__(self, fake: bool = True):
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import wave as _wave
+
         rows = {k: [] for k in ("clip_id", "n_bytes", "duration_s", "energy",
                                 "fingerprint")}
         for r in batch.to_pylist():
-            if not self.fake:
-                raise NotImplementedError(
-                    "real audio decode requires ffmpeg/soundfile — not in "
-                    "this container; run with fake=True for plumbing tests"
-                )
             data = r["bytes"] or b""
-            h = int(hash64([data.hex() or "0"])[0])
-            arr = np.frombuffer(data[: 4096 - len(data) % 8 or None], dtype=np.uint8)
+            try:
+                x, rate = decode_wav(data)
+                duration = len(x) / rate if rate else 0.0
+                energy = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                fp = int(hash64([x.tobytes().hex() or "0"])[0])
+            except (_wave.Error, EOFError):
+                if not self.fake:
+                    raise NotImplementedError(
+                        "non-WAV audio needs ffmpeg/soundfile — not in "
+                        "this container; run with fake=True for plumbing "
+                        "tests"
+                    )
+                # deterministic pseudo-features from the raw bytes
+                h = int(hash64([data.hex() or "0"])[0])
+                arr = np.frombuffer(
+                    data[: 4096 - len(data) % 8 or None], dtype=np.uint8
+                )
+                duration = len(data) / 32000.0
+                energy = (
+                    float(arr.astype(np.float64).std()) if arr.size else 0.0
+                )
+                fp = h
             rows["clip_id"].append(r["clip_id"])
             rows["n_bytes"].append(len(data))
-            rows["duration_s"].append(len(data) / 32000.0)
-            rows["energy"].append(float(arr.astype(np.float64).std()) if arr.size else 0.0)
-            rows["fingerprint"].append(int(np.uint64(h).astype(np.int64)))
+            rows["duration_s"].append(duration)
+            rows["energy"].append(energy)
+            rows["fingerprint"].append(int(np.uint64(fp).astype(np.int64)))
         return pa.Table.from_pydict(rows, schema=AUDIO_FEATURE_SCHEMA)
 
 

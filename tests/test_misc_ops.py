@@ -234,3 +234,45 @@ def test_phash_neardup_matches_bruteforce(ray_session):
     rows = sorted(zip(got["a_id"].to_pylist(), got["b_id"].to_pylist(),
                       got["hamming"].to_pylist()))
     assert rows == expect
+
+
+def test_audio_wav_real_decode(ray_session):
+    """PCM WAV clips decode for REAL (stdlib wave): duration and RMS energy
+    must match the generated waveform, and fake=False must ACCEPT wav while
+    still stubbing compressed formats."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from spider_ray.functions.multimodal import AudioFeatureExtractor
+
+    def make_wav(freq, seconds=0.5, rate=8000, amp=0.5):
+        t = np.arange(int(rate * seconds)) / rate
+        x = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    rows = [
+        {"clip_id": "a", "bytes": make_wav(440)},
+        {"clip_id": "b", "bytes": make_wav(880, amp=0.25)},
+    ]
+    out = AudioFeatureExtractor(fake=False)(pa.Table.from_pylist(rows))
+    d = dict(zip(out["clip_id"].to_pylist(), out["duration_s"].to_pylist()))
+    e = dict(zip(out["clip_id"].to_pylist(), out["energy"].to_pylist()))
+    assert abs(d["a"] - 0.5) < 1e-3 and abs(d["b"] - 0.5) < 1e-3
+    # RMS of a sine = amp/sqrt(2)
+    assert abs(e["a"] - 0.5 / 2**0.5) < 0.01
+    assert abs(e["b"] - 0.25 / 2**0.5) < 0.01
+    # compressed formats still stub under fake=False
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        AudioFeatureExtractor(fake=False)(
+            pa.Table.from_pylist([{"clip_id": "x", "bytes": b"\xffmp3junk"}])
+        )
