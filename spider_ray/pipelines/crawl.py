@@ -662,12 +662,21 @@ def run_crawl(
         imref_refs = [_block_image_refs.remote(r) for r in fetched_refs]
         cand_refs = [_block_candidates.remote(r) for r in fetched_refs]
 
+        # Windowed pulls: one ray.get round-trip per WINDOW blocks instead
+        # of per block (a 16-shard wave can produce dozens of sorted
+        # blocks; strictly per-block gets made the driver latency-bound).
+        # Memory stays bounded: ≤ WINDOW small derived blocks at a time.
+        WINDOW = 8
+
+        def _iter_windowed(refs):
+            for i in range(0, len(refs), WINDOW):
+                yield from ray.get(list(refs[i : i + WINDOW]))
+
         # 4a. status sink (streamed, global crawl order)
         n_fetched = n2 = n4 = n5 = 0
         status_writer = None
         status_path = os.path.join(gen_dir, "status.parquet")
-        for sref in status_refs:
-            st = ray.get(sref)
+        for st in _iter_windowed(status_refs):
             if status_writer is None:
                 status_writer = pq.ParquetWriter(status_path, st.schema)
             status_writer.write_table(st)
@@ -686,39 +695,61 @@ def run_crawl(
 
         # 4b. image sink: first-wins dedup on REFS via shard actors, then
         # decode/recompress/phash only the kept refs in the fetch pool.
-        # Blocks are admitted strictly in crawl order (sequential ray.get
-        # per block), so each shard sees the same hash sequence as the
-        # whole-wave path — the parity seam is block-size-invariant.
+        # Admit SUBMISSION stays strictly in crawl order (actor tasks from
+        # one caller execute in submission order, so each shard sees the
+        # same hash sequence as the whole-wave path — the parity seam is
+        # block-size-invariant); result GATHERING is pipelined one window
+        # behind submission, overlapping admits with routing.
         img_futs = []
-        for iref in imref_refs:
-            refs_t = ray.get(iref)
-            if refs_t.num_rows == 0:
-                continue
-            ih = hash64(refs_t["image_id"])
-            shard_of = (ih % np.uint64(num_shards)).astype(np.int64)
-            futs, idx_by_shard = {}, {}
-            for s in range(num_shards):
-                idxs = np.flatnonzero(shard_of == s)
-                if len(idxs):
-                    idx_by_shard[s] = idxs
-                    futs[s] = actors[s].admit_images.remote(
-                        [int(h) for h in ih[idxs]]
-                    )
-            keep = np.zeros(refs_t.num_rows, dtype=bool)
-            for s, idxs in idx_by_shard.items():
-                keep[idxs] = ray.get(futs[s])
-            kept = refs_t.filter(pa.array(keep)).to_pylist()
-            img_futs.extend(
-                fetch_pool[len(img_futs) % len(fetch_pool)].process_refs.remote(
-                    kept[j : j + 64], gen
+
+        def _drain(window):
+            if not window:
+                return
+            entries, futs = window
+            results = {s: ray.get(f) for s, f in futs.items()}
+            for refs_t, rec in entries:
+                keep = np.zeros(refs_t.num_rows, dtype=bool)
+                for s, (idxs, start) in rec.items():
+                    keep[idxs] = results[s][start : start + len(idxs)]
+                kept = refs_t.filter(pa.array(keep)).to_pylist()
+                img_futs.extend(
+                    fetch_pool[
+                        len(img_futs) % len(fetch_pool)
+                    ].process_refs.remote(kept[j : j + 64], gen)
+                    for j in range(0, len(kept), 64)
                 )
-                for j in range(0, len(kept), 64)
-            )
+
+        prev_window = None
+        for i in range(0, len(imref_refs), WINDOW):
+            # ONE admit RPC per shard per window: the window's blocks are
+            # walked in crawl order and each shard's hashes concatenate in
+            # that order, so the per-shard admit sequence is identical to
+            # the per-block (and whole-wave) construction
+            per_shard: dict[int, list] = {}
+            entries = []
+            for refs_t in ray.get(list(imref_refs[i : i + WINDOW])):
+                if refs_t.num_rows == 0:
+                    continue
+                ih = hash64(refs_t["image_id"])
+                shard_of = (ih % np.uint64(num_shards)).astype(np.int64)
+                rec = {}
+                for s in np.unique(shard_of):
+                    idxs = np.flatnonzero(shard_of == s)
+                    lst = per_shard.setdefault(int(s), [])
+                    rec[int(s)] = (idxs, len(lst))
+                    lst.extend(int(h) for h in ih[idxs])
+                entries.append((refs_t, rec))
+            futs = {
+                s: actors[s].admit_images.remote(h)
+                for s, h in per_shard.items()
+            }
+            _drain(prev_window)
+            prev_window = (entries, futs)
+        _drain(prev_window)
         n_images = 0
         img_writer = None
         images_path = os.path.join(gen_dir, "images.parquet")
-        for f in img_futs:
-            t = ray.get(f)
+        for t in _iter_windowed(img_futs):
             if img_writer is None:
                 img_writer = pq.ParquetWriter(images_path, t.schema)
             img_writer.write_table(t)
@@ -741,8 +772,7 @@ def run_crawl(
         cand_path = os.path.join(gen_dir, "next_candidates.parquet")
         next_cand_refs: list = []
         offset = 0
-        for ref in retry_refs + outlink_refs:
-            t = ray.get(ref)  # one small block at a time
+        for t in _iter_windowed(retry_refs + outlink_refs):
             if t.num_rows == 0:
                 continue
             t = t.append_column(
