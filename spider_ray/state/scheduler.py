@@ -90,44 +90,64 @@ class ShardScheduler:
     # --- admission (dedup) ----------------------------------------------------
 
     def admit(self, rows: list[dict]) -> tuple[list[dict], int]:
-        """Seen-check + add. rows need keys url, url_hash, tried, gen.
-        Returns (accepted rows, dedup_hits). When the exact audit set is
-        kept, cuckoo false positives are counted (``fp_audit``) — the FP
-        budget the north rule asks to be verified against the exact set."""
+        """Seen-check + add, VECTORIZED. rows need keys url, url_hash,
+        tried, gen. Returns (accepted rows, dedup_hits). When the exact
+        audit set is kept, cuckoo false positives are counted
+        (``fp_audit``) — the FP budget the north rule asks to be verified
+        against the exact set.
+
+        Wave semantics: a key's FIRST occurrence decides against the
+        PRE-WAVE seen state; later occurrences in the same wave are always
+        duplicates (first-wins). The cuckoo membership probe runs once,
+        batched, against the pre-wave filter — intra-wave insertions can
+        therefore never cause a same-wave false positive (a strict
+        improvement on the per-row probe; engine and oracle share this
+        code, so it stays a parity seam, not a divergence)."""
         if not rows:
             return [], 0
         # vectorized key hashing (one polars pass, not one call per row)
         keys = hash64([f"{r['tried']}_{r['url']}" for r in rows])
-        accepted, hits = [], 0
-        for r, k in zip(rows, keys):
-            key = int(k)
-            cuckoo_dup = self.seen.contains(key)
-            if self.exact_seen is not None:
-                dup = key in self.exact_seen
-                if cuckoo_dup and not dup:
-                    self.fp_audit += 1
-            else:
-                dup = cuckoo_dup
-            if dup:
-                hits += 1
-                continue
+        n = len(rows)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[np.unique(keys, return_index=True)[1]] = True
+        cuckoo_dup = self.seen.contains_many(keys)
+        if self.exact_seen is not None:
+            dup_keys = self.exact_seen.intersection(keys[is_first].tolist())
+            exact_dup = np.isin(
+                keys,
+                np.fromiter(dup_keys, dtype=np.uint64, count=len(dup_keys)),
+            )
+            self.fp_audit += int(
+                (is_first & cuckoo_dup & ~exact_dup).sum()
+            )
+            accept_mask = is_first & ~exact_dup
+        else:
+            accept_mask = is_first & ~cuckoo_dup
+        hits = int(n - accept_mask.sum())
+
+        accepted = []
+        for i in np.flatnonzero(accept_mask):
+            r = rows[i]
+            key = int(keys[i])
             self.seen.add(key)
             if self.exact_seen is not None:
                 self.exact_seen.add(key)
             if r["tried"] == 0:
-                self.seen_urls.append((int(r["url_hash"]), r["url"], int(r["gen"])))
+                self.seen_urls.append(
+                    (int(r["url_hash"]), r["url"], int(r["gen"]))
+                )
             accepted.append(r)
         # host_stat analog (A2, control/schedule/host_stat.cc): the shard's
         # heaviest host this wave — the signal the hot-host valve acts on.
         # Computed HERE (shared kernel) so engine and oracle metrics agree.
         if accepted:
-            counts: dict[str, int] = {}
-            for r in accepted:
-                counts[r["host"]] = counts.get(r["host"], 0) + 1
-            self.last_top_host = min(
-                counts, key=lambda h: (-counts[h], h)
+            hosts, counts = np.unique(
+                np.array([r["host"] for r in accepted], dtype=object),
+                return_counts=True,
             )
-            self.last_top_host_n = counts[self.last_top_host]
+            best = np.lexsort((hosts, -counts))[0]
+            self.last_top_host = str(hosts[best])
+            self.last_top_host_n = int(counts[best])
         else:
             self.last_top_host = ""
             self.last_top_host_n = 0
