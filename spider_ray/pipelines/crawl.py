@@ -141,8 +141,13 @@ class ShardActor:
     def schedule_wave(self, wave_start: int) -> dict:
         tables = getattr(self, "_buf", [])
         self._buf = []
+        # arrow-kernel sort by seq BEFORE the one unavoidable to_pylist
+        # (the DES consumes per-row dicts); schedule()'s python sort then
+        # sees already-ordered input (Timsort O(n))
         rows = (
-            pa.concat_tables(tables, promote_options="default").to_pylist()
+            pa.concat_tables(tables, promote_options="default")
+            .sort_by("seq")
+            .to_pylist()
             if tables
             else []
         )
