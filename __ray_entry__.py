@@ -100,15 +100,15 @@ def _crawl_demo() -> dict:
     )
     import pyarrow as pa
 
+    from spider_ray.pipelines.crawl import read_sink
+
     status, images = [], []
     for d in sorted(
         glob.glob(os.path.join(out, "gen=*")),
         key=lambda p: int(p.split("=")[1]),
     ):
-        status.append(pq.read_table(os.path.join(d, "status.parquet")))
-        images.append(
-            pq.read_table(os.path.join(d, "images.parquet")).drop_columns(["bytes"])
-        )
+        status.append(read_sink(d, "status"))
+        images.append(read_sink(d, "images").drop_columns(["bytes"]))
     res = {
         "order": pa.concat_tables(status, promote_options="default"),
         "images": pa.concat_tables(images, promote_options="default"),

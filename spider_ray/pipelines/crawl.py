@@ -374,6 +374,73 @@ SORT_KEYS = [("fetch_ts", "ascending"), ("priority", "ascending"),
 DS_SORT_THRESHOLD = 200_000  # permits above this use a distributed ds.sort
 
 
+SINK_ROLL_BYTES = 128 << 20  # roll per-gen sink files past ~128 MB
+
+
+class RollingWriter:
+    """Single-logical-stream parquet sink that ROLLS to a new part file
+    once the current one passes ``roll_bytes`` — the resumable-output rule
+    ("never one giant file"). Naming keeps stream order under a plain
+    lexicographic glob: ``<base>.parquet`` then ``<base>.part001.parquet``,
+    ``<base>.part002.parquet``, … (``"parquet" < "part001"``). At demo
+    scale everything lands in the single base file, so small-corpus readers
+    and old outputs are untouched."""
+
+    def __init__(self, dir_: str, base: str,
+                 roll_bytes: int | None = None):
+        self.dir = dir_
+        self.base = base
+        # resolved at call time so tests can lower the module constant
+        self.roll_bytes = (
+            roll_bytes if roll_bytes is not None else SINK_ROLL_BYTES
+        )
+        self.writer = None
+        self.part = 0
+        self.cur_bytes = 0
+        self.n_rows = 0
+
+    def _path(self) -> str:
+        if self.part == 0:
+            return os.path.join(self.dir, f"{self.base}.parquet")
+        return os.path.join(
+            self.dir, f"{self.base}.part{self.part:03d}.parquet"
+        )
+
+    def write(self, t: pa.Table) -> None:
+        if t.num_rows == 0:
+            return
+        if self.writer is not None and self.cur_bytes >= self.roll_bytes:
+            self.writer.close()
+            self.writer = None
+            self.part += 1
+            self.cur_bytes = 0
+        if self.writer is None:
+            self.writer = pq.ParquetWriter(self._path(), t.schema)
+        self.writer.write_table(t)
+        self.cur_bytes += t.nbytes
+        self.n_rows += t.num_rows
+
+    def close(self, empty_schema: pa.Schema) -> None:
+        if self.writer is None:
+            pq.write_table(
+                pa.Table.from_pylist([], schema=empty_schema), self._path()
+            )
+        else:
+            self.writer.close()
+
+
+def read_sink(dir_: str, base: str) -> pa.Table:
+    """Read one logical sink stream back (base file + rolled parts, in
+    order)."""
+    import glob as _glob
+
+    name = base[: -len(".parquet")] if base.endswith(".parquet") else base
+    paths = sorted(_glob.glob(os.path.join(dir_, f"{name}*.parquet")))
+    return pa.concat_tables(
+        [pq.read_table(p) for p in paths], promote_options="default"
+    )
+
+
 # --- per-block derivative tasks (refs-mode wave flow) -----------------------
 # Each takes an ObjectRef of a fetched block and returns a SMALL derived
 # table; the heavy fetched block itself never lands on the driver.
@@ -534,8 +601,9 @@ def run_crawl(
             for s, a in enumerate(actors):
                 with open(os.path.join(ck, f"shard_{s}.pkl"), "rb") as f:
                     ray.get(a.load_state.remote(f.read()))
-            cand_path = os.path.join(out_dir, f"gen={g}", "next_candidates.parquet")
-            cand_blocks, cand_count = _as_blocks(pq.read_table(cand_path))
+            cand_blocks, cand_count = _as_blocks(
+                read_sink(os.path.join(out_dir, f"gen={g}"), "next_candidates")
+            )
             with open(os.path.join(ck, "wave_start.txt")) as f:
                 wave_start = int(f.read())
             start_gen = g + 1
@@ -677,25 +745,17 @@ def run_crawl(
             for i in range(0, len(refs), WINDOW):
                 yield from ray.get(list(refs[i : i + WINDOW]))
 
-        # 4a. status sink (streamed, global crawl order)
+        # 4a. status sink (streamed, global crawl order, rolled parts)
         n_fetched = n2 = n4 = n5 = 0
-        status_writer = None
-        status_path = os.path.join(gen_dir, "status.parquet")
+        status_writer = RollingWriter(gen_dir, "status")
         for st in _iter_windowed(status_refs):
-            if status_writer is None:
-                status_writer = pq.ParquetWriter(status_path, st.schema)
-            status_writer.write_table(st)
+            status_writer.write(st)
             n_fetched += st.num_rows
             codes = st["status"].to_numpy(zero_copy_only=False)
             n2 += int(((codes >= 200) & (codes < 300)).sum())
             n4 += int(((codes >= 400) & (codes < 500)).sum())
             n5 += int(((codes >= 500)).sum())
-        if status_writer is None:
-            pq.write_table(
-                pa.Table.from_pylist([], schema=STATUS_SCHEMA), status_path
-            )
-        else:
-            status_writer.close()
+        status_writer.close(STATUS_SCHEMA)
         total_fetched += n_fetched
 
         # 4b. image sink: first-wins dedup on REFS via shard actors, then
@@ -751,20 +811,11 @@ def run_crawl(
             _drain(prev_window)
             prev_window = (entries, futs)
         _drain(prev_window)
-        n_images = 0
-        img_writer = None
-        images_path = os.path.join(gen_dir, "images.parquet")
+        img_writer = RollingWriter(gen_dir, "images")
         for t in _iter_windowed(img_futs):
-            if img_writer is None:
-                img_writer = pq.ParquetWriter(images_path, t.schema)
-            img_writer.write_table(t)
-            n_images += t.num_rows
-        if img_writer is None:
-            pq.write_table(
-                pa.Table.from_pylist([], schema=IMAGE_SCHEMA), images_path
-            )
-        else:
-            img_writer.close()
+            img_writer.write(t)
+        img_writer.close(IMAGE_SCHEMA)
+        n_images = img_writer.n_rows
 
         # 4c. next-gen candidates: ALL retries (crawl order) then ALL
         # outlinks (crawl order) — identical sequence to the whole-wave
@@ -773,8 +824,7 @@ def run_crawl(
         # into the single-file checkpoint.
         retry_refs = [p[0] for p in cand_refs]
         outlink_refs = [p[1] for p in cand_refs]
-        cand_writer = None
-        cand_path = os.path.join(gen_dir, "next_candidates.parquet")
+        cand_writer = RollingWriter(gen_dir, "next_candidates")
         next_cand_refs: list = []
         offset = 0
         for t in _iter_windowed(retry_refs + outlink_refs):
@@ -785,21 +835,9 @@ def run_crawl(
                 pa.array(np.arange(offset, offset + t.num_rows), pa.int64()),
             )
             offset += t.num_rows
-            if cand_writer is None:
-                cand_writer = pq.ParquetWriter(cand_path, t.schema)
-            cand_writer.write_table(t)
+            cand_writer.write(t)
             next_cand_refs.append(ray.put(t))
-        if cand_writer is None:
-            pq.write_table(
-                pa.Table.from_pylist(
-                    [], schema=CANDIDATE_SCHEMA.append(
-                        pa.field("seq", pa.int64())
-                    )
-                ),
-                cand_path,
-            )
-        else:
-            cand_writer.close()
+        cand_writer.close(CANDIDATE_SCHEMA.append(pa.field("seq", pa.int64())))
         cand_blocks = next_cand_refs
         cand_count = offset
 
@@ -860,21 +898,13 @@ def run_crawl(
         sorted_ds = ray.data.from_arrow_refs(seen_refs).sort(
             ["sort_key", "url"]
         )
-        writer = None
+        writer = RollingWriter(out_dir, "seen")
         for bref in sorted_ds.to_arrow_refs():
             b = ray.get(bref)
             if b.num_rows == 0:
                 continue
-            b = b.drop_columns(["sort_key"])
-            if writer is None:
-                writer = pq.ParquetWriter(seen_path, b.schema)
-            writer.write_table(b)
-        if writer is None:
-            pq.write_table(
-                pa.Table.from_pylist([], schema=SEEN_SCHEMA), seen_path
-            )
-        else:
-            writer.close()
+            writer.write(b.drop_columns(["sort_key"]))
+        writer.close(SEEN_SCHEMA)
 
     for a in actors + fetch_pool:
         ray.kill(a)
