@@ -49,9 +49,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def assert_query_matches_oracle(name, sf_dir):
     import __ray_entry__ as E
 
-    ours = _normalize(_to_pandas(E.queries()[name](sf_dir)))
+    raw_ours = _to_pandas(E.queries()[name](sf_dir))
     con = _duck(sf_dir)
-    theirs = _normalize(con.sql(E.oracle_sql()[name]).df())
+    raw_theirs = con.sql(E.oracle_sql()[name]).df()
+    # dtype-STRICT: the driver's value hash distinguishes uint32 from
+    # BIGINT and int from HUGEINT-as-float (round-1 lesson) — engine and
+    # oracle must agree on raw pandas dtypes, not just values
+    ours_dtypes = {c: str(raw_ours[c].dtype) for c in raw_ours.columns}
+    theirs_dtypes = {c: str(raw_theirs[c].dtype) for c in raw_theirs.columns}
+    assert ours_dtypes == theirs_dtypes, (
+        f"{name}: dtype mismatch {ours_dtypes} != {theirs_dtypes}"
+    )
+    ours = _normalize(raw_ours)
+    theirs = _normalize(raw_theirs)
     assert list(ours.columns) == list(theirs.columns), (
         f"{name}: columns {list(ours.columns)} != {list(theirs.columns)}"
     )
