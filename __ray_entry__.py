@@ -21,6 +21,7 @@ from spider_ray.functions import binpack as B  # noqa: E402
 from spider_ray.functions import sketch as K  # noqa: E402
 from spider_ray.functions import dedup as D  # noqa: E402
 from spider_ray.functions import urls as U  # noqa: E402
+from spider_ray.functions import multimodal as M  # noqa: E402
 from spider_ray.functions import similarity as S  # noqa: E402
 from spider_ray.functions import text as T  # noqa: E402
 from spider_ray.pipelines import relational as R  # noqa: E402
@@ -233,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl engine (rows-only: non-SQL stateful streaming; exact parity
         # vs the single-process oracle is asserted in tests/test_crawl_parity)
         "phash_neardup": _phash_neardup_query,
+        # multimodal actor-pool stages over synthetic deterministic clips
+        "audio_features": M.q_audio_features,
+        "video_frames": M.q_video_frames,
         "crawl_order": _crawl_order_query,
         "crawl_images": _crawl_images_query,
         "crawl_seen": _crawl_seen_query,
@@ -607,6 +611,29 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[0-9]'))::DOUBLE
                        / length(text) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        "audio_features": """
+            -- the WAV synth is deterministic: (doc_id%5+1)*800 samples at
+            -- 8 kHz, 16-bit mono → canonical 44-byte header + 2 B/sample;
+            -- the REAL decode must recover exactly these sizes/durations
+            SELECT 'clip' || doc_id AS clip_id,
+                   CAST(44 + 2 * ((doc_id % 5 + 1) * 800) AS BIGINT)
+                       AS n_bytes,
+                   CAST(((doc_id % 5 + 1) * 800) / 8000.0 AS REAL)
+                       AS duration_s
+            FROM documents ORDER BY clip_id
+        """,
+        "video_frames": """
+            -- frame fan-out layout: every 10th frame of n_frames =
+            -- doc_id%50+1 at fps 25
+            SELECT video_id, frame_idx,
+                   CAST(frame_idx / 25.0 AS REAL) AS frame_ts_s
+            FROM (
+                SELECT 'v' || doc_id AS video_id,
+                       CAST(unnest(generate_series(0, doc_id % 50, 10))
+                            AS INTEGER) AS frame_idx
+                FROM documents)
+            ORDER BY video_id, frame_idx
         """,
         "main_content": """
             -- the extractor must strip all template chrome and recover the

@@ -330,3 +330,106 @@ def extract_audio_features(
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+def q_audio_features(sf_dir: str) -> pa.Table:
+    """Audio actor-pool stage, driver-oracle-checked: one deterministic PCM
+    WAV clip per document ((doc_id%5+1)×800 samples of a doc_id-seeded
+    sine at 8 kHz), REAL-decoded by AudioFeatureExtractor. The DuckDB
+    oracle reproduces clip_id / byte size (44-byte canonical WAV header +
+    2 B/sample) / duration exactly; waveform-derived energy is pinned by
+    the sine-RMS golden test instead."""
+    import io
+    import wave as _wave
+
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        clips, ids = [], []
+        for did in batch["doc_id"].to_pylist():
+            n = (did % 5 + 1) * 800
+            t = np.arange(n) / 8000.0
+            freq = 200.0 + (did % 20) * 40.0
+            x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(x.tobytes())
+            clips.append(buf.getvalue())
+            ids.append(f"clip{did}")
+        return pa.table(
+            {
+                "clip_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(clips, pa.binary()),
+            }
+        )
+
+    # concurrency 2: an actor pool sized to the whole CPU count would
+    # starve the upstream read tasks on small (4-cpu) test sessions
+    out = extract_audio_features(
+        ds.map_batches(synth, batch_format="pyarrow"), concurrency=2
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["clip_id", "n_bytes", "duration_s"])
+
+    t = pa.concat_tables(
+        ray.get(
+            out.map_batches(project, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    return t.sort_by("clip_id")
+
+
+def q_video_frames(sf_dir: str) -> pa.Table:
+    """Video frame-sampling fan-out, driver-oracle-checked: one synthetic
+    video row per document (fps=25, n_frames=doc_id%50+1) through the REAL
+    VideoFrameSampler actor pool (every 10th frame); the deterministic
+    fan-out layout (video_id, frame_idx, frame_ts_s) is reproduced by the
+    oracle with generate_series — the fake per-frame feature column is
+    excluded (its hash isn't SQL-expressible) and covered by unit tests."""
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "video_id": pa.array([f"v{d}" for d in ids], pa.string()),
+                "bytes": pa.array(
+                    [bytes([d % 251]) * 64 for d in ids], pa.binary()
+                ),
+                "fps": pa.array([25.0] * len(ids), pa.float64()),
+                "n_frames": pa.array(
+                    [d % 50 + 1 for d in ids], pa.int64()
+                ),
+            }
+        )
+
+    out = sample_video_frames(
+        ds.map_batches(synth, batch_format="pyarrow"), every_n=10,
+        concurrency=2,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["video_id", "frame_idx", "frame_ts_s"])
+
+    t = pa.concat_tables(
+        ray.get(
+            out.map_batches(project, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    return t.sort_by(
+        [("video_id", "ascending"), ("frame_idx", "ascending")]
+    )
