@@ -15,6 +15,10 @@ kernels shared with the rest of the engine.
 
 from __future__ import annotations
 
+import datetime as _dt
+
+import pyarrow.dataset as _pads
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -193,7 +197,9 @@ def q_bloom_anti_join(sf_dir: str) -> pa.Table:
     SQL-oracle-checked (reference semantics: linkbase seen-suppression J3,
     selector/mr_selector_r1_reducer.cc:54-156)."""
     seen_ds = read_table(
-        sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"]
+        sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"],
+        filter=_pads.field("l_shipdate")
+        < pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us")),
     )
     N_BITS, K = 1 << 17, 4
     CUTOFF = "1996-01-01"

@@ -9,8 +9,11 @@ Ray-Data-first. Column names are frozen to match ``oracle_sql`` in
 
 from __future__ import annotations
 
+import datetime as _dt
+
 import polars as pl
 import pyarrow as pa
+import pyarrow.dataset as _pads
 import pyarrow.compute as pc
 import ray
 
@@ -305,7 +308,14 @@ def q_anti_join(sf_dir: str) -> pa.Table:
         ).select(["o_custkey"])
 
     seen = (
-        read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        read_table(
+            sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+            # predicate pushed to the read: row groups past the cutoff
+            # never leave storage (the in-batch filter stays for
+            # bit-identical block semantics)
+            filter=_pads.field("o_orderdate")
+            < pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us")),
+        )
         .map_batches(early, batch_format="pyarrow")
         .unique("o_custkey")
     )
@@ -505,11 +515,20 @@ def q_range_join(sf_dir: str) -> pa.Table:
 
 def q_filter_revenue(sf_dir: str) -> pa.Table:
     """Predicate filter + global agg (TPC-H-Q6 shape) — the URL filter-rules
-    gate M3 (crawler_selector_util.cc:413-520) as a relational filter."""
+    gate M3 (crawler_selector_util.cc:413-520) as a relational filter. The
+    ship-date predicate is PUSHED TO THE READ (parquet row-group pruning:
+    rows outside the year never leave storage); the remaining in-batch
+    filter keeps bit-identical semantics."""
     ds = read_table(
         sf_dir,
         "lineitem",
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(
+            (_pads.field("l_shipdate")
+             >= pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us")))
+            & (_pads.field("l_shipdate")
+               < pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us")))
+        ),
     )
 
     def partial(lf):
