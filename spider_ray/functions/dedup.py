@@ -312,12 +312,28 @@ def _shingle_table(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def shingle(batch: pa.Table) -> pa.Table:
+        # ONE hash64 call over every shingle in the batch (a per-doc call
+        # would build one polars Series per document — measurable overhead
+        # at thousands of docs per batch), split back by offsets
         ids = batch["doc_id"].to_pylist()
-        hs = [tk.shingle_hashes(t, NGRAM_K) for t in batch["text"].to_pylist()]
+        all_sh: list[str] = []
+        offs = [0]
+        for t in batch["text"].to_pylist():
+            all_sh.extend(tk.word_shingles(t, NGRAM_K))
+            offs.append(len(all_sh))
+        hs = (
+            hash64(all_sh) if all_sh else np.empty(0, dtype=np.uint64)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "shingles": pa.array([h.tolist() for h in hs], pa.list_(pa.uint64())),
+                "shingles": pa.array(
+                    [
+                        hs[offs[i] : offs[i + 1]].tolist()
+                        for i in range(len(ids))
+                    ],
+                    pa.list_(pa.uint64()),
+                ),
             }
         )
 
@@ -429,7 +445,7 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        sigs = [tk.simhash(t) for t in batch["text"].to_pylist()]
+        sigs = tk.simhash_batch(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

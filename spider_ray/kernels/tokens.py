@@ -114,6 +114,37 @@ def simhash(text: str) -> int:
     return int(sig)
 
 
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Batched :func:`simhash` — bit-identical results (pinned by test),
+    but ONE hash64 call over every token in the batch and vectorized bit
+    voting via ``np.add.reduceat`` instead of per-document passes."""
+    toks_all: list[str] = []
+    offs = [0]
+    for t in texts:
+        toks_all.extend(bpe_tokens(t))
+        offs.append(len(toks_all))
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if not toks_all:
+        return out
+    hs = hash64(toks_all)
+    bits = (
+        (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
+    signed = 2 * bits - 1  # (tokens, 64)
+    starts = np.asarray(offs[:-1])
+    nonempty = np.asarray(offs[1:]) > starts
+    if nonempty.any():
+        votes = np.add.reduceat(signed, starts[nonempty], axis=0)
+        sigs = (
+            (votes > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        out[nonempty] = sigs
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

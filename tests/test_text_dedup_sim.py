@@ -185,3 +185,19 @@ def test_embedding_neardup_lsh_recall(ray_session, sf_small):
     lp = set(zip(lsh["a_id"].to_pylist(), lsh["b_id"].to_pylist()))
     assert lp <= ep  # exact verify ⇒ no false positives
     assert len(lp & ep) / max(len(ep), 1) >= 0.9
+
+
+def test_simhash_batch_matches_scalar():
+    """simhash_batch must be bit-identical to per-doc simhash, including
+    empty docs interleaved between non-empty ones."""
+    texts = [
+        "spark group query row data slow" * 3,
+        "",
+        "completely different words entirely unrelated content",
+        "",
+        "",
+        "the quick brown fox jumps over the lazy dog",
+    ]
+    batch = tk.simhash_batch(texts)
+    scalar = [tk.simhash(t) for t in texts]
+    assert batch.tolist() == scalar
