@@ -208,7 +208,7 @@ class FetchWorker:
             "url": [], "host": [], "fetch_ts": [], "gen": [], "seq": [],
             "priority": [], "depth": [], "tried": [], "referer": [],
             "status": [], "effective_url": [], "retry": [],
-            "outlinks": [], "images": [],
+            "via_proxy": [], "outlinks": [], "images": [],
         }
         for r in batch.to_pylist():
             p = FetchPermit(
@@ -230,6 +230,7 @@ class FetchWorker:
             out["status"].append(res.status)
             out["effective_url"].append(res.effective_url)
             out["retry"].append(res.retry)
+            out["via_proxy"].append(res.via_proxy)
             out["outlinks"].append(
                 [{"url": o["url"], "depth": o["depth"]} for o in res.outlink_rows]
             )
@@ -248,6 +249,7 @@ class FetchWorker:
                 "status": pa.array(out["status"], pa.int32()),
                 "effective_url": pa.array(out["effective_url"], pa.string()),
                 "retry": pa.array(out["retry"], pa.bool_()),
+                "via_proxy": pa.array(out["via_proxy"], pa.string()),
                 "outlinks": pa.array(
                     out["outlinks"],
                     pa.list_(pa.struct([("url", pa.string()), ("depth", pa.int64())])),
@@ -301,6 +303,7 @@ STATUS_SCHEMA = pa.schema(
         ("status", pa.int32()),
         ("effective_url", pa.string()),
         ("retry", pa.bool_()),
+        ("via_proxy", pa.string()),
     ]
 )
 

@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from spider_ray.kernels.imaging import decode_image, encode_image, phash64
+from spider_ray.state.proxy import pick_proxy_pure
 from spider_ray.state.scheduler import FetchPermit
 
 MAX_RETRY = 2  # tried_times < 2 may retry (fetch_result_handler.cc:73-77)
@@ -55,6 +56,7 @@ class FetchResult:
     outlink_rows: list[dict] = field(default_factory=list)
     image_rows: list[dict] = field(default_factory=list)
     retry: bool = False
+    via_proxy: str = ""  # T3: retried fetches flip through the proxy list
 
 
 def _path_depth(url: str) -> int:
@@ -65,16 +67,20 @@ def _path_depth(url: str) -> int:
 
 def fetch_one(permit: FetchPermit, index: WebIndex) -> FetchResult:
     index.lookups += 1
+    # T3 proxy flip (fetch_result_handler.cc:67-88): first attempts go
+    # direct; retries route through a proxy picked as a PURE function of
+    # (url_hash, tried) — pool-size-invariant, hence a parity seam
+    via = pick_proxy_pure(permit.url_hash, permit.tried)
     row = index.pages.get(permit.url)
     if row is None:
-        return FetchResult(permit, 404, permit.url)
+        return FetchResult(permit, 404, permit.url, via_proxy=via)
     status = int(row["status_code"])
     effective = permit.url
     if status == 301 and row["redirect_to"]:
         target = index.pages.get(row["redirect_to"])
         effective = row["redirect_to"]
         if target is None:
-            return FetchResult(permit, 404, effective)
+            return FetchResult(permit, 404, effective, via_proxy=via)
         row = target
         status = int(row["status_code"])
         if status == 301:
@@ -82,12 +88,13 @@ def fetch_one(permit: FetchPermit, index: WebIndex) -> FetchResult:
     if status == -1 or status >= 500:
         code = 599 if status == -1 else status
         return FetchResult(
-            permit, code, effective, retry=permit.tried < MAX_RETRY
+            permit, code, effective, retry=permit.tried < MAX_RETRY,
+            via_proxy=via,
         )
     if status != 200:
-        return FetchResult(permit, status, effective)
+        return FetchResult(permit, status, effective, via_proxy=via)
 
-    res = FetchResult(permit, 200, effective)
+    res = FetchResult(permit, 200, effective, via_proxy=via)
     outlinks = row["outlinks"] or []
     if (
         len(outlinks) >= MIN_OUTLINK
@@ -148,4 +155,5 @@ def result_to_rows(res: FetchResult) -> dict:
         "status": res.status,
         "effective_url": res.effective_url,
         "retry": res.retry,
+        "via_proxy": res.via_proxy,
     }

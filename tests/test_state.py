@@ -221,3 +221,50 @@ def test_bloom_filter_contract():
     # serialization round-trip
     r = BloomFilter.from_bytes(f.to_bytes(), k=f.k)
     assert np.array_equal(r.bits, f.bits)
+
+
+def test_proxy_manager_reference_scenario():
+    """Ported from the reference's proxy_manager_test.cc (SimpleOneProxy):
+    cooldown after max successive failures, decay-by-2 on re-entry."""
+    from spider_ray.state.proxy import ProxyManager
+
+    m = ProxyManager(
+        proxies=("127.0.0.1:12333",),
+        max_successive_failures=5,
+        holdon_duration_after_failures=1000,
+    )
+    for _ in range(5):
+        p = m.select_best(0)
+        assert p
+        m.report_status(p, False, 2)
+    assert m.select_best(2) == ""
+    assert m.select_best(1001) == ""
+    p = m.select_best(1002)  # holdon elapsed → decay 5→3, selectable
+    assert p
+    m.report_status(p, False, 1)
+    p = m.select_best(1003)
+    assert p
+    m.report_status(p, False, 1003)  # successive back to 5
+    assert m.select_best(2000) == ""
+    assert m.select_best(2004) != ""
+
+
+def test_proxy_manager_least_tasks_and_pure_pick():
+    from spider_ray.state.proxy import (
+        DEFAULT_PROXIES,
+        ProxyManager,
+        pick_proxy_pure,
+    )
+
+    m = ProxyManager(proxies=("a", "b"))
+    assert m.select_best(0) == "a"  # ties → first index, like the C++ scan
+    assert m.select_best(0) == "b"  # a now has 1 task outstanding
+    m.report_status("a", True, 1)
+    assert m.select_best(2) == "a"
+
+    # pure pick: deterministic, direct on first attempt, stable across calls
+    assert pick_proxy_pure(12345, 0) == ""
+    p1 = pick_proxy_pure(12345, 1)
+    assert p1 in DEFAULT_PROXIES
+    assert pick_proxy_pure(12345, 1) == p1
+    assert pick_proxy_pure(12345, 2) in DEFAULT_PROXIES
