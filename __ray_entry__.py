@@ -70,8 +70,16 @@ def _build_once(path: str, done_name: str, build) -> str:
             # lost the race — someone else's finished copy is in place
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            # stale partial dir from a crashed older run: replace it
-            shutil.rmtree(path, ignore_errors=True)
+            # stale partial dir from a crashed older run. Evict it via an
+            # atomic RENAME to a unique trash dir — at most one concurrent
+            # process wins the move, so a finished copy installed by a
+            # sibling between our check and the eviction can never be
+            # deleted (rmtree-ing `path` directly could race exactly that).
+            try:
+                os.rename(path, tmp + ".trash")
+                shutil.rmtree(tmp + ".trash", ignore_errors=True)
+            except OSError:
+                pass  # someone else evicted (or replaced) it first
             try:
                 os.rename(tmp, path)
             except OSError:
@@ -637,8 +645,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "main_content": """
             -- the extractor must strip all template chrome and recover the
-            -- source text exactly, so the oracle states the expected output
-            SELECT doc_id, 'Doc ' || doc_id AS title, trim(text) AS content
+            -- source text exactly; regexp trim mirrors python str.strip
+            -- (trim() alone removes only spaces, not \\t/\\n padding)
+            SELECT doc_id, 'Doc ' || doc_id AS title,
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS content
             FROM documents ORDER BY doc_id
         """,
         "charset_decode": """

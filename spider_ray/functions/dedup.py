@@ -139,17 +139,6 @@ def _hash_join(
     return joined.map_batches(_conform(out_schema), batch_format="pyarrow")
 
 
-def _rename_col(old: str, new: str):
-    """Zero-copy per-batch column rename stage (Arrow metadata only)."""
-
-    def f(t: pa.Table) -> pa.Table:
-        return t.rename_columns(
-            [new if c == old else c for c in t.column_names]
-        )
-
-    return f
-
-
 def _conform(schema: pa.Schema):
     """Normalize blocks coming out of a hash join / shuffle: empty join
     partitions surface as ZERO-FIELD blocks, which crash a chained join
@@ -275,6 +264,46 @@ def _jaccard_verify(
 
     t = _concat(j.map_batches(verify, batch_format="pyarrow"))
     return _sorted(t, ["a_id", "b_id"])
+
+
+def _hamming_verify(
+    cand: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    sig_col: str,
+    tau: int,
+    id_type: pa.DataType = None,
+) -> ray.data.Dataset:
+    """Vectorized Hamming verify of candidate pairs: join the uint64
+    signature back for both sides, XOR + popcount per batch, keep pairs
+    with distance ≤ tau. Shared by the simhash (text) and phash (image)
+    near-dup paths."""
+    id_t = id_type if id_type is not None else pa.int64()
+    ids = pa.schema([("a_id", id_t), ("b_id", id_t)])
+    sig_schema = pa.schema([("doc_id", id_t), (sig_col, pa.uint64())])
+    j = _hash_join(cand, sigs, "a_id", "doc_id", ids, sig_schema,
+                   rename={sig_col: "sig_a"})
+    j = _hash_join(
+        j, sigs, "b_id", "doc_id",
+        ids.append(pa.field("sig_a", pa.uint64())), sig_schema,
+        rename={sig_col: "sig_b"},
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["sig_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch["sig_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+        ham = (
+            np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+            if x.size
+            else np.empty(0, dtype=np.int64)
+        )
+        keep = ham <= tau
+        kept = batch.filter(pa.array(keep)).select(["a_id", "b_id"])
+        return kept.append_column(
+            "hamming", pa.array(ham[keep].astype(np.int64), pa.int64())
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 def q_exact_dedup(sf_dir: str) -> pa.Table:
@@ -476,33 +505,8 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
 
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
     cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
-    ids = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
-    sig_schema = pa.schema([("doc_id", pa.int64()), ("simhash", pa.uint64())])
-    j = _hash_join(cand, sigs, "a_id", "doc_id", ids, sig_schema,
-                   rename={"simhash": "sig_a"})
-    j = _hash_join(
-        j, sigs, "b_id", "doc_id",
-        ids.append(pa.field("sig_a", pa.uint64())), sig_schema,
-        rename={"simhash": "sig_b"},
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch["sig_a"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = batch["sig_b"].combine_chunks().to_numpy(zero_copy_only=False)
-        x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-        ham = (
-            np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
-            if x.size
-            else np.empty(0, dtype=np.int64)
-        )
-        keep = ham <= HAMMING_TAU
-        kept = batch.filter(pa.array(keep)).select(["a_id", "b_id"])
-        return kept.append_column(
-            "hamming", pa.array(ham[keep].astype(np.int64), pa.int64())
-        )
-
-    t = _concat(j.map_batches(verify, batch_format="pyarrow"))
-    return _sorted(t, ["a_id", "b_id"])
+    out = _hamming_verify(cand, sigs, "simhash", HAMMING_TAU)
+    return _sorted(_concat(out), ["a_id", "b_id"])
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:

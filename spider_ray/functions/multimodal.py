@@ -232,8 +232,9 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     driver only sees the final pair list."""
     from spider_ray.functions.dedup import (
         _bucket_cogroup_pairs,
-        _hash_join,
+        _hamming_verify,
     )
+    from spider_ray.pipelines.relational import _concat, _sorted
     from spider_ray.kernels import tokens as tk
 
     BANDS = 8
@@ -272,37 +273,8 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     cand = _bucket_cogroup_pairs(exploded, pa.string()).select_columns(
         ["a_id", "b_id"]
     )
-    ids = pa.schema([("a_id", pa.string()), ("b_id", pa.string())])
-    sig_schema = pa.schema([("doc_id", pa.string()), ("sig", pa.uint64())])
-    j = _hash_join(cand, sigs, "a_id", "doc_id", ids, sig_schema,
-                   rename={"sig": "sig_a"})
-    j = _hash_join(
-        j, sigs, "b_id", "doc_id",
-        ids.append(pa.field("sig_a", pa.uint64())), sig_schema,
-        rename={"sig": "sig_b"},
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch["sig_a"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = batch["sig_b"].combine_chunks().to_numpy(zero_copy_only=False)
-        x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-        ham = (
-            np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
-            if x.size
-            else np.empty(0, dtype=np.int64)
-        )
-        keep = ham <= tau
-        kept = batch.filter(pa.array(keep)).select(["a_id", "b_id"])
-        return kept.append_column(
-            "hamming", pa.array(ham[keep].astype(np.int64), pa.int64())
-        )
-
-    out = j.map_batches(verify, batch_format="pyarrow")
-    t = pa.concat_tables(
-        ray.get(out.materialize().to_arrow_refs()),
-        promote_options="default",
-    )
-    return t.sort_by([("a_id", "ascending"), ("b_id", "ascending")])
+    out = _hamming_verify(cand, sigs, "sig", tau, id_type=pa.string())
+    return _sorted(_concat(out), ["a_id", "b_id"])
 
 
 def extract_image_features(
@@ -377,15 +349,11 @@ def q_audio_features(sf_dir: str) -> pa.Table:
     def project(batch: pa.Table) -> pa.Table:
         return batch.select(["clip_id", "n_bytes", "duration_s"])
 
-    t = pa.concat_tables(
-        ray.get(
-            out.map_batches(project, batch_format="pyarrow")
-            .materialize()
-            .to_arrow_refs()
-        ),
-        promote_options="default",
+    from spider_ray.pipelines.relational import _concat, _sorted
+
+    return _sorted(
+        _concat(out.map_batches(project, batch_format="pyarrow")), "clip_id"
     )
-    return t.sort_by("clip_id")
 
 
 def q_video_frames(sf_dir: str) -> pa.Table:
@@ -422,14 +390,9 @@ def q_video_frames(sf_dir: str) -> pa.Table:
     def project(batch: pa.Table) -> pa.Table:
         return batch.select(["video_id", "frame_idx", "frame_ts_s"])
 
-    t = pa.concat_tables(
-        ray.get(
-            out.map_batches(project, batch_format="pyarrow")
-            .materialize()
-            .to_arrow_refs()
-        ),
-        promote_options="default",
-    )
-    return t.sort_by(
-        [("video_id", "ascending"), ("frame_idx", "ascending")]
+    from spider_ray.pipelines.relational import _concat, _sorted
+
+    return _sorted(
+        _concat(out.map_batches(project, batch_format="pyarrow")),
+        ["video_id", "frame_idx"],
     )

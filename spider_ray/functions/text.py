@@ -317,10 +317,13 @@ def q_charset_decode(sf_dir: str) -> pa.Table:
 def q_main_content(sf_dir: str) -> pa.Table:
     """M17 DOM main-content extraction (content_collector.cc): each doc's
     text is wrapped in a realistic page template (header / nav / sidebar
-    links / footer boilerplate + a fine-print sibling inside the content
-    div), the extractor strips the chrome via the dominant-cluster ratio
-    walk, and the recovered (title, content) must equal the source — which
-    the DuckDB oracle states directly. Chrome-stripping corner cases are
+    links / two footer boilerplates — one INSIDE the content div), the
+    extractor strips the chrome via droppable-node pruning + the
+    dominant-cluster ratio walk, and the recovered (title, content) must
+    equal the source for ANY text (all boilerplate sits in droppable tags,
+    so the contract is length-independent — a visible-text sibling would
+    make short docs lose the dominance walk). The DuckDB oracle states the
+    expected output directly; dominance-descent corner cases are
     golden-tested in tests/test_domtext.py."""
     import html as _html
 
@@ -339,7 +342,7 @@ def q_main_content(sf_dir: str) -> pa.Table:
                 '<nav><a href="/">home</a><a href="/about">about</a></nav>'
                 '<div id="page"><div id="main">'
                 f"<p>{_html.escape(text)}</p>"
-                '<p class="fineprint">(c) example</p></div>'
+                "<footer>(c) example fineprint</footer></div>"
                 '<aside><a href="/x">related one</a>'
                 '<a href="/y">related two</a></aside></div>'
                 "<footer>contact us</footer></body></html>"

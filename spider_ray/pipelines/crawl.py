@@ -383,11 +383,11 @@ SINK_ROLL_BYTES = 128 << 20  # roll per-gen sink files past ~128 MB
 class RollingWriter:
     """Single-logical-stream parquet sink that ROLLS to a new part file
     once the current one passes ``roll_bytes`` — the resumable-output rule
-    ("never one giant file"). Naming keeps stream order under a plain
-    lexicographic glob: ``<base>.parquet`` then ``<base>.part001.parquet``,
-    ``<base>.part002.parquet``, … (``"parquet" < "part001"``). At demo
-    scale everything lands in the single base file, so small-corpus readers
-    and old outputs are untouched."""
+    ("never one giant file"): ``<base>.parquet`` then
+    ``<base>.part00001.parquet``, … ``read_sink`` orders parts by PARSED
+    index (not lexicographically), so the stream order survives any part
+    count. At demo scale everything lands in the single base file, so
+    small-corpus readers and old outputs are untouched."""
 
     def __init__(self, dir_: str, base: str,
                  roll_bytes: int | None = None):
@@ -406,7 +406,7 @@ class RollingWriter:
         if self.part == 0:
             return os.path.join(self.dir, f"{self.base}.parquet")
         return os.path.join(
-            self.dir, f"{self.base}.part{self.part:03d}.parquet"
+            self.dir, f"{self.base}.part{self.part:05d}.parquet"
         )
 
     def write(self, t: pa.Table) -> None:
@@ -434,11 +434,23 @@ class RollingWriter:
 
 def read_sink(dir_: str, base: str) -> pa.Table:
     """Read one logical sink stream back (base file + rolled parts, in
-    order)."""
+    STREAM order — parts sort numerically by parsed index, so the order
+    holds no matter how many digits a part number grows to)."""
     import glob as _glob
+    import re as _re
 
     name = base[: -len(".parquet")] if base.endswith(".parquet") else base
-    paths = sorted(_glob.glob(os.path.join(dir_, f"{name}*.parquet")))
+    part_re = _re.compile(
+        _re.escape(name) + r"\.part(\d+)\.parquet$"
+    )
+
+    def _order(p: str) -> int:
+        m = part_re.search(os.path.basename(p))
+        return int(m.group(1)) if m else 0  # base file = part 0
+
+    paths = sorted(
+        _glob.glob(os.path.join(dir_, f"{name}*.parquet")), key=_order
+    )
     return pa.concat_tables(
         [pq.read_table(p) for p in paths], promote_options="default"
     )
@@ -723,7 +735,7 @@ def run_crawl(
             sorted_ds = ray.data.from_arrow_refs(permit_refs).sort(
                 [k for k, _ in SORT_KEYS]
             )
-            fetch_in = list(sorted_ds.to_arrow_refs())
+            fetch_in = list(sorted_ds.materialize().to_arrow_refs())
         fetched_refs = [
             fetch_pool[i % len(fetch_pool)].fetch_batch.remote(chunk)
             for i, chunk in enumerate(fetch_in)
@@ -902,7 +914,7 @@ def run_crawl(
             ["sort_key", "url"]
         )
         writer = RollingWriter(out_dir, "seen")
-        for bref in sorted_ds.to_arrow_refs():
+        for bref in sorted_ds.materialize().to_arrow_refs():
             b = ray.get(bref)
             if b.num_rows == 0:
                 continue

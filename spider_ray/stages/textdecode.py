@@ -81,7 +81,12 @@ def decode_html(body: bytes, content_type: str | None = None):
     best = None  # (skip_ratio, codec, text)
     for codec in candidates:
         text = body.decode(codec, errors="replace")
-        skipped = text.count("�")
+        # count DECODE FAILURES, not U+FFFD occurrences: the replace/ignore
+        # length difference is exactly the number of undecodable units, so
+        # legitimate replacement chars in the source never count against
+        # the gate. Denominator is content bytes, as in the reference
+        # (skipped bytes > 10% of content fails the page).
+        skipped = len(text) - len(body.decode(codec, errors="ignore"))
         ratio = skipped / len(body)
         if ratio <= MAX_SKIP_RATIO:
             return text, codec, ratio, True

@@ -384,7 +384,7 @@ def test_rolling_sinks_roll_and_reassemble(corpus, oracle_out, ray_session,
         w.write(pa.table({"a": [i] * 100}))
     w.close(pa.schema([("a", pa.int64())]))
     assert sorted(os.listdir(wdir)) == [
-        "x.parquet", "x.part001.parquet", "x.part002.parquet"
+        "x.parquet", "x.part00001.parquet", "x.part00002.parquet"
     ]
     t = C.read_sink(wdir, "x")
     assert t["a"].to_pylist() == [0] * 100 + [1] * 100 + [2] * 100
