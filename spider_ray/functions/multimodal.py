@@ -4,11 +4,14 @@ training-data-pipeline requirement from the build brief).
 
 * images — REAL: decode (our PNG / qimg codecs), verify dims, resize
   (area-mean), phash, re-encode;
-* audio / video — the decoders don't exist in this container, so the decode
-  step is STUBBED exactly as prescribed: a deterministic fake feature
-  extractor behind the same actor signature, with ``NotImplementedError``
-  for real-codec requests. The Ray-side plumbing (schema, batch size, actor
-  pool, output layout) is real and tested.
+* audio — PCM WAV decodes for REAL (stdlib ``wave``: duration / RMS /
+  fingerprint from the actual waveform, driver-oracle-checked); compressed
+  formats are STUBBED at the ffmpeg seam exactly as prescribed;
+* video — no codec exists in this container, so frame decode is STUBBED
+  (deterministic fake per-frame signature) behind the real actor
+  signature; the fan-out layout is driver-oracle-checked. The Ray-side
+  plumbing (schema, batch size, actor pool, output layout) is real and
+  tested throughout.
 """
 
 from __future__ import annotations
