@@ -18,6 +18,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spider_ray.functions import binpack as B  # noqa: E402
+from spider_ray.functions import linkbase as L  # noqa: E402
 from spider_ray.functions import sketch as K  # noqa: E402
 from spider_ray.functions import dedup as D  # noqa: E402
 from spider_ray.functions import urls as U  # noqa: E402
@@ -231,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_split": U.q_host_split,
         "seeded_shuffle": U.q_seeded_shuffle,
         "ip_url_split": U.q_ip_url_split,
+        "linkbase_merge": L.q_linkbase_merge,
         # scheduling ops
         "binpack_customers": B.q_binpack_customers,
         # sketches (approx_distinct rows-only: approximate by construction,
@@ -679,6 +681,39 @@ def oracle_sql() -> dict[str, str]:
                    'http://' || lower(source) || '.example.com/docs/'
                        || doc_id || '?a=1&b=2' AS url
             FROM documents ORDER BY doc_id
+        """,
+        "linkbase_merge": """
+            -- J6 batch x delta merge: keep-latest per url (timestamp =
+            -- event_id, globally unique), drop on any D command, die when
+            -- latest.fail + count(R) >= 3
+            WITH recs AS (
+                SELECT 'u' || user_id AS url, event_id AS timestamp,
+                       value AS score,
+                       CAST(event_id % 2 AS INT) AS fail0
+                FROM events WHERE event_id % 3 IN (0, 1)),
+            cmds AS (
+                SELECT 'u' || user_id AS url,
+                       CASE WHEN user_id % 7 = 0 THEN 'D' ELSE 'R' END AS cmd
+                FROM events
+                WHERE event_id % 3 = 2 AND event_id % 97 = 0),
+            latest AS (
+                SELECT url, timestamp, score, fail0,
+                       row_number() OVER (
+                           PARTITION BY url
+                           ORDER BY timestamp DESC, score DESC) AS rn
+                FROM recs),
+            agg AS (
+                SELECT url,
+                       sum(CASE WHEN cmd = 'D' THEN 1 ELSE 0 END) AS n_d,
+                       sum(CASE WHEN cmd = 'R' THEN 1 ELSE 0 END) AS n_r
+                FROM cmds GROUP BY url)
+            SELECT l.url, l.timestamp, l.score,
+                   CAST(l.fail0 + coalesce(a.n_r, 0) AS INT)
+                       AS update_fail_cnt
+            FROM latest l LEFT JOIN agg a USING (url)
+            WHERE rn = 1 AND coalesce(a.n_d, 0) = 0
+              AND l.fail0 + coalesce(a.n_r, 0) < 3
+            ORDER BY l.url
         """,
         "ip_url_split": """
             -- J4 hot-IP diversion: skewed host->IP map (ip index =

@@ -94,3 +94,79 @@ def linkbase_merge(
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+def q_linkbase_merge(sf_dir: str) -> pa.Table:
+    """J6 batch⋈delta merge, driver-oracle-checked: deterministic linkbase
+    rows synthesized from events (event_id%3==0 → old-batch records,
+    ==1 → delta records, ==2 → commands: D for user_id%7==0 else R),
+    merged by the real pipeline — keep the (timestamp, score)-max record
+    per url, drop on any D, die at update_fail_cnt ≥ 3. event_id doubles
+    as the timestamp so the keep-latest winner is globally unambiguous;
+    the DuckDB oracle reproduces the whole merge with window + group
+    aggregation."""
+    from spider_ray.pipelines.relational import _concat, _sorted
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def synth(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch).with_columns(
+                url=pl.format("u{}", pl.col("user_id")),
+                mod=pl.col("event_id") % 3,
+            )
+            if which == "old":
+                part = df.filter(pl.col("mod") == 0).with_columns(
+                    cmd=pl.lit(""),
+                )
+            else:
+                recs = df.filter(pl.col("mod") == 1).with_columns(
+                    cmd=pl.lit("")
+                )
+                # sparse commands (~1% of events): a command per event
+                # would bury every url under R retries and kill the whole
+                # linkbase — the merge needs survivors to be non-trivial
+                cmds = df.filter(
+                    (pl.col("mod") == 2) & (pl.col("event_id") % 97 == 0)
+                ).with_columns(
+                    cmd=pl.when(pl.col("user_id") % 7 == 0)
+                    .then(pl.lit("D"))
+                    .otherwise(pl.lit("R"))
+                )
+                part = pl.concat([recs, cmds])
+            out = part.select(
+                pl.col("url"),
+                pl.col("event_id").alias("timestamp"),
+                pl.col("value").alias("score"),
+                pl.col("cmd"),
+                (pl.col("event_id") % 2).cast(pl.Int32).alias(
+                    "update_fail_cnt"
+                ),
+            )
+            return out.to_arrow().cast(SCHEMA)
+
+        return f
+
+    old = ds.map_batches(synth("old"), batch_format="pyarrow")
+    delta = ds.map_batches(synth("delta"), batch_format="pyarrow")
+    merged = linkbase_merge(old, delta)
+
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("timestamp", pa.int64()),
+            ("score", pa.float64()),
+            ("update_fail_cnt", pa.int32()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # empty map_groups blocks pass through
+            return out_schema.empty_table()
+        return batch.select(out_schema.names)
+
+    t = _concat(merged.map_batches(project, batch_format="pyarrow"))
+    if t.num_columns == 0:  # fully-empty merge result
+        t = out_schema.empty_table()
+    return _sorted(t, "url")
