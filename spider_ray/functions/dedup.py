@@ -509,11 +509,35 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     return _sorted(_concat(out), ["a_id", "b_id"])
 
 
-def q_embedding_neardup(sf_dir: str) -> pa.Table:
+# q_embedding_neardup materializes an O(N) driver matrix and does an O(N^2)
+# compare — it exists ONLY as the tiny-scale oracle twin of the LSH scale path
+# (spider_ray.functions.similarity.q_embedding_neardup_lsh). The guard stops
+# it from silently running at corpus scale.
+EXACT_NEARDUP_MAX_ROWS = 200_000
+
+
+def q_embedding_neardup(
+    sf_dir: str, *, allow_full_matrix: bool = False
+) -> pa.Table:
     """Embedding-cosine near-dup pairs (cos ≥ τ): per-batch matmul against a
-    broadcast normalized matrix (ray.put once) — the ANN-free exact variant."""
+    broadcast normalized matrix (ray.put once) — the ANN-free EXACT variant.
+
+    O(N²) with a driver-materialized matrix by construction: this is the
+    oracle twin for ``q_embedding_neardup_lsh`` (the 100-TB shape — multi-
+    table hyperplane LSH + distributed bucket cogroup), not a scale path.
+    Refuses inputs over ``EXACT_NEARDUP_MAX_ROWS`` unless
+    ``allow_full_matrix=True``."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    all_t = pa.concat_tables(ray.get(emb.materialize().to_arrow_refs()))
+    emb = emb.materialize()
+    n = emb.count()
+    if n > EXACT_NEARDUP_MAX_ROWS and not allow_full_matrix:
+        raise ValueError(
+            f"q_embedding_neardup is the exact O(N^2) oracle twin and got "
+            f"{n} rows (> {EXACT_NEARDUP_MAX_ROWS}); use "
+            f"q_embedding_neardup_lsh for corpus-scale inputs, or pass "
+            f"allow_full_matrix=True to override."
+        )
+    all_t = pa.concat_tables(ray.get(emb.to_arrow_refs()))
     ids = np.asarray(all_t["vec_id"].to_pylist(), dtype=np.int64)
     M = np.asarray(all_t["embedding"].to_pylist(), dtype=np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)

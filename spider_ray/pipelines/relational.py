@@ -203,34 +203,49 @@ def q_minmax_stats(sf_dir: str) -> pa.Table:
 
 def q_conditional_agg(sf_dir: str) -> pa.Table:
     """Per-user pivot counts of event types — per-source tagged counting
-    (statistic/mr_stat_site_pv_mapper.cc combiner pattern)."""
+    (statistic/mr_stat_site_pv_mapper.cc combiner pattern). Output is keyed
+    by user_id — O(users), unbounded at corpus scale — so the final merge is
+    DISTRIBUTED: per-block partial pivots carry a hash-partition key and each
+    partition reduces in a ``groupby(part).map_groups`` worker (the
+    q_latest_record shape); the driver never merges O(users) partials."""
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
 
-    def partial(lf):
-        return lf.group_by("user_id").agg(
-            n_click=(pl.col("event_type") == "click").sum(),
-            n_view=(pl.col("event_type") == "view").sum(),
-            n_purchase=(pl.col("event_type") == "purchase").sum(),
-            purchase_cents=pl.when(pl.col("event_type") == "purchase")
-            .then(_cents("value"))
-            .otherwise(0)
-            .sum(),
+    def partial(batch: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(batch)
+            .group_by("user_id")
+            .agg(
+                n_click=(pl.col("event_type") == "click").sum(),
+                n_view=(pl.col("event_type") == "view").sum(),
+                n_purchase=(pl.col("event_type") == "purchase").sum(),
+                purchase_cents=pl.when(pl.col("event_type") == "purchase")
+                .then(_cents("value"))
+                .otherwise(0)
+                .sum(),
+            )
+            .with_columns(part=(pl.col("user_id") % 32).cast(pl.Int32))
         )
+        return out.to_arrow()
 
-    def final(lf):
+    def final_group(group: pa.Table) -> pa.Table:
         return (
-            lf.group_by("user_id")
+            pl.from_arrow(group)
+            .group_by("user_id")
             .agg(
                 n_click=pl.col("n_click").sum(),
                 n_view=pl.col("n_view").sum(),
                 n_purchase=pl.col("n_purchase").sum(),
                 purchase_value=pl.col("purchase_cents").sum(),
             )
-            .sort("user_id")
+            .to_arrow()
         )
 
-    return _scale_cols(partial_final_agg(ds, partial, final),
-                       {"purchase_value": 100})
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_group, batch_format="pyarrow")
+    )
+    return _scale_cols(_sorted(_concat(out), "user_id"), {"purchase_value": 100})
 
 
 # ---------------------------------------------------------------------------

@@ -187,6 +187,21 @@ def test_embedding_neardup_lsh_recall(ray_session, sf_small):
     assert len(lp & ep) / max(len(ep), 1) >= 0.9
 
 
+def test_embedding_neardup_exact_guarded(ray_session, sf_small, monkeypatch):
+    """The exact O(N²) variant must refuse corpus-scale inputs (it is the
+    oracle twin of the LSH path, not a scale path) — and the override flag
+    must still work."""
+    import pytest
+
+    from spider_ray.functions import dedup
+
+    monkeypatch.setattr(dedup, "EXACT_NEARDUP_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="q_embedding_neardup_lsh"):
+        dedup.q_embedding_neardup(sf_small)
+    out = dedup.q_embedding_neardup(sf_small, allow_full_matrix=True)
+    assert out.num_rows >= 0  # override runs to completion
+
+
 def test_simhash_batch_matches_scalar():
     """simhash_batch must be bit-identical to per-doc simhash, including
     empty docs interleaved between non-empty ones."""
