@@ -139,6 +139,70 @@ def _hash_join(
     return joined.map_batches(_conform(out_schema), batch_format="pyarrow")
 
 
+def _anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    left_schema: pa.Schema,
+) -> ray.data.Dataset:
+    """Distributed ANTI join (left rows whose key never appears on the
+    right) via the same partition-cogroup shape as ``_hash_join``: tag both
+    sides with ``part = hash64(key) % JOIN_PARTITIONS``, union,
+    ``groupby(part)``, and anti-join inside each partition group with a
+    vectorized polars join. Neither side is ever collected to the driver —
+    this is the scale form of the broadcast ``pc.is_in`` anti-join
+    (J3 linkbase seen-suppression, mr_selector_r1_reducer.cc:54-156)."""
+    from spider_ray.kernels.hashing import SEED
+
+    key_type = left_schema.field(on).type
+    union_schema = pa.schema(
+        [pa.field("__part", pa.int32()), pa.field("__side", pa.int8())]
+        + list(left_schema)
+    )
+
+    def pad(key: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            part = (
+                pl.from_arrow(t.select([key]))
+                .select(
+                    (pl.col(key).hash(seed=SEED) % JOIN_PARTITIONS)
+                    .cast(pl.Int32)
+                )
+                .to_series()
+                .to_numpy()
+            )
+            cols = {"__part": pa.array(part, pa.int32()),
+                    "__side": pa.array(np.full(t.num_rows, side, np.int8))}
+            for f_ in left_schema:
+                if side == 1:
+                    if f_.name == on:
+                        cols[f_.name] = t[key].cast(key_type)
+                    else:
+                        cols[f_.name] = pa.nulls(t.num_rows, f_.type)
+                else:
+                    cols[f_.name] = t[f_.name].cast(f_.type)
+            return pa.table({f_.name: cols[f_.name] for f_ in union_schema})
+
+        return f
+
+    tagged = left.map_batches(pad(on, 0), batch_format="pyarrow").union(
+        right.map_batches(pad(right_on, 1), batch_format="pyarrow")
+    )
+    l_names = [f.name for f in left_schema]
+
+    def cogroup(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        l = df.filter(pl.col("__side") == 0).select(l_names)
+        r = df.filter(pl.col("__side") == 1).select([on])
+        out = l.join(r, on=on, how="anti")
+        return out.to_arrow().cast(left_schema)
+
+    return tagged.groupby("__part").map_groups(
+        cogroup, batch_format="pyarrow"
+    ).map_batches(_conform(left_schema), batch_format="pyarrow")
+
+
 def _conform(schema: pa.Schema):
     """Normalize blocks coming out of a hash join / shuffle: empty join
     partitions surface as ZERO-FIELD blocks, which crash a chained join
@@ -225,10 +289,19 @@ def _jaccard_verify(
     because Ray's hash join rejects list-typed payload columns."""
 
     def pack(batch: pa.Table) -> pa.Table:
-        blobs = [
-            np.asarray(sh_list, dtype=np.uint64).tobytes()
-            for sh_list in batch["shingles"].to_pylist()
-        ]
+        # vectorized: ONE tobytes over the list column's flat child values,
+        # then per-row bytes slices at the list offsets (a memcpy each) —
+        # no per-row pylist → numpy round-trip
+        arr = batch["shingles"].combine_chunks()
+        # flatten() yields exactly the listed elements (slice-safe); rebase
+        # the offsets to index into it
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False
+        )
+        buf = flat.tobytes()
+        off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = (off - off[0]) * 8
+        blobs = [buf[off[i]:off[i + 1]] for i in range(len(arr))]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -43,14 +43,18 @@ import pyarrow.parquet as pq
 import ray
 
 from spider_ray.kernels.hashing import hash64
-from spider_ray.pipelines.oracle import load_corpus, permit_sort_key
+from spider_ray.pipelines.oracle import (
+    load_corpus,
+    load_corpus_control,
+    permit_sort_key,
+)
 from spider_ray.stages.fetchsim import (
     WebIndex,
     fetch_one,
     process_image,
     result_to_rows,
 )
-from spider_ray.stages.normalize import normalize_batch
+from spider_ray.stages.normalize import normalize_batch, shard_meta
 from spider_ray.state.load_controller import LoadOptions
 from spider_ray.state.scheduler import FetchPermit, ShardScheduler
 
@@ -89,15 +93,19 @@ PERMIT_SCHEMA = pa.schema(
 class ShardActor:
     """Owns one ShardScheduler — cuckoo seen-set, politeness state, clock."""
 
-    def __init__(self, shard_id, num_shards, load_rows, options_dict, meta_ref,
-                 seen_capacity=1 << 18):
+    def __init__(self, shard_id, num_shards, load_rows, options_dict,
+                 corpus_dir, hot_hosts=(), seen_capacity=1 << 18):
         options = LoadOptions(**options_dict) if options_dict else None
         self.sched = ShardScheduler(
             shard_id, num_shards, load_rows, options,
             seen_capacity=seen_capacity,
         )
-        # Ray auto-resolves ObjectRef ctor args to their values
-        self.meta = meta_ref if isinstance(meta_ref, dict) else ray.get(meta_ref)
+        # this shard's slice of the fetch-completion metadata, derived from
+        # the actor's own pruned parquet read — the driver never holds the
+        # O(corpus) dict (r2 verdict item 4)
+        self.meta = shard_meta(
+            corpus_dir, shard_id, num_shards, tuple(hot_hosts)
+        )
 
     def schedule(self, rows: list[dict], wave_start: int) -> dict:
         rows = sorted(rows, key=lambda r: r["seq"])
@@ -204,58 +212,58 @@ class FetchWorker:
         self.index = WebIndex(c["pages"], c["images"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {
-            "url": [], "host": [], "fetch_ts": [], "gen": [], "seq": [],
-            "priority": [], "depth": [], "tried": [], "referer": [],
-            "status": [], "effective_url": [], "retry": [],
-            "via_proxy": [], "outlinks": [], "images": [],
-        }
-        for r in batch.to_pylist():
+        # The per-URL fetch_one() call is the per-row DES/fetch contract and
+        # stays a loop; everything the permit merely passes through stays
+        # COLUMNAR (zero-copy from the input batch) — only the fetch RESULT
+        # fields are accumulated row-wise.
+        fetch_ts = batch["fetch_ts"].to_pylist()
+        urls = batch["url"].to_pylist()
+        url_hash = batch["url_hash"].to_pylist()
+        hosts = batch["host"].to_pylist()
+        prio = batch["priority"].to_pylist()
+        gens = batch["gen"].to_pylist()
+        seqs = batch["seq"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        trieds = batch["tried"].to_pylist()
+        referers = batch["referer"].to_pylist()
+        status, eff, retry, viap, outlinks, images = [], [], [], [], [], []
+        for i in range(batch.num_rows):
             p = FetchPermit(
-                fetch_ts=r["fetch_ts"], url=r["url"], url_hash=r["url_hash"],
-                host=r["host"], priority=r["priority"], gen=r["gen"],
-                seq=r["seq"], depth=r["depth"], tried=r["tried"],
-                referer=r["referer"],
+                fetch_ts=fetch_ts[i], url=urls[i], url_hash=url_hash[i],
+                host=hosts[i], priority=prio[i], gen=gens[i],
+                seq=seqs[i], depth=depths[i], tried=trieds[i],
+                referer=referers[i],
             )
             res = fetch_one(p, self.index)
-            out["url"].append(p.url)
-            out["host"].append(p.host)
-            out["fetch_ts"].append(p.fetch_ts)
-            out["gen"].append(p.gen)
-            out["seq"].append(p.seq)
-            out["priority"].append(p.priority)
-            out["depth"].append(p.depth)
-            out["tried"].append(p.tried)
-            out["referer"].append(p.referer)
-            out["status"].append(res.status)
-            out["effective_url"].append(res.effective_url)
-            out["retry"].append(res.retry)
-            out["via_proxy"].append(res.via_proxy)
-            out["outlinks"].append(
+            status.append(res.status)
+            eff.append(res.effective_url)
+            retry.append(res.retry)
+            viap.append(res.via_proxy)
+            outlinks.append(
                 [{"url": o["url"], "depth": o["depth"]} for o in res.outlink_rows]
             )
-            out["images"].append(res.image_rows)
+            images.append(res.image_rows)
         return pa.table(
             {
-                "url": pa.array(out["url"], pa.string()),
-                "host": pa.array(out["host"], pa.string()),
-                "fetch_ts": pa.array(out["fetch_ts"], pa.int64()),
-                "gen": pa.array(out["gen"], pa.int32()),
-                "seq": pa.array(out["seq"], pa.int64()),
-                "priority": pa.array(out["priority"], pa.int16()),
-                "depth": pa.array(out["depth"], pa.int16()),
-                "tried": pa.array(out["tried"], pa.int16()),
-                "referer": pa.array(out["referer"], pa.string()),
-                "status": pa.array(out["status"], pa.int32()),
-                "effective_url": pa.array(out["effective_url"], pa.string()),
-                "retry": pa.array(out["retry"], pa.bool_()),
-                "via_proxy": pa.array(out["via_proxy"], pa.string()),
+                "url": batch["url"].cast(pa.string()),
+                "host": batch["host"].cast(pa.string()),
+                "fetch_ts": batch["fetch_ts"].cast(pa.int64()),
+                "gen": batch["gen"].cast(pa.int32()),
+                "seq": batch["seq"].cast(pa.int64()),
+                "priority": batch["priority"].cast(pa.int16()),
+                "depth": batch["depth"].cast(pa.int16()),
+                "tried": batch["tried"].cast(pa.int16()),
+                "referer": batch["referer"].cast(pa.string()),
+                "status": pa.array(status, pa.int32()),
+                "effective_url": pa.array(eff, pa.string()),
+                "retry": pa.array(retry, pa.bool_()),
+                "via_proxy": pa.array(viap, pa.string()),
                 "outlinks": pa.array(
-                    out["outlinks"],
+                    outlinks,
                     pa.list_(pa.struct([("url", pa.string()), ("depth", pa.int64())])),
                 ),
                 "images": pa.array(
-                    out["images"],
+                    images,
                     pa.list_(
                         pa.struct(
                             [("image_id", pa.string()), ("alt", pa.string())]
@@ -572,10 +580,7 @@ def run_crawl(
     else:
         with open(cfg_path, "w") as f:
             json.dump(cfg, f)
-    c = load_corpus(corpus_dir)
-    meta_ref = ray.put(
-        {u: (int(r["status_code"]), int(r["latency_us"])) for u, r in c["pages"].items()}
-    )
+    c = load_corpus_control(corpus_dir)
     robots_ref = ray.put(c["robots"])
     options_dict = (options or LoadOptions()).__dict__
 
@@ -584,8 +589,8 @@ def run_crawl(
     # per-gen checkpoint writes
     actors = [
         ShardActor.remote(
-            s, num_shards, c["load_rows"], options_dict, meta_ref,
-            seen_capacity=seen_capacity,
+            s, num_shards, c["load_rows"], options_dict, corpus_dir,
+            hot_hosts=tuple(hot_hosts), seen_capacity=seen_capacity,
         )
         for s in range(num_shards)
     ]

@@ -50,6 +50,31 @@ def load_corpus(corpus_dir: str) -> dict:
     }
 
 
+def load_corpus_control(corpus_dir: str) -> dict:
+    """Driver-side CONTROL tables only — robots rules, host-load rows and
+    the seed frontier (all O(hosts)/O(seeds), never O(pages)). The page /
+    image payload dicts deliberately stay OFF the driver: fetch-completion
+    metadata lives shard-sliced in each ShardActor (``shard_meta``) and page
+    bodies in the fetch actors' per-actor WebIndex, so driver RSS no longer
+    scales with corpus size."""
+    t = {
+        name: pq.read_table(f"{corpus_dir}/{name}.parquet")
+        for name in ("robots", "host_load", "frontier_seed")
+    }
+    robots = {
+        r["host"]: parse_robots(r["body"]) for r in t["robots"].to_pylist()
+    }
+    load_rows = [
+        (r["key"], r["max_connections"], r["max_qps"], r["window"])
+        for r in t["host_load"].to_pylist()
+    ]
+    return {
+        "robots": robots,
+        "load_rows": load_rows,
+        "seeds": t["frontier_seed"],
+    }
+
+
 def permit_sort_key(p) -> tuple:
     """Global crawl-order merge rule (shared with the engine)."""
     return (p.fetch_ts, p.priority, p.gen, p.seq, p.host)

@@ -305,14 +305,25 @@ def q_cogroup_join(sf_dir: str) -> pa.Table:
                        {"total_price": 100})
 
 
+# Above this many distinct seen keys the broadcast pc.is_in side would be a
+# driver materialization — switch to the bloom-prefiltered distributed path.
+ANTI_JOIN_BROADCAST_MAX = 1_000_000
+
+
 def q_anti_join(sf_dir: str) -> pa.Table:
     """Customers with no order before 1996-01-01 — the linkbase anti-join /
     URL-seen suppression (J3, mr_selector_r1_reducer.cc:54-156). The date
     gate keeps the result non-trivial at every sf (every customer has SOME
-    order in the sf tables, so the unfiltered variant is vacuously empty)."""
+    order in the sf tables, so the unfiltered variant is vacuously empty).
+
+    Adaptive seen side: distinct keys ≤ ``ANTI_JOIN_BROADCAST_MAX`` →
+    collect + ``ray.put`` broadcast ``pc.is_in`` (one pass, no shuffle);
+    above it → mergeable per-block Bloom prefilter (bloom-NEGATIVE rows are
+    definitely unseen and pass with no shuffle at all) and a distributed
+    partition-cogroup anti-join over only the bloom-POSITIVE remainder —
+    the driver never holds the distinct set (q_bloom_anti_join's machinery,
+    generalized)."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    # seen-set side: distinct custkeys among early orders, collected small
-    # after dedup
 
     def early(batch: pa.Table) -> pa.Table:
         cut = pa.scalar("1996-01-01").cast(
@@ -322,6 +333,13 @@ def q_anti_join(sf_dir: str) -> pa.Table:
             pc.less(batch["o_orderdate"], cut)
         ).select(["o_custkey"])
 
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": pc.unique(batch["o_custkey"]).cast(pa.int64())}
+        )
+
+    # per-block partial dedup (combiner); global distinct only happens
+    # driver-side on the broadcast path, where it is small by the gate
     seen = (
         read_table(
             sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
@@ -332,16 +350,68 @@ def q_anti_join(sf_dir: str) -> pa.Table:
             < pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us")),
         )
         .map_batches(early, batch_format="pyarrow")
-        .unique("o_custkey")
+        .map_batches(block_distinct, batch_format="pyarrow")
+        .materialize()
     )
-    seen_ref = ray.put(pa.array(sorted(seen), pa.int64()))
+    # block-deduped row count is a cheap upper bound on the distinct count
+    if seen.count() <= ANTI_JOIN_BROADCAST_MAX:
+        seen_ref = ray.put(pa.array(sorted(seen.unique("o_custkey")),
+                                    pa.int64()))
 
-    def _anti(batch: pa.Table) -> pa.Table:
-        seen_keys = ray.get(seen_ref)
-        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=seen_keys))
-        return batch.filter(mask)
+        def _anti(batch: pa.Table) -> pa.Table:
+            seen_keys = ray.get(seen_ref)
+            mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=seen_keys))
+            return batch.filter(mask)
 
-    t = _concat(cust.map_batches(_anti, batch_format="pyarrow"))
+        t = _concat(cust.map_batches(_anti, batch_format="pyarrow"))
+        return _sorted(t, "c_custkey")
+
+    # scale path: bloom prefilter + distributed anti-cogroup on positives
+    from spider_ray.functions.dedup import _anti_join
+    from spider_ray.functions.sketch import _HLL_SEED, BloomFilter
+    from spider_ray.kernels.hashing import mix64_int
+
+    N_BITS, K = 1 << 22, 4
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        f = BloomFilter(N_BITS, k=K)
+        f.add(mix64_int(
+            batch["o_custkey"].to_numpy(zero_copy_only=False), seed=_HLL_SEED
+        ))
+        return pa.table({"bits": pa.array([f.to_bytes()], pa.binary())})
+
+    merged = BloomFilter(N_BITS, k=K)
+    for t in ray.get(
+        seen.map_batches(block_bloom, batch_format="pyarrow")
+        .materialize().to_arrow_refs()
+    ):
+        for b in t["bits"]:
+            merged.merge(BloomFilter.from_bytes(b.as_py(), k=K))
+    bloom_ref = ray.put(merged.to_bytes())
+
+    def split(batch: pa.Table) -> pa.Table:
+        f = BloomFilter.from_bytes(ray.get(bloom_ref), k=K)
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        maybe = f.contains(mix64_int(keys, seed=_HLL_SEED))
+        return batch.append_column("__maybe", pa.array(maybe))
+
+    tagged = cust.map_batches(split, batch_format="pyarrow").materialize()
+    cand_schema = pa.schema(
+        [pa.field("c_custkey", pa.int64()), pa.field("c_name", pa.string())]
+    )
+
+    def take(flag: bool):
+        def f(b: pa.Table) -> pa.Table:
+            mask = pc.equal(b["__maybe"], pa.scalar(flag))
+            return b.filter(mask).drop_columns(["__maybe"]).cast(cand_schema)
+
+        return f
+
+    negatives = tagged.map_batches(take(False), batch_format="pyarrow")
+    positives = tagged.map_batches(take(True), batch_format="pyarrow")
+    survivors = _anti_join(positives, seen, "c_custkey", "o_custkey",
+                           cand_schema)
+    t = _concat(negatives.union(survivors))
     return _sorted(t, "c_custkey")
 
 

@@ -76,6 +76,49 @@ def shard_of(
     return shard
 
 
+def shard_meta(
+    corpus_dir: str,
+    shard_id: int,
+    num_shards: int,
+    hot_hosts: tuple[str, ...] = (),
+) -> dict[str, tuple[int, int]]:
+    """One shard's slice of the fetch-completion metadata
+    (url → (status_code, latency_us)), read by the ShardActor itself from
+    the corpus parquet with pruned columns — the driver never builds the
+    full-corpus dict (round-2 finding: driver RSS was O(corpus) through a
+    global ``ray.put`` meta dict).
+
+    The slicing predicate IS the routing predicate (canonicalize → host →
+    hash64 → ``shard_of`` with the same ``hot_hosts``), so a candidate
+    routed to shard *s* finds exactly the rows the old global dict would
+    have served it; URLs on other shards are simply absent here, and a
+    cross-shard lookup cannot happen because the routing stage already
+    partitioned by the same rule."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(corpus_dir, "web_graph.parquet"),
+        columns=["url", "status_code", "latency_us"],
+    )
+    urls = t["url"].to_pylist()
+    canon = canonicalize(urls)
+    # a corpus URL that isn't already canonical can never be hit (candidate
+    # lookups use canonical keys); shard it by its raw host — harmless
+    keys = [c if c is not None else u for c, u in zip(canon, urls)]
+    hv = hosts_of(keys)
+    sh = shard_of(hash64(hv), hv, num_shards, hot_hosts)
+    status = t["status_code"].to_pylist()
+    lat = t["latency_us"].to_pylist()
+    sid = np.int32(shard_id)
+    return {
+        u: (int(s), int(l))
+        for u, s, l, d in zip(urls, status, lat, sh)
+        if d == sid
+    }
+
+
 def normalize_batch(
     batch: pa.Table,
     robots_groups: dict[str, dict],

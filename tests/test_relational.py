@@ -82,6 +82,20 @@ def test_query_vs_oracle(name, ray_session, sf_small):
     assert_query_matches_oracle(name, sf_small)
 
 
+def test_anti_join_scale_path(ray_session, sf_small, monkeypatch):
+    """Force the seen side over the broadcast threshold: the bloom-prefilter
+    + distributed anti-cogroup path must produce the exact same rows as the
+    broadcast pc.is_in path, with the driver never collecting the distinct
+    seen set (only Bloom bit arrays and the final result cross the driver
+    boundary on this path)."""
+    from spider_ray.pipelines import relational as R
+
+    broadcast = R.q_anti_join(sf_small)
+    monkeypatch.setattr(R, "ANTI_JOIN_BROADCAST_MAX", 0)
+    scale = R.q_anti_join(sf_small)
+    assert broadcast.equals(scale)
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as E
 
