@@ -454,13 +454,17 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     sh = _shingle_table(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, buckets = [], []
-        for did, hs in zip(batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()):
-            ids.extend([did] * len(hs))
-            buckets.extend(hs)
+        # vectorized un-nest: np.repeat over the list offsets, flatten()
+        # for the values — no per-row Python loop
+        arr = batch["shingles"].combine_chunks()
+        off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), counts
+        )
         return pa.table(
             {
-                "bucket": pa.array(buckets, pa.uint64()),
+                "bucket": arr.flatten().cast(pa.uint64()),
                 "doc_id": pa.array(ids, pa.int64()),
             }
         )

@@ -410,3 +410,26 @@ def test_rolling_sinks_roll_and_reassemble(corpus, oracle_out, ray_session,
     C.run_crawl(corpus, out2, num_shards=2, fetch_concurrency=2, resume=True)
     eng2 = _engine_rows(out2, "status.parquet")
     assert len(eng2) == len(gold)
+
+
+def test_shard_meta_partitions_full_corpus(corpus):
+    """The per-actor meta slices must partition the exact dict the round-2
+    driver-global ray.put served: every corpus URL appears on exactly ONE
+    shard (the one the routing stage sends it to) with the same
+    (status_code, latency_us), including with a hot-host valve configured."""
+    from spider_ray.pipelines.oracle import load_corpus
+    from spider_ray.stages.normalize import shard_meta
+
+    c = load_corpus(corpus)
+    full = {
+        u: (int(r["status_code"]), int(r["latency_us"]))
+        for u, r in c["pages"].items()
+    }
+    for hot in ((), ("bigfamily.example.com",)):
+        n = 4 if not hot else 5
+        slices = [shard_meta(corpus, s, n, hot) for s in range(n)]
+        merged = {}
+        for sl in slices:
+            assert not (set(sl) & set(merged)), "shards must be disjoint"
+            merged.update(sl)
+        assert merged == full
