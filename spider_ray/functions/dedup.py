@@ -522,15 +522,22 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     sh = _shingle_table(sf_dir)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids, bkeys = [], []
-        for did, hs in zip(batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()):
-            sig = tk.minhash_signature(np.asarray(hs, dtype=np.uint64))
-            keys = tk.lsh_band_keys(sig, bands=LSH_BANDS)
-            ids.extend([did] * len(keys))
-            bkeys.extend(keys.tolist())
+        # fully vectorized: batched minhash over the flat shingle values
+        # (np.minimum.reduceat per doc) + batched band keys — no per-doc
+        # Python loop (bit-identical to the scalar kernels, pinned by test)
+        arr = batch["shingles"].combine_chunks()
+        off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.uint64, copy=False
+        )
+        sigs = tk.minhash_signature_batch(flat, off - off[0])
+        keys = tk.lsh_band_keys_batch(sigs, bands=LSH_BANDS)
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), LSH_BANDS
+        )
         return pa.table(
             {
-                "bucket": pa.array(bkeys, pa.uint64()),
+                "bucket": pa.array(keys.ravel(), pa.uint64()),
                 "doc_id": pa.array(ids, pa.int64()),
             }
         )

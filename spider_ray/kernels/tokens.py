@@ -73,6 +73,61 @@ def minhash_signature(shingle_hs: np.ndarray) -> np.ndarray:
     return m.min(axis=1)
 
 
+def minhash_signature_batch(
+    flat: np.ndarray, offsets: np.ndarray
+) -> np.ndarray:
+    """(n_docs, MINHASH_PERMS) uint64 — bit-identical to calling
+    :func:`minhash_signature` per document (pinned by test), but one
+    vectorized pass: the (tokens × perms) permutation matrix is built per
+    ~64k-token slab and reduced per-document with ``np.minimum.reduceat``.
+    ``flat`` is the concatenation of all docs' shingle hashes, ``offsets``
+    the (n+1,) row boundaries; empty docs get the all-max signature."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = offsets.size - 1
+    out = np.full((n, MINHASH_PERMS), _MASK64, dtype=np.uint64)
+    if n == 0 or flat.size == 0:
+        return out
+    flat = np.asarray(flat, dtype=np.uint64)
+    # slab the token axis so the (tokens, 128) uint64 intermediate stays
+    # ~64 MB regardless of batch size; slabs split on document boundaries
+    SLAB_TOKENS = 1 << 16
+    doc_idx = np.arange(n)
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        while hi < n and offsets[hi + 1] - offsets[lo] <= SLAB_TOKENS:
+            hi += 1
+        seg = flat[offsets[lo]:offsets[hi]]
+        if seg.size:
+            with np.errstate(over="ignore"):
+                m = _MH_A[None, :] * seg[:, None] + _MH_B[None, :]
+            starts = offsets[lo:hi] - offsets[lo]
+            ends = offsets[lo + 1:hi + 1] - offsets[lo]
+            nonempty = ends > starts
+            if nonempty.any():
+                mins = np.minimum.reduceat(m, starts[nonempty], axis=0)
+                out[doc_idx[lo:hi][nonempty]] = mins
+        lo = hi
+    return out
+
+
+def lsh_band_keys_batch(sigs: np.ndarray, bands: int = 32) -> np.ndarray:
+    """(n, bands) uint64 — bit-identical to per-row :func:`lsh_band_keys`
+    (pinned by test); one vectorized pass over a (n, perms) signature
+    matrix."""
+    n, perms = sigs.shape
+    r = perms // bands
+    view = sigs[:, : bands * r].reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        k = view[:, :, 0].copy()
+        for j in range(1, r):
+            k = k * np.uint64(0x9E3779B97F4A7C15) + view[:, :, j]
+        k = k * np.uint64(0x9E3779B97F4A7C15) + np.arange(
+            bands, dtype=np.uint64
+        )[None, :]
+    return k
+
+
 def lsh_band_keys(sig: np.ndarray, bands: int = 32) -> np.ndarray:
     """Hash each band of the signature → (bands,) uint64 bucket keys."""
     r = sig.size // bands

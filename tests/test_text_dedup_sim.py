@@ -23,6 +23,28 @@ def test_lsh_identical_docs_share_all_bands():
     assert (ka == kb).all()
 
 
+def test_minhash_batch_matches_scalar():
+    """Batched minhash + band keys must be bit-identical to the per-doc
+    scalar kernels, including empty docs interleaved and slab boundaries
+    (SLAB_TOKENS forced tiny via a long doc list)."""
+    rng = np.random.RandomState(7)
+    docs = []
+    for i in range(50):
+        if i % 7 == 3:
+            docs.append(np.array([], dtype=np.uint64))
+        else:
+            docs.append(
+                rng.randint(1, 2**62, size=rng.randint(1, 400)).astype(np.uint64)
+            )
+    flat = np.concatenate(docs)
+    off = np.cumsum([0] + [d.size for d in docs])
+    sigs = tk.minhash_signature_batch(flat, off)
+    keys = tk.lsh_band_keys_batch(sigs)
+    for i, d in enumerate(docs):
+        np.testing.assert_array_equal(sigs[i], tk.minhash_signature(d))
+        np.testing.assert_array_equal(keys[i], tk.lsh_band_keys(sigs[i]))
+
+
 def test_simhash_stability_and_locality():
     t1 = "spark group query row data slow small filter customer line" * 3
     t2 = t1 + " extra"
