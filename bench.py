@@ -146,8 +146,11 @@ def _scaling_child(num_cpus: int) -> None:
         run_frontier_bench,
     )
 
-    run_frontier_bench(300_000, parallelism=num_cpus * 4)  # warm-up, untimed
-    r = run_frontier_bench(SCALING_URLS, parallelism=num_cpus * 4)
+    # IDENTICAL job at both cpu counts: fixed block count (not cpus*4), so
+    # per-task granularity matches and only the parallelism level differs —
+    # mirrors the no-Ray control's fixed 93,750-URL chunks
+    run_frontier_bench(300_000, parallelism=128)  # warm-up, untimed
+    r = run_frontier_bench(SCALING_URLS, parallelism=128)
     crawl = _bench_crawl()
     ray.shutdown()
     ctl = run_control_bench(SCALING_URLS, num_cpus)

@@ -279,6 +279,45 @@ def _bucket_cogroup_pairs(
     )
 
 
+SEMI_FILTER_MAX_IDS = 4_000_000  # ~32 MB of int64 ids broadcast via ray.put
+
+
+def _semi_filter(
+    cand: ray.data.Dataset, side: ray.data.Dataset, key_col: str
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Semi-join pushdown for the verify joins. The candidate pair list is
+    output-sized (usually tiny vs the corpus), but the per-doc side table
+    is corpus-sized — joining them directly shuffles the whole corpus
+    twice. When the candidate count is below SEMI_FILTER_MAX_IDS, broadcast
+    the distinct candidate ids (``ray.put``, one copy in the object store)
+    and filter the side table map-side with ``pc.is_in`` so the verify
+    joins shuffle only candidate docs. Above the threshold (or with no
+    candidates) returns the side unfiltered — the full distributed join
+    path, same result, more shuffle. Returns (cand materialized, side)."""
+    import pyarrow.compute as pc
+
+    cand = cand.materialize()
+    n = cand.count()
+    if n == 0 or 2 * n > SEMI_FILTER_MAX_IDS:
+        return cand, side
+    t = pa.concat_tables(
+        ray.get(cand.to_arrow_refs()), promote_options="default"
+    )
+    idset = pc.unique(
+        pa.concat_arrays(
+            [t["a_id"].combine_chunks(), t["b_id"].combine_chunks()]
+        )
+    )
+    ref = ray.put(idset)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch[key_col], value_set=ray.get(ref))
+        )
+
+    return cand, side.map_batches(filt, batch_format="pyarrow")
+
+
 def _jaccard_verify(
     cand: ray.data.Dataset, sh: ray.data.Dataset, tau: float
 ) -> pa.Table:
@@ -309,6 +348,8 @@ def _jaccard_verify(
             }
         )
 
+    # semi-join pushdown: pack + join only candidate docs, not the corpus
+    cand, sh = _semi_filter(cand, sh, "doc_id")
     sh_bin = sh.map_batches(pack, batch_format="pyarrow").materialize()
     ids = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
     shb = pa.schema([("doc_id", pa.int64()), ("shb", pa.binary())])
@@ -353,6 +394,8 @@ def _hamming_verify(
     id_t = id_type if id_type is not None else pa.int64()
     ids = pa.schema([("a_id", id_t), ("b_id", id_t)])
     sig_schema = pa.schema([("doc_id", id_t), (sig_col, pa.uint64())])
+    # semi-join pushdown: join back only candidate docs' signatures
+    cand, sigs = _semi_filter(cand, sigs, "doc_id")
     j = _hash_join(cand, sigs, "a_id", "doc_id", ids, sig_schema,
                    rename={sig_col: "sig_a"})
     j = _hash_join(

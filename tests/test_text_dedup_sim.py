@@ -88,6 +88,23 @@ def test_langid_and_fingerprints_run(ray_session, sf_small):
     assert ft.equals(q_fingerprints(sf_small))
 
 
+def test_semi_filter_path_equals_full_join(ray_session, sf_small):
+    """The verify semi-join pushdown (broadcast candidate-id filter) must
+    produce bit-identical pairs to the full distributed-join fallback that
+    runs above SEMI_FILTER_MAX_IDS."""
+    from spider_ray.functions import dedup as D
+
+    fast = D.q_minhash_lsh_pairs(sf_small)
+    old = D.SEMI_FILTER_MAX_IDS
+    try:
+        D.SEMI_FILTER_MAX_IDS = 0  # force the full-join fallback
+        slow = D.q_minhash_lsh_pairs(sf_small)
+    finally:
+        D.SEMI_FILTER_MAX_IDS = old
+    assert fast.equals(slow)
+    assert fast.num_rows > 0  # corpus has planted near-dups
+
+
 def test_lsh_recall_vs_bruteforce(ray_session, sf_small):
     """Random-hyperplane LSH probes ~half the buckets on this corpus's
     near-isotropic vectors — recall bound reflects that; on clusterable
