@@ -616,16 +616,16 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     # (8 B/doc) are joined back by doc_id for the Hamming verify — never
     # collected driver-side
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids, bands = [], []
-        for did, sig in zip(
-            batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()
-        ):
-            for bk in tk.simhash_bands(int(sig)):
-                ids.append(did)
-                bands.append(bk)
+        s = batch["simhash"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64, copy=False)
+        keys = tk.simhash_bands_batch(s)
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), keys.shape[1]
+        )
         return pa.table(
             {
-                "bucket": pa.array(bands, pa.uint64()),
+                "bucket": pa.array(keys.ravel(), pa.uint64()),
                 "doc_id": pa.array(ids, pa.int64()),
             }
         )

@@ -244,10 +244,13 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     ds = ray.data.read_parquet(images_path, columns=["image_id", "phash"])
 
     def norm(batch: pa.Table) -> pa.Table:
-        ph = [
-            int(np.int64(p).view(np.uint64)) if p is not None else 0
-            for p in batch["phash"].to_pylist()
-        ]
+        ph = (
+            batch["phash"].combine_chunks()
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+            .view(np.uint64)
+        )
         return pa.table(
             {
                 "doc_id": batch["image_id"].cast(pa.string()),
@@ -258,16 +261,16 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     sigs = ds.map_batches(norm, batch_format="pyarrow").materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for iid, sig in zip(
-            batch["doc_id"].to_pylist(), batch["sig"].to_pylist()
-        ):
-            for bk in tk.simhash_bands(int(sig), bands=BANDS):
-                ids.append(iid)
-                keys.append(bk)
+        s = batch["sig"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64, copy=False)
+        keys = tk.simhash_bands_batch(s, bands=BANDS)
+        ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), keys.shape[1]
+        )
         return pa.table(
             {
-                "bucket": pa.array(keys, pa.uint64()),
+                "bucket": pa.array(keys.ravel(), pa.uint64()),
                 "doc_id": pa.array(ids, pa.string()),
             }
         )

@@ -212,6 +212,17 @@ def simhash_bands(sig: int, bands: int = 4) -> list[int]:
     return [((sig >> (i * w)) & mask) | (i << w) for i in range(bands)]
 
 
+def simhash_bands_batch(sigs: np.ndarray, bands: int = 4) -> np.ndarray:
+    """(n, bands) uint64 — bit-identical to per-row :func:`simhash_bands`
+    (pinned by test); one vectorized pass over a (n,) uint64 signature
+    array."""
+    sigs = np.asarray(sigs, dtype=np.uint64)
+    w = np.uint64(64 // bands)
+    mask = np.uint64((1 << int(w)) - 1)
+    i = np.arange(bands, dtype=np.uint64)
+    return ((sigs[:, None] >> (i * w)) & mask) | (i << w)
+
+
 # --- quality / langid / fingerprints ----------------------------------------
 
 _STOPWORDS = {

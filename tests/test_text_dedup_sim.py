@@ -45,6 +45,17 @@ def test_minhash_batch_matches_scalar():
         np.testing.assert_array_equal(keys[i], tk.lsh_band_keys(sigs[i]))
 
 
+def test_simhash_bands_batch_matches_scalar():
+    rng = np.random.RandomState(11)
+    sigs = rng.randint(0, 2**63, size=200).astype(np.uint64)
+    sigs[0] = 0
+    sigs[1] = np.uint64(2**64 - 1)
+    for bands in (4, 8):
+        got = tk.simhash_bands_batch(sigs, bands=bands)
+        for i, s in enumerate(sigs):
+            assert got[i].tolist() == tk.simhash_bands(int(s), bands=bands)
+
+
 def test_simhash_stability_and_locality():
     t1 = "spark group query row data slow small filter customer line" * 3
     t2 = t1 + " extra"
