@@ -664,16 +664,20 @@ def q_embedding_neardup(
             f"q_embedding_neardup_lsh for corpus-scale inputs, or pass "
             f"allow_full_matrix=True to override."
         )
+    from spider_ray.functions.similarity import _ids64, _vec_matrix
+
     all_t = pa.concat_tables(ray.get(emb.to_arrow_refs()))
-    ids = np.asarray(all_t["vec_id"].to_pylist(), dtype=np.int64)
-    M = np.asarray(all_t["embedding"].to_pylist(), dtype=np.float64)
+    ids = _ids64(all_t["vec_id"])
+    M = _vec_matrix(all_t["embedding"])
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     mat_ref = ray.put((ids, Mn))
 
     def neardup(batch: pa.Table) -> pa.Table:
         gids, gM = ray.get(mat_ref)
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        B = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        from spider_ray.functions.similarity import _ids64 as _i, _vec_matrix as _v
+
+        bids = _i(batch["vec_id"])
+        B = _v(batch["embedding"])
         Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         C = Bn @ gM.T  # (batch, all)
         ai, bj = np.nonzero(C >= COSINE_TAU)

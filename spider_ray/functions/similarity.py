@@ -44,7 +44,7 @@ def _collect_vectors(sf_dir: str, stride: int = 1, max_id: int | None = None):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = _ids64(batch["vec_id"])
         keep = np.ones(len(ids), dtype=bool)
         if max_id is not None:
             keep &= ids < max_id
@@ -53,14 +53,35 @@ def _collect_vectors(sf_dir: str, stride: int = 1, max_id: int | None = None):
         return batch.filter(pa.array(keep))
 
     t = _concat(ds.map_batches(pick, batch_format="pyarrow"))
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = _ids64(t["vec_id"])
+    M = _vec_matrix(t["embedding"])
     order = np.argsort(ids)
     return ids[order], M[order]
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _vec_matrix(col) -> np.ndarray:
+    """``list<float>`` column → (n, dim) float64 matrix without the
+    Python-object round-trip ``to_pylist`` pays (millions of boxed floats
+    per batch): one flatten of the child values + reshape. Embeddings are
+    fixed-dim; a ragged or null row would break the reshape — asserted."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    assert flat.size % n == 0, "ragged or null embedding column"
+    return flat.reshape(n, flat.size // n)
+
+
+def _ids64(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 def _query_matrix(sf_dir: str):
@@ -79,8 +100,8 @@ def q_knn_bruteforce(sf_dir: str) -> pa.Table:
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         bq_ids, bQ = ray.get(q_ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        M = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        ids = _ids64(batch["vec_id"])
+        M = _normalize(_vec_matrix(batch["embedding"]))
         C = bQ @ M.T  # (nq, batch)
         k = min(TOP_K, C.shape[1])
         # per-query partial top-k within this batch
@@ -156,8 +177,8 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
 
     def batch_probe(batch: pa.Table) -> pa.Table:
         bq_ids, bQ, bC, bprobe = ray.get(state_ref)
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        V = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        vids = _ids64(batch["vec_id"])
+        V = _normalize(_vec_matrix(batch["embedding"]))
         assign = (V @ bC.T).argmax(1)  # (batch,)
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(bQ.shape[0]):
@@ -240,8 +261,8 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
 
     def batch_probe(batch: pa.Table) -> pa.Table:
         bq_ids, bQ, bH, bprobes = ray.get(state_ref)
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        V = _normalize(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        vids = _ids64(batch["vec_id"])
+        V = _normalize(_vec_matrix(batch["embedding"]))
         codes = _lsh_codes(V, bH).astype(np.int64)
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(bQ.shape[0]):
@@ -318,9 +339,9 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
 
     def code_rows(batch: pa.Table) -> pa.Table:
         bH = ray.get(h_ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = _ids64(batch["vec_id"])
         V = _normalize(
-            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            _vec_matrix(batch["embedding"])
         )
         out_ids, out_buckets = [], []
         for t in range(bH.shape[0]):
@@ -338,7 +359,7 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
 
     def pack(batch: pa.Table) -> pa.Table:
         V = _normalize(
-            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            _vec_matrix(batch["embedding"])
         )
         return pa.table(
             {
