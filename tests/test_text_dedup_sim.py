@@ -223,6 +223,79 @@ def test_bucket_cogroup_pairs_matches_bruteforce(ray_session):
     assert got == expected
 
 
+def test_bucket_cogroup_pairs_degenerate_hot_bucket(ray_session):
+    """Skew stress: one degenerate bucket holding 300 docs (the O(n²)
+    worst case the band-width knob bounds) plus normal buckets must still
+    produce the exact brute-force pair set — the hot bucket lands in ONE
+    partition worker and expands there without driver involvement."""
+    import itertools
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from spider_ray.functions.dedup import _bucket_cogroup_pairs
+
+    rng = np.random.RandomState(3)
+    hot = [(7, int(d)) for d in range(300)]  # one bucket, 300 docs
+    cold = sorted(
+        {
+            (int(b), int(d))
+            for b, d in zip(
+                rng.randint(100, 140, size=200), rng.randint(0, 500, size=200)
+            )
+        }
+    )
+    rows = hot + cold
+    t = pa.table(
+        {
+            "bucket": pa.array([r[0] for r in rows], pa.uint64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    expected: Counter = Counter()
+    by_bucket: dict = {}
+    for b, d in rows:
+        by_bucket.setdefault(b, []).append(d)
+    for ids in by_bucket.values():
+        for a, b in itertools.combinations(sorted(set(ids)), 2):
+            expected[(a, b)] += 1
+    assert len(expected) > 44_000  # the hot bucket alone yields C(300,2)
+
+    out = _bucket_cogroup_pairs(ray.data.from_arrow(t).repartition(8))
+    got = Counter()
+    for r in out.to_pandas().itertuples():
+        got[(r.a_id, r.b_id)] = r.n_shared
+    assert got == expected
+
+
+def test_map_batches_transient_failure_retries(ray_session):
+    """Fault-tolerance contract the crawl/dedup pipelines rely on: a task
+    that dies once (worker crash) is retried by Ray and the pipeline
+    completes with the exact same result — no rows lost or duplicated."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    marker = "/tmp/spider_ray_transient_fail_marker"
+    if os.path.exists(marker):
+        os.unlink(marker)
+
+    def flaky(batch: pa.Table) -> pa.Table:
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            os.kill(os.getpid(), 9)  # simulate a worker crash, once
+        return batch
+
+    ds = ray.data.range(10_000, override_num_blocks=4).map_batches(
+        flaky, batch_format="pyarrow", batch_size=None
+    )
+    total = ds.sum("id")
+    assert total == 10_000 * 9_999 // 2
+    os.unlink(marker)
+
+
 def test_embedding_neardup_lsh_recall(ray_session, sf_small):
     """The LSH-bucketed scale path must recover ≥0.9 of the exact O(N²)
     variant's pairs with perfect precision (the verify is exact cosine)."""
