@@ -323,6 +323,7 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
         COSINE_TAU,
         _bucket_cogroup_pairs,
         _hash_join,
+        _semi_filter,
     )
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -368,9 +369,11 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
             }
         )
 
-    vecs = ds.map_batches(pack, batch_format="pyarrow").materialize()
     exploded = ds.map_batches(code_rows, batch_format="pyarrow")
     cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
+    # semi-join pushdown: pack + join only candidate docs, not the corpus
+    cand, side = _semi_filter(cand, ds, "vec_id")
+    vecs = side.map_batches(pack, batch_format="pyarrow").materialize()
     ids_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
     vec_schema = pa.schema([("doc_id", pa.int64()), ("vb", pa.binary())])
     j = _hash_join(cand, vecs, "a_id", "doc_id", ids_schema, vec_schema,
