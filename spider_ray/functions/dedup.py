@@ -280,52 +280,116 @@ def _bucket_cogroup_pairs(
 
 
 SEMI_FILTER_MAX_IDS = 4_000_000  # ~32 MB of int64 ids broadcast via ray.put
+# collected candidate-doc side slice cap for the zero-shuffle broadcast attach
+BROADCAST_VERIFY_MAX_BYTES = 64 << 20
 
 
-def _semi_filter(
-    cand: ray.data.Dataset, side: ray.data.Dataset, key_col: str
-) -> tuple[ray.data.Dataset, ray.data.Dataset]:
-    """Semi-join pushdown for the verify joins. The candidate pair list is
-    output-sized (usually tiny vs the corpus), but the per-doc side table
-    is corpus-sized — joining them directly shuffles the whole corpus
-    twice. When the candidate count is below SEMI_FILTER_MAX_IDS, broadcast
-    the distinct candidate ids (``ray.put``, one copy in the object store)
-    and filter the side table map-side with ``pc.is_in`` so the verify
-    joins shuffle only candidate docs. Above the threshold (or with no
-    candidates) returns the side unfiltered — the full distributed join
-    path, same result, more shuffle. Returns (cand materialized, side)."""
+def _attach_pair_values(
+    cand: ray.data.Dataset,
+    side: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    val_type: pa.DataType,
+    cand_schema: pa.Schema,
+    prep=None,
+) -> ray.data.Dataset:
+    """Attach a per-doc value column to both ends of a candidate pair list
+    (output columns: ``cand_schema`` + ``{val_col}_a`` + ``{val_col}_b``).
+
+    The pair list is output-sized while the per-doc ``side`` is
+    corpus-sized, so join order decides the shuffle bill at 100 TB. Two
+    regimes, picked at run time:
+
+    * **broadcast** (pairs ≤ SEMI_FILTER_MAX_IDS/2 AND the side values for
+      candidate docs fit in BROADCAST_VERIFY_MAX_BYTES): semi-filter the
+      side map-side to candidate docs (``pc.is_in`` against a ``ray.put``
+      id set, fused with ``prep`` into one stage), collect that
+      output-sized slice once, ``ray.put`` it, and attach both ends with a
+      single ``pc.index_in`` + ``take`` map over the pair list — zero
+      shuffles.
+    * **distributed fallback**: two partition-cogroup hash joins
+      (`_hash_join`), the reference's reducer-side discipline; the side is
+      still semi-filtered whenever the id set is broadcastable.
+
+    ``prep`` (optional, pa.Table -> pa.Table) turns the raw side into
+    ``(doc_id, val_col)`` rows — e.g. packing list columns into binary
+    blobs, which Ray's shuffle paths require anyway.
+    """
     import pyarrow.compute as pc
 
     cand = cand.materialize()
     n = cand.count()
-    if n == 0 or 2 * n > SEMI_FILTER_MAX_IDS:
-        return cand, side
-    t = pa.concat_tables(
-        ray.get(cand.to_arrow_refs()), promote_options="default"
-    )
-    idset = pc.unique(
-        pa.concat_arrays(
-            [t["a_id"].combine_chunks(), t["b_id"].combine_chunks()]
+    id_t = cand_schema.field("a_id").type
+    semi = 0 < n and 2 * n <= SEMI_FILTER_MAX_IDS
+    side_use = None
+    if semi:
+        t = pa.concat_tables(
+            ray.get(cand.to_arrow_refs()), promote_options="default"
         )
-    )
-    ref = ray.put(idset)
-
-    def filt(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.is_in(batch[key_col], value_set=ray.get(ref))
+        idset = pc.unique(
+            pa.concat_arrays(
+                [t["a_id"].combine_chunks(), t["b_id"].combine_chunks()]
+            )
         )
+        id_ref = ray.put(idset)
 
-    return cand, side.map_batches(filt, batch_format="pyarrow")
+        def filt_prep(batch: pa.Table) -> pa.Table:
+            b = batch.filter(
+                pc.is_in(batch[key_col], value_set=ray.get(id_ref))
+            )
+            return prep(b) if prep is not None else b
+
+        side_use = side.map_batches(
+            filt_prep, batch_format="pyarrow"
+        ).materialize()
+        if (side_use.size_bytes() or 0) <= BROADCAST_VERIFY_MAX_BYTES:
+            st = pa.concat_tables(
+                ray.get(side_use.to_arrow_refs()),
+                promote_options="default",
+            )
+            s_ref = ray.put(
+                {
+                    "ids": st["doc_id"].combine_chunks(),
+                    "vals": st[val_col].combine_chunks().cast(val_type),
+                }
+            )
+
+            def attach(batch: pa.Table) -> pa.Table:
+                s = ray.get(s_ref)
+                ai = pc.index_in(batch["a_id"], value_set=s["ids"])
+                bi = pc.index_in(batch["b_id"], value_set=s["ids"])
+                return batch.append_column(
+                    f"{val_col}_a", s["vals"].take(ai)
+                ).append_column(f"{val_col}_b", s["vals"].take(bi))
+
+            return cand.map_batches(attach, batch_format="pyarrow")
+    if side_use is None:
+        side_use = (
+            side.map_batches(prep, batch_format="pyarrow")
+            if prep is not None
+            else side
+        )
+    side_schema = pa.schema([("doc_id", id_t), (val_col, val_type)])
+    j = _hash_join(
+        cand, side_use, "a_id", "doc_id", cand_schema, side_schema,
+        rename={val_col: f"{val_col}_a"},
+    )
+    return _hash_join(
+        j, side_use, "b_id", "doc_id",
+        cand_schema.append(pa.field(f"{val_col}_a", val_type)), side_schema,
+        rename={val_col: f"{val_col}_b"},
+    )
 
 
 def _jaccard_verify(
     cand: ray.data.Dataset, sh: ray.data.Dataset, tau: float
 ) -> pa.Table:
-    """Exact-Jaccard verify of candidate pairs by joining the shingle table
-    back twice (a side, b side) — two distributed hash joins, then exact
-    Jaccard per candidate row inside the worker. No per-doc state ever
+    """Exact-Jaccard verify of candidate pairs: the shingle sets for both
+    ends come back via ``_attach_pair_values`` (broadcast attach when the
+    pair list is small, two distributed hash joins otherwise), then exact
+    Jaccard per candidate row inside the worker. No corpus-sized state ever
     lands on the driver. Shingle sets travel as packed uint64 binary blobs
-    because Ray's hash join rejects list-typed payload columns."""
+    because Ray's shuffle paths reject list-typed payload columns."""
 
     def pack(batch: pa.Table) -> pa.Table:
         # vectorized: ONE tobytes over the list column's flat child values,
@@ -348,22 +412,14 @@ def _jaccard_verify(
             }
         )
 
-    # semi-join pushdown: pack + join only candidate docs, not the corpus
-    cand, sh = _semi_filter(cand, sh, "doc_id")
-    sh_bin = sh.map_batches(pack, batch_format="pyarrow").materialize()
     ids = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
-    shb = pa.schema([("doc_id", pa.int64()), ("shb", pa.binary())])
-    j = _hash_join(cand, sh_bin, "a_id", "doc_id", ids, shb,
-                   rename={"shb": "sh_a"})
-    j = _hash_join(
-        j, sh_bin, "b_id", "doc_id",
-        ids.append(pa.field("sh_a", pa.binary())), shb,
-        rename={"shb": "sh_b"},
+    j = _attach_pair_values(
+        cand, sh, "doc_id", "shb", pa.binary(), ids, prep=pack
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        a_bin = batch["sh_a"].to_pylist()
-        b_bin = batch["sh_b"].to_pylist()
+        a_bin = batch["shb_a"].to_pylist()
+        b_bin = batch["shb_b"].to_pylist()
         jac = np.empty(len(a_bin), dtype=np.float64)
         for i, (ab, bb) in enumerate(zip(a_bin, b_bin)):
             jac[i] = tk.jaccard(
@@ -387,26 +443,21 @@ def _hamming_verify(
     tau: int,
     id_type: pa.DataType = None,
 ) -> ray.data.Dataset:
-    """Vectorized Hamming verify of candidate pairs: join the uint64
-    signature back for both sides, XOR + popcount per batch, keep pairs
-    with distance ≤ tau. Shared by the simhash (text) and phash (image)
+    """Vectorized Hamming verify of candidate pairs: the uint64 signatures
+    for both sides come back via ``_attach_pair_values`` (broadcast attach
+    or distributed re-join), XOR + popcount per batch, keep pairs with
+    distance ≤ tau. Shared by the simhash (text) and phash (image)
     near-dup paths."""
     id_t = id_type if id_type is not None else pa.int64()
     ids = pa.schema([("a_id", id_t), ("b_id", id_t)])
-    sig_schema = pa.schema([("doc_id", id_t), (sig_col, pa.uint64())])
-    # semi-join pushdown: join back only candidate docs' signatures
-    cand, sigs = _semi_filter(cand, sigs, "doc_id")
-    j = _hash_join(cand, sigs, "a_id", "doc_id", ids, sig_schema,
-                   rename={sig_col: "sig_a"})
-    j = _hash_join(
-        j, sigs, "b_id", "doc_id",
-        ids.append(pa.field("sig_a", pa.uint64())), sig_schema,
-        rename={sig_col: "sig_b"},
+    j = _attach_pair_values(
+        cand, sigs, "doc_id", sig_col, pa.uint64(), ids
     )
+    sig_a, sig_b = f"{sig_col}_a", f"{sig_col}_b"
 
     def verify(batch: pa.Table) -> pa.Table:
-        a = batch["sig_a"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = batch["sig_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        a = batch[sig_a].combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch[sig_b].combine_chunks().to_numpy(zero_copy_only=False)
         x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
         ham = (
             np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
@@ -530,13 +581,8 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
     base = pa.schema(
         [("a_id", pa.int64()), ("b_id", pa.int64()), ("n_shared", pa.int64())]
     )
-    size_schema = pa.schema([("doc_id", pa.int64()), ("size", pa.int64())])
-    j = _hash_join(inter, sizes, "a_id", "doc_id", base, size_schema,
-                   rename={"size": "size_a"})
-    j = _hash_join(
-        j, sizes, "b_id", "doc_id",
-        base.append(pa.field("size_a", pa.int64())), size_schema,
-        rename={"size": "size_b"},
+    j = _attach_pair_values(
+        inter, sizes, "doc_id", "size", pa.int64(), base
     )
 
     def score(batch: pa.Table) -> pa.Table:

@@ -321,9 +321,8 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
     """
     from spider_ray.functions.dedup import (
         COSINE_TAU,
+        _attach_pair_values,
         _bucket_cogroup_pairs,
-        _hash_join,
-        _semi_filter,
     )
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -371,22 +370,17 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
 
     exploded = ds.map_batches(code_rows, batch_format="pyarrow")
     cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
-    # semi-join pushdown: pack + join only candidate docs, not the corpus
-    cand, side = _semi_filter(cand, ds, "vec_id")
-    vecs = side.map_batches(pack, batch_format="pyarrow").materialize()
+    # broadcast attach when the pair list is output-small, distributed
+    # re-join (semi-filtered) otherwise; normalized vectors travel as
+    # packed float64 blobs either way
     ids_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
-    vec_schema = pa.schema([("doc_id", pa.int64()), ("vb", pa.binary())])
-    j = _hash_join(cand, vecs, "a_id", "doc_id", ids_schema, vec_schema,
-                   rename={"vb": "v_a"})
-    j = _hash_join(
-        j, vecs, "b_id", "doc_id",
-        ids_schema.append(pa.field("v_a", pa.binary())), vec_schema,
-        rename={"vb": "v_b"},
+    j = _attach_pair_values(
+        cand, ds, "vec_id", "vb", pa.binary(), ids_schema, prep=pack
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        a_bin = batch["v_a"].to_pylist()
-        b_bin = batch["v_b"].to_pylist()
+        a_bin = batch["vb_a"].to_pylist()
+        b_bin = batch["vb_b"].to_pylist()
         if a_bin:
             A = np.frombuffer(b"".join(a_bin), dtype=np.float64).reshape(
                 len(a_bin), -1

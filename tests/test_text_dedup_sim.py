@@ -100,18 +100,24 @@ def test_langid_and_fingerprints_run(ray_session, sf_small):
 
 
 def test_semi_filter_path_equals_full_join(ray_session, sf_small):
-    """The verify semi-join pushdown (broadcast candidate-id filter) must
-    produce bit-identical pairs to the full distributed-join fallback that
-    runs above SEMI_FILTER_MAX_IDS."""
+    """The three verify regimes — broadcast attach (default at this scale),
+    semi-filtered distributed joins (value blobs over
+    BROADCAST_VERIFY_MAX_BYTES), and the unfiltered full-join fallback
+    (pairs over SEMI_FILTER_MAX_IDS) — must produce bit-identical pairs."""
     from spider_ray.functions import dedup as D
 
     fast = D.q_minhash_lsh_pairs(sf_small)
-    old = D.SEMI_FILTER_MAX_IDS
+    old_ids = D.SEMI_FILTER_MAX_IDS
+    old_bytes = D.BROADCAST_VERIFY_MAX_BYTES
     try:
-        D.SEMI_FILTER_MAX_IDS = 0  # force the full-join fallback
+        D.BROADCAST_VERIFY_MAX_BYTES = -1  # semi-filter + distributed joins
+        mid = D.q_minhash_lsh_pairs(sf_small)
+        D.SEMI_FILTER_MAX_IDS = 0  # unfiltered full-join fallback
         slow = D.q_minhash_lsh_pairs(sf_small)
     finally:
-        D.SEMI_FILTER_MAX_IDS = old
+        D.SEMI_FILTER_MAX_IDS = old_ids
+        D.BROADCAST_VERIFY_MAX_BYTES = old_bytes
+    assert fast.equals(mid)
     assert fast.equals(slow)
     assert fast.num_rows > 0  # corpus has planted near-dups
 
