@@ -84,6 +84,35 @@ def _ids64(col) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
+def _blob_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Fixed-width binary-blob column → (n, dim) matrix, decoded straight
+    from the Arrow values buffer — no per-row ``bytes`` boxing
+    (``to_pylist`` on millions of pair rows was the embedding verify's
+    hot spot). Assumes no nulls (pair-attach output never has them)."""
+    itemsize = np.dtype(dtype).itemsize
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = []
+    for c in chunks:
+        n = len(c)
+        if n == 0:
+            continue
+        offs = np.frombuffer(c.buffers()[1], dtype=np.int32)[
+            c.offset : c.offset + n + 1
+        ]
+        widths = np.diff(offs)
+        w = int(widths[0]) if n else 0
+        assert (widths == w).all() and w % itemsize == 0, (
+            "ragged blob column"
+        )
+        vals = np.frombuffer(c.buffers()[2], dtype=np.uint8)
+        parts.append(
+            vals[offs[0] : offs[-1]].view(dtype).reshape(n, w // itemsize)
+        )
+    if not parts:
+        return np.empty((0, 0), dtype=dtype)
+    return parts[0] if len(parts) == 1 else np.vstack(parts)
+
+
 def _query_matrix(sf_dir: str):
     """The first N_QUERIES vec_ids serve as the query set (deterministic) —
     collected via a distributed filtered read, not a full-matrix pull."""
@@ -379,16 +408,10 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        a_bin = batch["vb_a"].to_pylist()
-        b_bin = batch["vb_b"].to_pylist()
-        if a_bin:
-            A = np.frombuffer(b"".join(a_bin), dtype=np.float64).reshape(
-                len(a_bin), -1
-            )
-            B = np.frombuffer(b"".join(b_bin), dtype=np.float64).reshape(
-                len(b_bin), -1
-            )
-            cos = (A * B).sum(axis=1)
+        A = _blob_matrix(batch["vb_a"])
+        B = _blob_matrix(batch["vb_b"])
+        if len(A):
+            cos = np.einsum("ij,ij->i", A, B)
         else:
             cos = np.empty(0, dtype=np.float64)
         keep = cos >= COSINE_TAU
