@@ -232,9 +232,11 @@ def _bucket_cogroup_pairs(
     reducer, never in a collected map): hash-partition rows by bucket,
     polars self-join on bucket inside each partition group (vectorized pair
     expansion — one partition holds every row of its buckets), then a
-    second hash-partition cogroup (by ``hash(a_id)``, a pair's rows always
-    share ``a_id``) merges per-pair counts with a vectorized polars
-    group_by. Measured: the partition-cogroup merge is ~18× faster than
+    second hash-partition cogroup (by a hash of BOTH ids — same pair →
+    same partition, while a hot doc's pairs spread over all partitions
+    instead of piling onto ``hash(a_id)``'s one) merges per-pair counts
+    with a vectorized polars group_by. Measured: the partition-cogroup
+    merge is ~18× faster than
     Ray's native two-key sort aggregate at 2.8 M partial rows (2.1 s vs
     38.5 s, sf0.1 embeddings) with bit-identical output — one int32 key
     shuffles far cheaper than a two-key sort. The driver never sees a
@@ -279,8 +281,13 @@ def _bucket_cogroup_pairs(
         return (
             pl.from_arrow(batch)
             .with_columns(
-                part=(pl.col("a_id").hash(seed=SEED) % COGROUP_PARTITIONS)
-                .cast(pl.Int32)
+                part=(
+                    (
+                        pl.col("a_id").hash(seed=SEED)
+                        ^ pl.col("b_id").hash(seed=SEED + 1)
+                    )
+                    % COGROUP_PARTITIONS
+                ).cast(pl.Int32)
             )
             .to_arrow()
         )
