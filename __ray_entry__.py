@@ -260,7 +260,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # phash_neardup's oracle reads the deterministic demo image corpus by
+    # absolute path; build it here (disk-cached) so the SQL is runnable
+    # regardless of whether the driver executes the Ray query first
+    from spider_ray.sources.webgen import generate
+
+    phash_corpus = _build_once(
+        "/tmp/spider_ray_phash_corpus", "_DONE",
+        lambda d: generate(d, n_pages=2000, n_hosts=24, seed=42),
+    )
+    phash_images = os.path.join(phash_corpus, "images.parquet")
     return {
+        "phash_neardup": f"""
+            -- brute-force Hamming self-join over the precomputed phash
+            -- column — exact ground truth for the banded engine path
+            -- (pigeonhole: 8 bands, tau=6 < 8 => no missed pairs)
+            WITH s AS (SELECT image_id, phash FROM '{phash_images}')
+            SELECT a.image_id AS a_id, b.image_id AS b_id,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT)
+                       AS hamming
+            FROM s a JOIN s b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            ORDER BY a_id, b_id
+        """,
         "pricing_summary": """
             -- exact integer-cent arithmetic so engine and oracle agree
             -- bit-for-bit (float sums are order-dependent)
