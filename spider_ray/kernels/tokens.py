@@ -267,24 +267,57 @@ def detect_lang(text: str) -> str:
     return best if best_score > 0 else "und"
 
 
+# Rabin-Karp base for the rolling fingerprint hash: odd, so invertible
+# mod 2^64 — the prefix-sum identity below needs B^-1.
+_FP_B = 0x100000001B3
+_FP_BINV = pow(_FP_B, -1, 1 << 64)
+
+
 def doc_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
-    """Winnowing document fingerprint: rolling CRC over k-byte windows, keep
-    per-window minima, combine. Deterministic; robust to small edits."""
-    data = (text or "").encode("utf-8", "replace")
-    if len(data) < k:
-        return zlib.crc32(data)
-    n = len(data) - k + 1
-    hs = np.empty(n, dtype=np.uint32)
-    for i in range(n):
-        hs[i] = zlib.crc32(data[i : i + k])
-    if n <= window:
-        mins = np.array([hs.min()])
-    else:
-        strides = np.lib.stride_tricks.sliding_window_view(hs, window)
-        mins = strides.min(axis=1)
-        mins = np.unique(mins)
-    acc = np.uint64(0xCBF29CE484222325)
+    """Winnowing document fingerprint: rolling polynomial hash over k-byte
+    windows, per-`window` minima (winnowing), XOR-combined. Deterministic;
+    robust to small edits.
+
+    Fully vectorized via the prefix-sum identity — with
+    Q[i] = Σ_{j<i} d[j]·B⁻ʲ (mod 2⁶⁴), the k-byte window hash is
+    h[i] = (Q[i+k] − Q[i])·B^{i+k−1} = Σ_t d[i+t]·B^{k−1−t} — three
+    O(n) uint64 passes (two cumulative, one elementwise) plus a splitmix
+    finalizer, instead of one zlib.crc32 call per byte offset."""
+    data = np.frombuffer(
+        (text or "").encode("utf-8", "replace"), dtype=np.uint8
+    )
+    if data.size < k:
+        return zlib.crc32(data.tobytes())
+    from spider_ray.kernels.hashing import mix64_int
+
     with np.errstate(over="ignore"):
-        for m in mins.astype(np.uint64):
-            acc = (acc ^ m) * np.uint64(0x100000001B3)
+        m = data.size
+        binv_pow = np.full(m, np.uint64(_FP_BINV & (2**64 - 1)))
+        binv_pow[0] = 1
+        np.cumprod(binv_pow, out=binv_pow)  # B^-j, wraps mod 2^64
+        q = np.cumsum(data.astype(np.uint64) * binv_pow)  # Q[j+1]
+        b_pow = np.full(m - k + 1, np.uint64(_FP_B & (2**64 - 1)))
+        b_pow[0] = np.uint64(pow(_FP_B, k - 1, 1 << 64))
+        np.cumprod(b_pow, out=b_pow)  # B^(i+k-1)
+        diff = q[k - 1 :].copy()
+        diff[1:] -= q[: m - k]  # Q[i+k] - Q[i]
+        hs = mix64_int(diff * b_pow)
+        n = hs.size
+        if n <= window:
+            mins = hs.min(keepdims=True)
+        else:
+            # sliding min by binary doubling (sparse-table style): after the
+            # loop a[i] = min(hs[i:i+s]); one overlapped combine finishes
+            # any non-power-of-2 window. O(n log w), no (n, w) temporary.
+            a, s = hs, 1
+            while s * 2 <= window:
+                a = np.minimum(a[:-s], a[s:])
+                s *= 2
+            if s < window:
+                a = np.minimum(a[: -(window - s)], a[window - s :])
+            mins = np.unique(a)
+        # double mix: mix64_int's 32-bit multipliers avalanche weakly into
+        # the high bits for small seed deltas; a second pass fixes that and
+        # mins is tiny (≤ n/window entries)
+        acc = np.bitwise_xor.reduce(mix64_int(mix64_int(mins, seed=n)))
     return int(acc)
