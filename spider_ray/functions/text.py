@@ -100,19 +100,22 @@ def q_quality_scores(sf_dir: str) -> pa.Table:
 
 def q_langid(sf_dir: str) -> pa.Table:
     """Heuristic language ID per doc + agreement with the labeled lang.
-    Non-SQL heuristic → rows-only driver check; determinism is the contract."""
+    Non-SQL heuristic → rows-only driver check; determinism is the contract.
+    Batch-vectorized via tk.detect_lang_batch (pinned equal to the scalar
+    kernel in tests)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def predict(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        preds = [tk.detect_lang(t) for t in batch["text"].to_pylist()]
-        labels = batch["lang"].to_pylist()
+        preds = tk.detect_lang_batch(batch["text"].combine_chunks())
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "pred_lang": pa.array(preds, pa.string()),
-                "agree": pa.array(
-                    [p == l for p, l in zip(preds, labels)], pa.bool_()
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "pred_lang": preds,
+                "agree": pa.compute.fill_null(
+                    pa.compute.equal(
+                        preds, batch["lang"].cast(pa.string())
+                    ),
+                    False,
                 ),
             }
         )

@@ -267,6 +267,79 @@ def detect_lang(text: str) -> str:
     return best if best_score > 0 else "und"
 
 
+_CJK_PAT = r"[一-鿿぀-ヿ]"
+
+
+def detect_lang_batch(texts) -> "pa.Array":
+    """Vectorized :func:`detect_lang` over a column of texts — identical
+    output by construction (same thresholds, same first-wins tie-break in
+    ``_STOPWORDS`` order; scores are int/int divisions so engine and scalar
+    agree in f64 exactly). Pinned equal to the scalar in
+    tests/test_text_dedup_sim.py. One polars pass instead of a Python loop
+    over every word of every doc."""
+    import polars as pl
+    import pyarrow as pa
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        ser = pl.from_arrow(texts.cast(pa.large_string())).rename("t")
+    else:
+        ser = pl.Series("t", texts, dtype=pl.Utf8)
+    df = pl.DataFrame({"t": ser}).with_row_index("i")
+    # explode to one flat word column, then hash-set membership + one
+    # groupby — list.eval(is_in) per row is ~20x slower than the scalar
+    # loop; this shape is ~20x faster
+    w = (
+        df.select(
+            "i",
+            pl.col("t")
+            .str.to_lowercase()
+            .str.extract_all(r"\S+")
+            .alias("w"),
+        )
+        .explode("w")  # empty/null list -> one null-w row: n counts 0
+        .group_by("i")
+        .agg(
+            [pl.col("w").is_not_null().sum().alias("n")]
+            + [
+                pl.col("w")
+                .is_in(sorted(sw))
+                .sum()
+                .alias(f"s_{lang}")
+                for lang, sw in _STOPWORDS.items()
+            ]
+        )
+    )
+    df = df.join(w, on="i", how="left").sort("i")
+    n = pl.col("n")
+    score = {
+        lang: pl.col(f"s_{lang}").cast(pl.Float64) / n
+        for lang in _STOPWORDS
+    }
+    langs = list(_STOPWORDS)
+    best, bscore = pl.lit(langs[0]), score[langs[0]]
+    for lang in langs[1:]:
+        better = score[lang] > bscore
+        best = pl.when(better).then(pl.lit(lang)).otherwise(best)
+        bscore = pl.when(better).then(score[lang]).otherwise(bscore)
+    cjk_ratio = (
+        pl.col("t").str.count_matches(_CJK_PAT).cast(pl.Float64)
+        / pl.col("t").str.len_chars().clip(lower_bound=1)
+    )
+    pred = (
+        pl.when(pl.col("t").is_null() | (pl.col("t").str.len_chars() == 0))
+        .then(pl.lit("und"))
+        .when(cjk_ratio > 0.05)
+        .then(pl.lit("zh"))
+        .when(n == 0)
+        .then(pl.lit("und"))
+        .when(bscore > 0)
+        .then(best)
+        .otherwise(pl.lit("und"))
+    )
+    out = df.select(pred.alias("lang"))["lang"].to_arrow()
+    return out.cast(pa.string())
+
+
 # Rabin-Karp base for the rolling fingerprint hash: odd, so invertible
 # mod 2^64 — the prefix-sum identity below needs B^-1.
 _FP_B = 0x100000001B3

@@ -73,6 +73,37 @@ def test_detect_lang_deterministic():
     assert tk.detect_lang("") == "und"
 
 
+def test_detect_lang_batch_matches_scalar():
+    import random
+
+    cases = [
+        "", " ", None, "x", "1 2 3",
+        "the cat sat on the mat with the hat",
+        "der hund und die katze ist von mit",
+        "这是一个中文句子测试",
+        "abc 这是 mixed 中文 text the of and",
+        "el la de que y en los", "le la de et les des en un",
+        "THE OF AND TO IN", "für für für",
+        "the, of. and",  # punctuation glued to tokens: NOT stopword hits
+        "de de",  # exact tie de/es/fr -> first-wins must pick 'de'
+        "la la",  # tie es/fr on 'la' -> 'es' (dict order)
+    ]
+    rng = random.Random(7)
+    vocab = ["the", "of", "und", "der", "la", "de", "le", "que", "y",
+             "xyzzy", "foo", "这", "是", "hello", "für", "THE", "Le"]
+    for _ in range(300):
+        cases.append(
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+        )
+    batch = tk.detect_lang_batch(cases).to_pylist()
+    assert batch == [tk.detect_lang(t) for t in cases]
+    # arrow input path too
+    import pyarrow as pa
+
+    arr = pa.chunked_array([cases[:10], cases[10:]], type=pa.string())
+    assert tk.detect_lang_batch(arr).to_pylist() == batch
+
+
 def test_fingerprint_stable_and_edit_sensitive():
     t = "some document body " * 20
     assert tk.doc_fingerprint(t) == tk.doc_fingerprint(t)
