@@ -210,8 +210,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": T.q_langid,
         "fingerprints": T.q_fingerprints,
         "mixture_sample": T.q_mixture_sample,
-        # rows-only: greedy sequential packing isn't SQL-expressible;
-        # budget/contiguity/determinism invariants in tests/test_misc_ops.py
         "sequence_pack": T.q_sequence_pack,
         # similarity search
         "knn_bruteforce": S.q_knn_bruteforce,
@@ -648,6 +646,44 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[0-9]'))::DOUBLE
                        / length(text) AS digit_ratio
             FROM documents ORDER BY doc_id
+        """,
+        "sequence_pack": r"""
+            -- greedy per-range packing replayed exactly: ranges of 4096
+            -- docs walk in lockstep via a recursive CTE (one row per range
+            -- per step), then range bin counts prefix-sum into global bin
+            -- ids — the same per-range + offset-merge semantics as the
+            -- engine. toks MATERIALIZED so the regex tokenize runs once.
+            WITH RECURSIVE toks AS MATERIALIZED (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT
+                           AS n_tokens,
+                       (doc_id // 4096)::BIGINT AS range_id,
+                       row_number() OVER (PARTITION BY doc_id // 4096
+                                          ORDER BY doc_id) AS rk
+                FROM documents),
+            walk AS (
+                SELECT range_id, rk, doc_id, n_tokens,
+                       0::BIGINT AS local_bin, n_tokens AS fill
+                FROM toks WHERE rk = 1
+                UNION ALL
+                SELECT t.range_id, t.rk, t.doc_id, t.n_tokens,
+                       CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > 256
+                            THEN w.local_bin + 1 ELSE w.local_bin END,
+                       CASE WHEN w.fill > 0 AND w.fill + t.n_tokens > 256
+                            THEN t.n_tokens ELSE w.fill + t.n_tokens END
+                FROM walk w
+                JOIN toks t ON t.range_id = w.range_id AND t.rk = w.rk + 1),
+            offs AS (
+                SELECT range_id,
+                       COALESCE(SUM(max_local + 1) OVER (ORDER BY range_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS base
+                FROM (SELECT range_id, MAX(local_bin) AS max_local
+                      FROM walk GROUP BY range_id))
+            SELECT w.doc_id, w.n_tokens,
+                   (o.base + w.local_bin)::BIGINT AS bin
+            FROM walk w JOIN offs o USING (range_id)
+            ORDER BY doc_id
         """,
         "audio_features": """
             -- the WAV synth is deterministic: (doc_id%5+1)*800 samples at

@@ -199,9 +199,11 @@ def q_sequence_pack(sf_dir: str) -> pa.Table:
     defined semantics of the distributed operator (at most one underfull
     bin per 4096 docs); bin ids stay globally contiguous.
 
-    Greedy sequential assignment is not SQL-expressible → rows-only;
-    invariants (budget respected, bins contiguous, determinism) are
-    asserted in tests/test_misc_ops.py."""
+    SQL-oracled: the greedy walk replays exactly as a lockstep recursive
+    CTE (one row per range per step) + window prefix-sum of per-range bin
+    counts — see ``oracle_sql()['sequence_pack']``. Invariants (budget
+    respected, bins contiguous, determinism) also asserted in
+    tests/test_misc_ops.py."""
     import numpy as np
 
     from ray.data.aggregate import Max
