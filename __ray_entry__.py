@@ -647,6 +647,52 @@ def oracle_sql() -> dict[str, str]:
                        / length(text) AS digit_ratio
             FROM documents ORDER BY doc_id
         """,
+        "langid": r"""
+            -- the stopword-count heuristic replayed exactly: per-language
+            -- token hits via list_filter, first-wins argmax in _STOPWORDS
+            -- order (en,de,es,fr) as a CASE chain — a later language only
+            -- beats an earlier one with a strictly greater count, so
+            -- >= against the later langs reproduces the loop's tie-break
+            WITH f AS (
+              SELECT doc_id, lang,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[一-鿿぀-ヿ]')) AS n_cjk,
+                     list_transform(regexp_extract_all(text, '\S+'),
+                                    t -> lower(t)) AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, lang, n_chars, n_cjk, len(toks) AS n_words,
+                     len(list_filter(toks, t -> t IN
+                       ('the','of','and','to','in','is','that','for','on',
+                        'with'))) AS c_en,
+                     len(list_filter(toks, t -> t IN
+                       ('der','die','das','und','ist','von','mit','für',
+                        'auf','ein'))) AS c_de,
+                     len(list_filter(toks, t -> t IN
+                       ('el','la','de','que','y','en','los','del','las',
+                        'por'))) AS c_es,
+                     len(list_filter(toks, t -> t IN
+                       ('le','la','de','et','les','des','en','un','une',
+                        'du'))) AS c_fr
+              FROM f),
+            p AS (
+              SELECT doc_id, lang,
+                     CASE
+                       WHEN n_chars = 0 THEN 'und'
+                       WHEN n_cjk::DOUBLE / greatest(n_chars, 1) > 0.05
+                            THEN 'zh'
+                       WHEN n_words = 0 THEN 'und'
+                       WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+                       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr
+                            THEN 'en'
+                       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+                       WHEN c_es >= c_fr THEN 'es'
+                       ELSE 'fr' END AS pred_lang
+              FROM c)
+            SELECT doc_id, pred_lang,
+                   COALESCE(pred_lang = lang, FALSE) AS agree
+            FROM p ORDER BY doc_id
+        """,
         "sequence_pack": r"""
             -- greedy per-range packing replayed exactly: ranges of 4096
             -- docs walk in lockstep via a recursive CTE (one row per range

@@ -100,7 +100,8 @@ def q_quality_scores(sf_dir: str) -> pa.Table:
 
 def q_langid(sf_dir: str) -> pa.Table:
     """Heuristic language ID per doc + agreement with the labeled lang.
-    Non-SQL heuristic → rows-only driver check; determinism is the contract.
+    SQL-oracled: the stopword-count argmax replays exactly in DuckDB
+    (``oracle_sql()['langid']``) — first-wins tie-break as a CASE chain.
     Batch-vectorized via tk.detect_lang_batch (pinned equal to the scalar
     kernel in tests)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
