@@ -647,6 +647,80 @@ def oracle_sql() -> dict[str, str]:
                        / length(text) AS digit_ratio
             FROM documents ORDER BY doc_id
         """,
+        "fingerprints": r"""
+            -- the winnowing fingerprint replayed exactly: utf-8 bytes via
+            -- hex(encode(text)) pair-decode, k=8 rolling polynomial hash
+            -- h[i] = sum d[i+t]*B^(7-t) mod 2^64 (B = 0x100000001B3;
+            -- powers inlined as literals — equal by construction to the
+            -- engine's prefix-sum form), mix64 finalize, window=16 sliding
+            -- min, DISTINCT, double mix64 (inner seed = n), bit_xor reduce.
+            -- Precondition (asserted by the corpus): every doc is >= 8
+            -- utf-8 bytes, so the kernel's crc32 short-doc branch is dead.
+            WITH raw AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text))::BIGINT AS m
+              FROM documents),
+            byts AS (
+              SELECT doc_id, m - 7 AS n,
+                     unnest(generate_series(0, m - 1)) AS j,
+                     unnest(list_transform(generate_series(0, m - 1), i ->
+                       (strpos('123456789ABCDEF', substr(hx, 2*i + 1, 1)) * 16
+                        + strpos('123456789ABCDEF', substr(hx, 2*i + 2, 1)))::SMALLINT))
+                       AS d
+              FROM raw),
+            poly AS (
+              SELECT doc_id, n, j AS i,
+                     CAST((d::HUGEINT * 14218562807570617051
+                     + (lead(d, 1) OVER w)::HUGEINT * 15895002104753931833
+                     + (lead(d, 2) OVER w)::HUGEINT * 913917546033277539
+                     + (lead(d, 3) OVER w)::HUGEINT * 11527715348014283921
+                     + (lead(d, 4) OVER w)::HUGEINT * 624165263380053675
+                     + (lead(d, 5) OVER w)::HUGEINT * 956575116354345
+                     + (lead(d, 6) OVER w)::HUGEINT * 1099511628211
+                     + (lead(d, 7) OVER w)::HUGEINT * 1)
+                          % 18446744073709551616 AS UBIGINT) AS u
+              FROM byts WINDOW w AS (PARTITION BY doc_id ORDER BY j)),
+            m1 AS (SELECT doc_id, n, i,
+                          CAST((u::HUGEINT * 2654435761) % 18446744073709551616
+                               AS UBIGINT) AS u
+                   FROM poly WHERE i <= n - 1),
+            m2 AS (SELECT doc_id, n, i, xor(u, u >> 29) AS u FROM m1),
+            m3 AS (SELECT doc_id, n, i,
+                          CAST((u::HUGEINT * 2246822519) % 18446744073709551616
+                               AS UBIGINT) AS u
+                   FROM m2),
+            m4 AS (SELECT doc_id, n, i, xor(u, u >> 32) AS h FROM m3),
+            slid AS (
+              SELECT doc_id, n, i,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+              FROM m4),
+            mins AS (
+              SELECT DISTINCT doc_id, n, wmin FROM slid
+              WHERE i <= greatest(n - 16, 0)),
+            f1 AS (SELECT doc_id,
+                          CAST((wmin::HUGEINT * 2654435761 + n)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM mins),
+            f2 AS (SELECT doc_id, xor(u, u >> 29) AS u FROM f1),
+            f3 AS (SELECT doc_id,
+                          CAST((u::HUGEINT * 2246822519) % 18446744073709551616
+                               AS UBIGINT) AS u
+                   FROM f2),
+            f4 AS (SELECT doc_id, xor(u, u >> 32) AS u FROM f3),
+            g1 AS (SELECT doc_id,
+                          CAST((u::HUGEINT * 2654435761) % 18446744073709551616
+                               AS UBIGINT) AS u
+                   FROM f4),
+            g2 AS (SELECT doc_id, xor(u, u >> 29) AS u FROM g1),
+            g3 AS (SELECT doc_id,
+                          CAST((u::HUGEINT * 2246822519) % 18446744073709551616
+                               AS UBIGINT) AS u
+                   FROM g2),
+            g4 AS (SELECT doc_id, xor(u, u >> 32) AS h FROM g3)
+            SELECT doc_id, bit_xor(h) AS fingerprint
+            FROM g4 GROUP BY doc_id ORDER BY doc_id
+        """,
         "langid": r"""
             -- the stopword-count heuristic replayed exactly: per-language
             -- token hits via list_filter, first-wins argmax in _STOPWORDS

@@ -127,7 +127,10 @@ def q_langid(sf_dir: str) -> pa.Table:
 
 def q_fingerprints(sf_dir: str) -> pa.Table:
     """Winnowing rolling-hash fingerprint per doc (M16 signature analog).
-    Non-SQL → rows-only check; stable across runs by construction."""
+    SQL-oracled: the whole kernel replays exactly in DuckDB — hex-pair byte
+    decode, LEAD-based k=8 polynomial window hash (equal by construction to
+    the prefix-sum form), mix64 stages, window-function sliding min,
+    DISTINCT + double mix + bit_xor — see ``oracle_sql()['fingerprints']``."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
