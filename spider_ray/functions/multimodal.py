@@ -240,8 +240,10 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     from spider_ray.pipelines.relational import _concat, _sorted
     from spider_ray.kernels import tokens as tk
 
+    from spider_ray.sources.lance_io import read_images
+
     BANDS = 8
-    ds = ray.data.read_parquet(images_path, columns=["image_id", "phash"])
+    ds = read_images(images_path, columns=["image_id", "phash"])
 
     def norm(batch: pa.Table) -> pa.Table:
         ph = (

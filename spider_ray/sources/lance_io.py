@@ -1,0 +1,102 @@
+"""Lance-format I/O seam for the image+caption store.
+
+The north rule targets "Lance tables of image + caption pairs"
+(BASELINE.json input_hint: ``image_id:string, bytes:binary, w:int32,
+h:int32, fmt:string, caption:string, phash:int64``). This container ships
+no ``lance`` wheel, so the FORMAT is a gated two-branch dispatch — the
+table contract (schema, column pruning, Ray Dataset out) is identical on
+both branches and this module is the only place that knows which bytes
+hit disk:
+
+* ``lance`` importable → ``lance.write_dataset`` / ``ray.data.read_lance``
+  (Ray Data's native Lance reader: distributed fragment-parallel scan
+  with column projection pushdown).
+* fallback (this container) → Parquet with the same schema under the
+  same logical path, ``.parquet`` suffix instead of ``.lance``.
+
+Everything downstream (webgen, crawl sinks, phash/multimodal queries) is
+format-agnostic: it calls :func:`read_images` / :func:`write_images` and
+never spells a format. A production build with the lance wheel installed
+flips every pipeline to Lance by doing nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+try:  # pragma: no cover - wheel not present in this container
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except Exception:  # pragma: no cover
+    lance = None
+    HAVE_LANCE = False
+
+# the input_hint contract, verbatim
+IMAGE_HINT_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def conform_images(tbl: pa.Table) -> pa.Table:
+    """Cast/reorder a table to the exact input_hint image schema.
+
+    Raises ``ValueError`` on missing columns — writing a near-miss schema
+    silently would defeat the contract. Extra columns are dropped (the
+    hint is the interchange surface; enriched variants keep their own
+    sinks)."""
+    missing = [n for n in IMAGE_HINT_SCHEMA.names if n not in tbl.column_names]
+    if missing:
+        raise ValueError(f"image table missing input_hint columns: {missing}")
+    cols = [
+        tbl[n].cast(IMAGE_HINT_SCHEMA.field(n).type)
+        for n in IMAGE_HINT_SCHEMA.names
+    ]
+    return pa.table(dict(zip(IMAGE_HINT_SCHEMA.names, cols)))
+
+
+def images_path(base: str) -> str:
+    """The on-disk path for an image store rooted at ``base`` (no
+    extension) — ``base.lance`` when the wheel is present, else
+    ``base.parquet``."""
+    return base + (".lance" if HAVE_LANCE else ".parquet")
+
+
+def write_images(tbl: pa.Table, base: str) -> str:
+    """Write an image+caption table under ``base`` (extensionless root);
+    returns the concrete path written. The table is conformed to the
+    input_hint schema first, so both formats carry identical logical
+    content."""
+    tbl = conform_images(tbl)
+    path = images_path(base)
+    if HAVE_LANCE:  # pragma: no cover - wheel not present here
+        lance.write_dataset(tbl, path, mode="overwrite")
+    else:
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(tbl, path)
+    return path
+
+
+def read_images(
+    path: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Distributed read of an image store written by :func:`write_images`
+    (or any path carrying the input_hint schema). Column projection is
+    pushed into the scan on both branches — a phash-only near-dup pass
+    never moves the bytes column."""
+    if path.endswith(".lance"):  # pragma: no cover - wheel not present
+        return ray.data.read_lance(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns)

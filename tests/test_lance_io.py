@@ -1,0 +1,47 @@
+"""Lance I/O seam: the format dispatch is gated on the wheel, but the
+table contract (input_hint schema, conform, pruned distributed read) must
+hold on whichever branch this container exercises."""
+
+import pyarrow as pa
+import pytest
+
+from spider_ray.sources import lance_io
+
+
+def _sample() -> pa.Table:
+    return pa.table(
+        {
+            "image_id": pa.array(["a", "b"], pa.string()),
+            "bytes": pa.array([b"\x89PNG", b"QIMG"], pa.binary()),
+            "w": pa.array([4, 8], pa.int64()),  # wrong width on purpose
+            "h": pa.array([4, 8], pa.int64()),
+            "fmt": pa.array(["png", "qimg"], pa.string()),
+            "caption": pa.array(["one", "two"], pa.string()),
+            "phash": pa.array([7, 9], pa.int64()),
+            "extra": pa.array([1, 2], pa.int64()),  # dropped by conform
+        }
+    )
+
+
+def test_conform_casts_and_drops():
+    out = lance_io.conform_images(_sample())
+    assert out.schema == lance_io.IMAGE_HINT_SCHEMA
+
+
+def test_conform_rejects_missing_columns():
+    with pytest.raises(ValueError, match="caption"):
+        lance_io.conform_images(_sample().drop_columns(["caption"]))
+
+
+def test_roundtrip_and_pruned_read(ray_session, tmp_path):
+    base = str(tmp_path / "imgs")
+    path = lance_io.write_images(_sample(), base)
+    assert path == lance_io.images_path(base)
+    assert path.endswith(".lance" if lance_io.HAVE_LANCE else ".parquet")
+    full = lance_io.read_images(path).take_all()
+    assert sorted(r["image_id"] for r in full) == ["a", "b"]
+    # projection pushdown: phash-only scan never moves the bytes column
+    pruned = lance_io.read_images(path, columns=["image_id", "phash"])
+    tbl = pa.Table.from_pylist(pruned.take_all())
+    assert set(tbl.column_names) == {"image_id", "phash"}
+    assert sorted(tbl["phash"].to_pylist()) == [7, 9]
