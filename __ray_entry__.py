@@ -221,7 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_shuffle": U.q_seeded_shuffle,
         "ip_url_split": U.q_ip_url_split,
         "linkbase_merge": L.q_linkbase_merge,
-        # scheduling ops
+        # scheduling ops (SQL-oracled: exact-cents weights make the
+        # greedy walk replayable as a recursive CTE)
         "binpack_customers": B.q_binpack_customers,
         # sketches (approx_distinct rows-only: approximate by construction,
         # accuracy bound asserted in tests/test_misc_ops.py; heavy_hitters
@@ -720,6 +721,36 @@ def oracle_sql() -> dict[str, str]:
             g4 AS (SELECT doc_id, xor(u, u >> 32) AS h FROM g3)
             SELECT doc_id, bit_xor(h) AS fingerprint
             FROM g4 GROUP BY doc_id ORDER BY doc_id
+        """,
+        "binpack_customers": r"""
+            -- greedy drain-time pack replayed exactly: weights are exact
+            -- integer cents (order-independent sums), so the desc-sorted
+            -- walk's cumulative thresholds replay bit-for-bit in a
+            -- recursive CTE (one row per step; avg = total/8 as the same
+            -- IEEE divide the engine performs). b advances at most once
+            -- per row and saturates at n_bins-1=7, per the reference's
+            -- ip_to_fetcher_id.py semantics.
+            WITH RECURSIVE agg AS MATERIALIZED (
+              SELECT o_custkey,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM orders GROUP BY o_custkey),
+            ord AS MATERIALIZED (
+              SELECT o_custkey, cents,
+                     row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+              FROM agg),
+            t AS (SELECT sum(cents)::DOUBLE / 8 AS avg FROM agg),
+            walk AS (
+              SELECT rk, o_custkey, cents, cents AS cum,
+                     CASE WHEN cents > (SELECT avg FROM t) THEN 1 ELSE 0 END AS b
+              FROM ord WHERE rk = 1
+              UNION ALL
+              SELECT o.rk, o.o_custkey, o.cents, w.cum + o.cents,
+                     CASE WHEN w.b < 7
+                               AND (w.cum + o.cents) > (SELECT avg FROM t) * (w.b + 1)
+                          THEN w.b + 1 ELSE w.b END
+              FROM walk w JOIN ord o ON o.rk = w.rk + 1)
+            SELECT o_custkey, cents / 100.0 AS weight, b::INTEGER AS bin
+            FROM walk ORDER BY o_custkey
         """,
         "langid": r"""
             -- the stopword-count heuristic replayed exactly: per-language

@@ -36,29 +36,41 @@ def greedy_binpack(weights: list[tuple[str, float]], n_bins: int) -> list[int]:
 
 def q_binpack_customers(sf_dir: str, n_bins: int = 8) -> pa.Table:
     """Assign customers to n_bins workers balanced by total spend:
-    distributed per-key aggregate → driver-side sort desc + greedy pack.
-    Greedy sequential assignment isn't SQL-expressible → rows-only check;
-    balance property asserted in tests."""
+    distributed per-key aggregate → driver-side sort desc + greedy pack
+    (the pack input is O(distinct keys), tiny — same split as the
+    reference's MR ip_stat + driver-script pack).
+
+    Weights aggregate in exact integer cents (the pricing_summary
+    pattern): every partial sum is order-independent, so the greedy
+    walk's cumulative thresholds — and therefore the whole assignment —
+    replay bit-exactly in the recursive-CTE SQL oracle
+    (``oracle_sql()['binpack_customers']``). Balance property also
+    asserted in tests."""
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(lf):
-        return lf.group_by("o_custkey").agg(weight=pl.col("o_totalprice").sum())
+        return lf.group_by("o_custkey").agg(
+            cents=(pl.col("o_totalprice") * 100)
+            .round(0)
+            .cast(pl.Int64)
+            .sum()
+        )
 
     def final(lf):
         return (
             lf.group_by("o_custkey")
-            .agg(weight=pl.col("weight").sum())
-            .sort(["weight", "o_custkey"], descending=[True, False])
+            .agg(cents=pl.col("cents").sum())
+            .sort(["cents", "o_custkey"], descending=[True, False])
         )
 
     agg = partial_final_agg(ds, partial, final)
     keys = agg["o_custkey"].to_pylist()
-    ws = agg["weight"].to_pylist()
-    bins = greedy_binpack(list(zip(map(str, keys), ws)), n_bins)
+    cents = agg["cents"].to_pylist()
+    bins = greedy_binpack(list(zip(map(str, keys), cents)), n_bins)
     return pa.table(
         {
             "o_custkey": pa.array(keys, pa.int64()),
-            "weight": pa.array(ws, pa.float64()),
+            "weight": pa.array([c / 100.0 for c in cents], pa.float64()),
             "bin": pa.array(bins, pa.int32()),
         }
     )
