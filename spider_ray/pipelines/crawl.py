@@ -669,6 +669,17 @@ def run_crawl(
             while len(fetch_pool) > want:
                 ray.kill(fetch_pool.pop())
         gen_dir = os.path.join(out_dir, f"gen={gen}")
+        if os.path.isdir(gen_dir) and not os.path.exists(
+            os.path.join(gen_dir, "_DONE")
+        ):
+            # leftovers from a killed attempt at this generation (hard
+            # kill mid-gen): sink part files the retry doesn't re-write —
+            # rolled parts past the retry's roll count, or an unclosed
+            # trailing parquet — would otherwise survive and double-count
+            # (or fail) in read_sink. The retry owns the whole gen.
+            import shutil as _shutil
+
+            _shutil.rmtree(gen_dir)
         os.makedirs(os.path.join(gen_dir, "ckpt"), exist_ok=True)
 
         # 1. normalize (stateless mb; robots broadcast) over the candidate

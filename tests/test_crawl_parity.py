@@ -433,3 +433,36 @@ def test_shard_meta_partitions_full_corpus(corpus):
             assert not (set(sl) & set(merged)), "shards must be disjoint"
             merged.update(sl)
         assert merged == full
+
+
+def test_hard_kill_partial_gen_resume(corpus, oracle_out, ray_session):
+    """A run killed MID-generation leaves a gen dir without ``_DONE``
+    holding arbitrary partial sink files — possibly MORE rolled parts than
+    the retry re-writes, possibly an unclosed (footerless) parquet. Resume
+    must discard the partial attempt wholesale: stale parts must not
+    double-count in read_sink, and the combined outputs must still equal
+    the golden run byte-for-byte."""
+    from spider_ray.pipelines.crawl import run_crawl
+
+    out = "/tmp/spider_ray_test_killresume"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, max_gens=2)
+    # simulate the killed third-generation attempt
+    g2 = os.path.join(out, "gen=2")
+    os.makedirs(os.path.join(g2, "ckpt"))
+    with open(os.path.join(g2, "status.parquet"), "wb") as f:
+        f.write(b"PAR1\x00partial-no-footer")
+    pq.write_table(
+        pq.read_table(os.path.join(out, "gen=0", "status.parquet")),
+        os.path.join(g2, "status.part00007.parquet"),
+    )
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, resume=True)
+    assert not os.path.exists(os.path.join(g2, "status.part00007.parquet"))
+    assert os.path.exists(os.path.join(g2, "_DONE"))
+    eng = _engine_rows(out, "status.parquet")
+    gold = oracle_out["crawl_order"]
+    assert len(eng) == len(gold)
+    for e, g in zip(eng, gold):
+        assert (e["url"], e["fetch_ts"], e["status"]) == (
+            g["url"], g["fetch_ts"], g["status"]
+        )
