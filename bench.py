@@ -173,10 +173,20 @@ def _scaling_child(num_cpus: int) -> None:
     # per-task granularity matches and only the parallelism level differs —
     # mirrors the no-Ray control's fixed 93,750-URL chunks
     run_frontier_bench(300_000, parallelism=128)  # warm-up, untimed
-    r = run_frontier_bench(SCALING_URLS, parallelism=128)
+    # best-of-2 per leg, same rationale as every other component: one
+    # noise dip in ONE leg otherwise corrupts the 8→32 RATIO (run L:
+    # stationary controls but a single slow 32-leg sample → eff 0.44 where
+    # repeat runs sit at 0.55-0.56)
+    r = max(
+        (run_frontier_bench(SCALING_URLS, parallelism=128) for _ in range(2)),
+        key=lambda x: x["urls_per_s"],
+    )
     crawl = _bench_crawl()
     ray.shutdown()
-    ctl = run_control_bench(SCALING_URLS, num_cpus)
+    ctl = max(
+        (run_control_bench(SCALING_URLS, num_cpus) for _ in range(2)),
+        key=lambda x: x["urls_per_s"],
+    )
     print(
         "SCALING_RESULT "
         + json.dumps(

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import shutil
 
 import numpy as np
 import polars as pl
@@ -677,9 +678,7 @@ def run_crawl(
             # rolled parts past the retry's roll count, or an unclosed
             # trailing parquet — would otherwise survive and double-count
             # (or fail) in read_sink. The retry owns the whole gen.
-            import shutil as _shutil
-
-            _shutil.rmtree(gen_dir)
+            shutil.rmtree(gen_dir)
         os.makedirs(os.path.join(gen_dir, "ckpt"), exist_ok=True)
 
         # 1. normalize (stateless mb; robots broadcast) over the candidate
