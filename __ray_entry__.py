@@ -722,6 +722,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bit_xor(h) AS fingerprint
             FROM g4 GROUP BY doc_id ORDER BY doc_id
         """,
+        "simhash_pairs": r"""
+            -- the WHOLE simhash pipeline replayed exactly: BPE-ish token
+            -- explode, per-token polyhash64 (hex byte decode + powers-of-B
+            -- recursive CTE + mix64 stages — the engine's SQL-expressible
+            -- term hash), 64-bit tf-weighted bit vote, 4x16-bit banding
+            -- (pairs must share >=1 band; tau=6 > bands-1 so banding IS
+            -- part of the semantics, not just an optimization), Hamming
+            -- <= 6 verify.
+            WITH RECURSIVE
+            tokl AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+              FROM documents),
+            tok AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(toks) AS tok,
+                     unnest(generate_series(1, len(toks))) AS tidx
+              FROM tokl),
+            byt AS MATERIALIZED (
+              SELECT doc_id, tidx,
+                     octet_length(encode(tok))::BIGINT AS L,
+                     unnest(generate_series(0, octet_length(encode(tok)) - 1)) AS j,
+                     unnest(list_transform(
+                       generate_series(0, octet_length(encode(tok)) - 1), i ->
+                         (strpos('123456789ABCDEF', substr(hex(encode(tok)), 2*i + 1, 1)) * 16
+                          + strpos('123456789ABCDEF', substr(hex(encode(tok)), 2*i + 2, 1)))::SMALLINT))
+                       AS d
+              FROM tok),
+            pw AS (
+              SELECT 0 AS e, 1::UBIGINT AS p
+              UNION ALL
+              SELECT e + 1,
+                     CAST((p::HUGEINT * 1099511628211) % 18446744073709551616 AS UBIGINT)
+              FROM pw WHERE e + 1 < (SELECT coalesce(max(L), 1) FROM byt)),
+            raw AS (
+              SELECT doc_id, tidx,
+                     CAST(sum(d::HUGEINT * p.p::HUGEINT) % 18446744073709551616
+                          AS UBIGINT) AS u
+              FROM byt JOIN pw p ON p.e = byt.L - 1 - byt.j
+              GROUP BY doc_id, tidx),
+            m1 AS (SELECT doc_id, tidx,
+                          CAST((u::HUGEINT * 2654435761) % 18446744073709551616
+                               AS UBIGINT) AS u FROM raw),
+            m2 AS (SELECT doc_id, tidx, xor(u, u >> 29) AS u FROM m1),
+            m3 AS (SELECT doc_id, tidx,
+                          CAST((u::HUGEINT * 2246822519) % 18446744073709551616
+                               AS UBIGINT) AS u FROM m2),
+            m4 AS (SELECT doc_id, tidx, xor(u, u >> 32) AS h FROM m3),
+            votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) AS b FROM m4)
+              GROUP BY doc_id, b),
+            sig0 AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT
+                                   ELSE 0::HUGEINT END) AS UBIGINT) AS sig
+              FROM votes GROUP BY doc_id),
+            sigs AS (
+              SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+              FROM documents d LEFT JOIN sig0 s USING (doc_id))
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            AND (((a.sig >>  0) & 65535) = ((b.sig >>  0) & 65535)
+              OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+              OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+              OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535))
+            WHERE bit_count(xor(a.sig, b.sig)) <= 6
+            ORDER BY a_id, b_id
+        """,
         "binpack_customers": r"""
             -- greedy drain-time pack replayed exactly: weights are exact
             -- integer cents (order-independent sums), so the desc-sorted

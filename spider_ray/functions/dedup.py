@@ -677,8 +677,11 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
 
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
     """SimHash near-dup: 64-bit signature per doc (M16/D5), 4×16-bit bands
-    for candidates, Hamming ≤ τ verify. Non-SQL-expressible → rows-only
-    oracle check."""
+    for candidates, Hamming ≤ τ verify. SQL-oracled end to end: the term
+    hash is the SQL-expressible ``polyhash64``, so signatures, banding AND
+    the verify replay exactly in DuckDB (``oracle_sql()['simhash_pairs']``;
+    τ=6 > bands-1, so band membership is part of the defined semantics and
+    the oracle reproduces it rather than brute-forcing)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig_batch(batch: pa.Table) -> pa.Table:

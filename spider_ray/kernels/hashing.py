@@ -114,3 +114,53 @@ def mix64_int(x, seed: int = 0) -> np.ndarray:
         u = u * np.uint64(2246822519)
         u = u ^ (u >> np.uint64(32))
     return u
+
+
+def polyhash64(values) -> np.ndarray:
+    """SQL-expressible 64-bit STRING hash → ``np.ndarray[uint64]``.
+
+    Polynomial over the utf-8 bytes, ``raw = Σ d[j]·B^{L-1-j} mod 2⁶⁴``
+    (B = the FNV prime — odd, so invertible mod 2⁶⁴), finished with
+    :func:`mix64_int` for avalanche. Same role for *token* signatures as
+    :func:`mix64_int` plays for integer keys: a DuckDB oracle reproduces
+    it exactly (hex-pair byte decode + a powers-of-B recursive CTE —
+    see ``oracle_sql()['simhash_pairs']``). Frozen; never change B or the
+    finalizer without regenerating goldens.
+
+    Vectorized over the whole batch via the prefix-sum identity on the
+    CONCATENATED byte stream (the ``doc_fingerprint`` algebra, but with
+    arbitrary-length spans): with ``Q[i] = Σ_{j<i} d[j]·B⁻ʲ``, the span
+    ``[s, e)`` hashes to ``(Q[e] − Q[s])·B^{e−1}`` — position-independent,
+    three O(total-bytes) uint64 passes for any number of tokens.
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if not isinstance(values, pa.Array):
+        values = pa.array(list(values), pa.string())
+    n = len(values)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    # zero-copy spans from the Arrow string buffers
+    off = np.frombuffer(values.buffers()[1], dtype=np.int32)[
+        values.offset : values.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(values.buffers()[2], dtype=np.uint8)
+    m = int(off[-1])
+    raw = np.zeros(n, dtype=np.uint64)
+    if m > 0:
+        with np.errstate(over="ignore"):
+            d = data[: m].astype(np.uint64)
+            binv = np.full(m, np.uint64(pow(_FNV_PRIME, -1, 1 << 64)))
+            binv[0] = 1
+            np.cumprod(binv, out=binv)  # B^-j
+            q = np.zeros(m + 1, dtype=np.uint64)
+            np.cumsum(d * binv, out=q[1:])  # Q[j+1]
+            bp = np.full(m, np.uint64(_FNV_PRIME))
+            bp[0] = 1
+            np.cumprod(bp, out=bp)  # B^j
+            s, e = off[:-1], off[1:]
+            nonempty = e > s
+            raw[nonempty] = (q[e[nonempty]] - q[s[nonempty]]) * bp[
+                e[nonempty] - 1
+            ]
+    return mix64_int(raw)

@@ -16,7 +16,7 @@ import zlib
 
 import numpy as np
 
-from spider_ray.kernels.hashing import hash64
+from spider_ray.kernels.hashing import hash64, polyhash64
 
 # BPE-ish word pattern: letter runs, digit runs, single punctuation marks.
 TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
@@ -155,11 +155,14 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def simhash(text: str) -> int:
     """64-bit tf-weighted SimHash over BPE-ish tokens (reference semantics:
-    html_simhash.cc — term hashes vote per bit with term weight)."""
+    html_simhash.cc — term hashes vote per bit with term weight). Term
+    hash is the SQL-expressible :func:`polyhash64`, so the whole signature
+    — and the banded near-dup pairs built from it — replays exactly in the
+    DuckDB oracle (``oracle_sql()['simhash_pairs']``)."""
     toks = bpe_tokens(text)
     if not toks:
         return 0
-    hs = hash64(toks)  # one hash per occurrence → tf weighting for free
+    hs = polyhash64(toks)  # one hash per occurrence → tf weighting for free
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=0)
     sig = np.uint64(0)
@@ -182,7 +185,7 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     if not toks_all:
         return out
-    hs = hash64(toks_all)
+    hs = polyhash64(toks_all)
     bits = (
         (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
         & np.uint64(1)
