@@ -140,8 +140,13 @@ def polyhash64(values) -> np.ndarray:
     n = len(values)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
-    # zero-copy spans from the Arrow string buffers
-    off = np.frombuffer(values.buffers()[1], dtype=np.int32)[
+    # zero-copy spans from the Arrow string buffers (large_string carries
+    # int64 offsets; plain string int32 — misreading one as the other
+    # would silently garble every span)
+    off_dt = (
+        np.int64 if pa.types.is_large_string(values.type) else np.int32
+    )
+    off = np.frombuffer(values.buffers()[1], dtype=off_dt)[
         values.offset : values.offset + n + 1
     ].astype(np.int64)
     data = np.frombuffer(values.buffers()[2], dtype=np.uint8)
