@@ -17,10 +17,12 @@ from spider_ray.sources.tables import read_table
 from spider_ray.stages.agg import partial_final_agg
 
 
-def greedy_binpack(weights: list[tuple[str, float]], n_bins: int) -> list[int]:
+def greedy_binpack(weights: list[tuple[str, float | int]], n_bins: int) -> list[int]:
     """Reference algorithm: walk the desc-sorted list keeping a cumulative
     sum; assign to bin ``b`` while ``cum ≤ avg * (b+1)`` (ip_to_fetcher_id.py
-    whole file). Returns bin id per input (same order as input)."""
+    whole file). Returns bin id per input (same order as input). Integer
+    weights keep every partial sum exact (callers wanting an SQL-replayable
+    assignment pass cents, not float currency)."""
     total = sum(w for _, w in weights)
     avg = total / n_bins if n_bins else 0.0
     out = []
