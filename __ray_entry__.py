@@ -224,9 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scheduling ops (SQL-oracled: exact-cents weights make the
         # greedy walk replayable as a recursive CTE)
         "binpack_customers": B.q_binpack_customers,
-        # sketches (approx_distinct rows-only: approximate by construction,
-        # accuracy bound asserted in tests/test_misc_ops.py; heavy_hitters
-        # and bloom_anti_join are sketch-ACCELERATED but exact → SQL-checked)
+        # sketches — all SQL-checked: heavy_hitters and bloom_anti_join
+        # are sketch-ACCELERATED but exact; approx_distinct's ESTIMATE is
+        # approximate by construction (accuracy bound in tests) yet its
+        # computation replays deterministically in SQL
         "approx_distinct": K.q_approx_distinct,
         "heavy_hitters": K.q_heavy_hitters,
         "bloom_anti_join": K.q_bloom_anti_join,
@@ -721,6 +722,47 @@ def oracle_sql() -> dict[str, str]:
             g4 AS (SELECT doc_id, xor(u, u >> 32) AS h FROM g3)
             SELECT doc_id, bit_xor(h) AS fingerprint
             FROM g4 GROUP BY doc_id ORDER BY doc_id
+        """,
+        "approx_distinct": r"""
+            -- the HLL sketch replayed exactly: same mix64(user_id, 999)
+            -- hash, bucket = low 12 bits, rho = 53 - bitlength(h >> 12)
+            -- via an integer bit-smear + bit_count (no float log2), max
+            -- per bucket, EXACT integer harmonic denominator
+            -- sum(2^(53-rho)) + zeros*2^53, then the identical estimator
+            -- arithmetic. The estimate is approximate vs the true count
+            -- by construction, but its computation is deterministic and
+            -- every arithmetic step is bit-equal except libm ln in the
+            -- linear-counting branch (last-ulp; absorbed by the integer
+            -- output — verified equal at sf0.001/0.01/0.1).
+            WITH s1 AS (
+              SELECT CAST((CAST(user_id AS HUGEINT) * 2654435761 + 999)
+                          % 18446744073709551616 AS UBIGINT) AS u
+              FROM (SELECT DISTINCT user_id FROM events)),
+            s2 AS (SELECT xor(u, u >> 29) AS u FROM s1),
+            s3 AS (SELECT CAST((CAST(u AS HUGEINT) * 2246822519)
+                           % 18446744073709551616 AS UBIGINT) AS u FROM s2),
+            s4 AS (SELECT xor(u, u >> 32) AS h FROM s3),
+            wv AS (SELECT h, h >> 12 AS w FROM s4),
+            b1 AS (SELECT h, w | (w >> 1) AS v FROM wv),
+            b2 AS (SELECT h, v | (v >> 2) AS v FROM b1),
+            b3 AS (SELECT h, v | (v >> 4) AS v FROM b2),
+            b4 AS (SELECT h, v | (v >> 8) AS v FROM b3),
+            b5 AS (SELECT h, v | (v >> 16) AS v FROM b4),
+            b6 AS (SELECT h, v | (v >> 32) AS v FROM b5),
+            rr AS (SELECT CAST(h & 4095 AS BIGINT) AS bucket,
+                          53 - bit_count(v) AS rho FROM b6),
+            regs AS (SELECT bucket, max(rho) AS rho FROM rr GROUP BY bucket),
+            st AS (SELECT sum((1::UBIGINT << (53 - rho))::HUGEINT) AS pden,
+                          count(*) AS nb FROM regs),
+            calc AS (SELECT (pden + (4096 - nb)::HUGEINT * 9007199254740992)::DOUBLE
+                            / 9007199254740992.0 AS denom,
+                            4096 - nb AS zeros FROM st),
+            e0 AS (SELECT ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096) * 4096 / denom
+                          AS raw, zeros FROM calc),
+            e1 AS (SELECT CASE WHEN raw <= 10240.0 AND zeros > 0
+                               THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END AS e
+                   FROM e0)
+            SELECT CAST(floor(e + 0.5) AS BIGINT) AS n_users_approx FROM e1
         """,
         "simhash_pairs": r"""
             -- the WHOLE simhash pipeline replayed exactly: BPE-ish token

@@ -19,6 +19,8 @@ import datetime as _dt
 
 import pyarrow.dataset as _pads
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -61,9 +63,22 @@ def hll_merge(*regs: np.ndarray) -> np.ndarray:
 
 def hll_estimate(reg: np.ndarray) -> float:
     """Bias-corrected HLL estimate with the small-range linear-counting
-    correction (64-bit hash: no large-range correction needed)."""
-    est = _ALPHA * M * M / np.sum(np.exp2(-reg.astype(np.float64)))
-    zeros = int(np.count_nonzero(reg == 0))
+    correction (64-bit hash: no large-range correction needed).
+
+    The harmonic denominator Σ 2^-reg is computed EXACTLY as the integer
+    Σ 2^(53-reg) (registers are ≤ 53) and floated once — no float-sum
+    ordering in the estimate, so the DuckDB oracle
+    (``oracle_sql()['approx_distinct']``) reproduces every arithmetic step
+    bit-for-bit except the final libm ``ln`` of the linear-counting branch
+    (numpy and DuckDB disagree in the last ulp for ~30% of inputs; the
+    integer output absorbs that unless est+0.5 sits within ~1 ulp of an
+    integer — verified bit-equal on every test SF)."""
+    counts = np.bincount(reg.astype(np.int64), minlength=54)
+    denom_int = sum(
+        int(c) << (53 - v) for v, c in enumerate(counts.tolist()) if c
+    )
+    est = _ALPHA * M * M / (denom_int / 9007199254740992.0)
+    zeros = int(counts[0])
     if est <= 2.5 * M and zeros > 0:
         est = M * np.log(M / zeros)
     return float(est)
@@ -101,12 +116,18 @@ def approx_distinct(
 
 
 def q_approx_distinct(sf_dir: str) -> pa.Table:
-    """Approximate distinct users over events (rows-only query: the
-    estimate is approximate by construction; its accuracy bound vs the
-    exact count is asserted in tests/test_misc_ops.py)."""
+    """Approximate distinct users over events. The ESTIMATE is approximate
+    by construction (accuracy bound vs the exact count asserted in
+    tests/test_misc_ops.py), but the computation is deterministic and
+    SQL-replayable — ``oracle_sql()['approx_distinct']`` rebuilds the same
+    4096 registers from the same mix64 hash and applies the identical
+    estimator arithmetic."""
     ds = read_table(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ds, "user_id", is_int=True)
-    return pa.table({"n_users_approx": pa.array([int(round(est))], pa.int64())})
+    # floor(x+0.5), not python round(): banker's rounding has no SQL twin
+    return pa.table(
+        {"n_users_approx": pa.array([int(math.floor(est + 0.5))], pa.int64())}
+    )
 
 
 MG_K = 512  # Misra-Gries counter budget per block summary
