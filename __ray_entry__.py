@@ -128,6 +128,52 @@ def _crawl_demo() -> dict:
     return res
 
 
+def _crawl_golden() -> str:
+    """Materialize the single-process ORACLE crawler's outputs for the
+    demo corpus as parquet (built once, cached on disk) — the independent
+    twin the crawl trio's ``oracle_sql()`` entries read. Orchestration
+    (sharded scheduling, politeness DES, wave flow, dedup, sinks) is a
+    fully separate implementation from the Ray engine; only the row
+    kernels (fetch-sim, image process) are shared by design, so a SQL
+    compare against these files checks exactly what
+    tests/test_crawl_parity.py checks — crawl order rows, image rows and
+    the final seen set — but lands in the driver's CORRECTNESS record."""
+
+    def build(d: str) -> None:
+        from spider_ray.pipelines.crawl import (
+            IMAGE_SCHEMA,
+            SEEN_SCHEMA,
+            STATUS_SCHEMA,
+        )
+        from spider_ray.pipelines.oracle import run_oracle
+        from spider_ray.sources.webgen import generate
+
+        corpus = _build_once(
+            "/tmp/spider_ray_entry_corpus", "_DONE",
+            lambda c: generate(c, n_pages=150, n_hosts=6, seed=42),
+        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = run_oracle(corpus, num_shards=2)
+        pq.write_table(
+            pa.Table.from_pylist(out["status"], schema=STATUS_SCHEMA),
+            os.path.join(d, "status.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pylist(
+                out["images"], schema=IMAGE_SCHEMA
+            ).drop_columns(["bytes"]),
+            os.path.join(d, "images.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pylist(out["seen"], schema=SEEN_SCHEMA),
+            os.path.join(d, "seen.parquet"),
+        )
+
+    return _build_once("/tmp/spider_ray_entry_golden_v1", "_DONE", build)
+
+
 def _phash_neardup_query(sf_dir: str) -> Any:
     """Near-dup images by phash over the deterministic demo corpus's
     image+caption table (the input_hint schema; rows-only — verified
@@ -151,21 +197,24 @@ def entry() -> Any:
 
 
 def _crawl_order_query(sf_dir: str) -> Any:
-    """Politeness-ordered crawl log of the deterministic demo crawl
-    (rows-only: exact-order parity vs the single-process oracle crawler is
-    asserted in tests/test_crawl_parity.py)."""
+    """Politeness-ordered crawl log of the deterministic demo crawl —
+    oracle-checked row-for-row against the independent single-process
+    oracle crawler's golden (exact ORDER parity additionally asserted in
+    tests/test_crawl_parity.py)."""
     return _crawl_demo()["order"]
 
 
 def _crawl_images_query(sf_dir: str) -> Any:
-    """Image+caption rows fetched by the demo crawl (rows-only; pixel/
-    caption parity in tests/test_crawl_parity.py)."""
+    """Image+caption rows fetched by the demo crawl — oracle-checked
+    against the oracle crawler's golden; pixel/caption parity also in
+    tests/test_crawl_parity.py."""
     return _crawl_demo()["images"]
 
 
 def _crawl_seen_query(sf_dir: str) -> Any:
-    """Final URL-seen set of the demo crawl (rows-only; seen-set parity in
-    tests/test_crawl_parity.py)."""
+    """Final URL-seen set of the demo crawl — oracle-checked against the
+    oracle crawler's golden; seen-set parity also in
+    tests/test_crawl_parity.py."""
     return _crawl_demo()["seen"]
 
 
@@ -231,8 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": K.q_approx_distinct,
         "heavy_hitters": K.q_heavy_hitters,
         "bloom_anti_join": K.q_bloom_anti_join,
-        # crawl engine (rows-only: non-SQL stateful streaming; exact parity
-        # vs the single-process oracle is asserted in tests/test_crawl_parity)
+        # crawl engine — oracle-checked against the independent
+        # single-process reference-semantics crawler's materialized outputs
+        # (_crawl_golden); exact ORDER parity additionally pinned in
+        # tests/test_crawl_parity.py
         "phash_neardup": _phash_neardup_query,
         # multimodal actor-pool stages over synthetic deterministic clips
         "audio_features": M.q_audio_features,
@@ -270,7 +321,26 @@ def oracle_sql() -> dict[str, str]:
         lambda d: generate(d, n_pages=2000, n_hosts=24, seed=42),
     )
     phash_images = os.path.join(phash_corpus, "images.parquet")
+    golden = _crawl_golden()
     return {
+        # the crawl trio's oracles read the INDEPENDENT single-process
+        # reference-semantics crawler's materialized outputs (built by
+        # _crawl_golden — separate orchestration: scheduling, politeness
+        # DES, waves, dedup, sinks; shared row kernels by design). The
+        # driver compare is order-insensitive; exact ORDER parity is
+        # additionally pinned by tests/test_crawl_parity.py.
+        "crawl_order": f"""
+            SELECT * FROM '{os.path.join(golden, "status.parquet")}'
+            ORDER BY gen, seq
+        """,
+        "crawl_images": f"""
+            SELECT * FROM '{os.path.join(golden, "images.parquet")}'
+            ORDER BY image_id
+        """,
+        "crawl_seen": f"""
+            SELECT * FROM '{os.path.join(golden, "seen.parquet")}'
+            ORDER BY url_hash, url
+        """,
         "phash_neardup": f"""
             -- brute-force Hamming self-join over the precomputed phash
             -- column — exact ground truth for the banded engine path

@@ -151,7 +151,9 @@ def result_to_rows(res: FetchResult) -> dict:
         "gen": res.permit.gen,
         "seq": res.permit.seq,
         "priority": res.permit.priority,
+        "depth": res.permit.depth,
         "tried": res.permit.tried,
+        "referer": res.permit.referer,
         "status": res.status,
         "effective_url": res.effective_url,
         "retry": res.retry,
