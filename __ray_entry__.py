@@ -187,7 +187,9 @@ def _phash_neardup_query(sf_dir: str) -> Any:
         "/tmp/spider_ray_phash_corpus", "_DONE",
         lambda d: generate(d, n_pages=2000, n_hosts=24, seed=42),
     )
-    return phash_neardup(os.path.join(corpus, "images.parquet"))
+    from spider_ray.sources.lance_io import resolve_images
+
+    return phash_neardup(resolve_images(os.path.join(corpus, "images")))
 
 
 def entry() -> Any:
@@ -322,7 +324,23 @@ def oracle_sql() -> dict[str, str]:
     )
     phash_images = os.path.join(phash_corpus, "images.parquet")
     golden = _crawl_golden()
-    return {
+
+    def _ws(sql: str) -> str:
+        """Rewrite every whitespace regex to the engine's frozen class
+        (tokens.WS_CLASS): DuckDB RE2's ``\\s`` is ASCII-only while the
+        engine tokenizes with Python-``\\s`` semantics (includes NBSP,
+        U+2028, 0x1C-0x1F, ...), so the raw escapes below would silently
+        diverge on any document containing Unicode whitespace."""
+        from spider_ray.kernels.tokens import WS_CLASS
+
+        sql = sql.replace(r"[^A-Za-z0-9\s]", "[^A-Za-z0-9" + WS_CLASS + "]")
+        sql = sql.replace(
+            r"^\s+|\s+$", "^[" + WS_CLASS + "]+|[" + WS_CLASS + "]+$"
+        )
+        sql = sql.replace(r"\S+", "[^" + WS_CLASS + "]+")
+        return sql
+
+    out = {
         # the crawl trio's oracles read the INDEPENDENT single-process
         # reference-semantics crawler's materialized outputs (built by
         # _crawl_golden — separate orchestration: scheduling, politeness
@@ -726,11 +744,21 @@ def oracle_sql() -> dict[str, str]:
             -- powers inlined as literals — equal by construction to the
             -- engine's prefix-sum form), mix64 finalize, window=16 sliding
             -- min, DISTINCT, double mix64 (inner seed = n), bit_xor reduce.
-            -- Precondition (asserted by the corpus): every doc is >= 8
-            -- utf-8 bytes, so the kernel's crc32 short-doc branch is dead.
+            -- Precondition: every doc is >= 8 utf-8 bytes, so the
+            -- kernel's crc32 short-doc branch is dead. ENFORCED below —
+            -- a shorter doc would otherwise silently vanish from the
+            -- window hash (all LEADs NULL) instead of failing loudly.
             WITH raw AS (
               SELECT doc_id, hex(encode(text)) AS hx,
-                     octet_length(encode(text))::BIGINT AS m
+                     CASE WHEN octet_length(encode(text)) < 8
+                          THEN error('fingerprints oracle requires every '
+                                     || 'doc >= 8 utf-8 bytes (doc_id '
+                                     || doc_id || ' is shorter); the '
+                                     || 'engine kernel falls back to '
+                                     || 'crc32 there, which SQL cannot '
+                                     || 'replay')
+                          ELSE octet_length(encode(text))::BIGINT
+                     END AS m
               FROM documents),
             byts AS (
               SELECT doc_id, m - 7 AS n,
@@ -1178,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
         """,
     }
+    return {k: _ws(v) for k, v in out.items()}
 
 
 _NGRAM_PAIRS_SQL = r"""

@@ -26,7 +26,10 @@ def greedy_binpack(weights: list[tuple[str, float | int]], n_bins: int) -> list[
     total = sum(w for _, w in weights)
     avg = total / n_bins if n_bins else 0.0
     out = []
-    cum = 0.0
+    # int seed: integer weights keep cum exact past 2^53 (float cum would
+    # round where the SQL oracle's BIGINT cum does not); float weights
+    # still promote naturally on the first +=
+    cum = 0
     b = 0
     for _, w in weights:
         cum += w

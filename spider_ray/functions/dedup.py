@@ -857,7 +857,7 @@ def q_corpus_curate(sf_dir: str) -> pa.Table:
             pl.from_arrow(batch)
             .with_columns(
                 n_chars=pl.col("text").str.len_chars().cast(pl.Int64),
-                n_tokens=pl.col("text").str.count_matches(r"\S+").cast(pl.Int64),
+                n_tokens=pl.col("text").str.count_matches(tk.NONWS_PAT).cast(pl.Int64),
                 n_punct=pl.col("text")
                 .str.count_matches(r"[!-/:-@\[-`{-~]")
                 .cast(pl.Int64),

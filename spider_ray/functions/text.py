@@ -21,7 +21,7 @@ def q_token_stats(sf_dir: str) -> pa.Table:
 
     def partial(lf: pl.LazyFrame) -> pl.LazyFrame:
         return (
-            lf.with_columns(n_tokens=pl.col("text").str.count_matches(r"\S+"))
+            lf.with_columns(n_tokens=pl.col("text").str.count_matches(tk.NONWS_PAT))
             .group_by("lang")
             .agg(
                 n_docs=pl.len(),
@@ -82,7 +82,7 @@ def q_quality_scores(sf_dir: str) -> pa.Table:
         lf = pl.from_arrow(batch)
         out = lf.with_columns(
             n_chars=pl.col("text").str.len_chars().cast(pl.Int64),
-            n_tokens=pl.col("text").str.count_matches(r"\S+").cast(pl.Int64),
+            n_tokens=pl.col("text").str.count_matches(tk.NONWS_PAT).cast(pl.Int64),
             n_punct=pl.col("text").str.count_matches(r"[!-/:-@\[-`{-~]").cast(pl.Int64),
             n_digit=pl.col("text").str.count_matches(r"[0-9]").cast(pl.Int64),
         ).select(
@@ -216,7 +216,7 @@ def q_sequence_pack(sf_dir: str) -> pa.Table:
 
     def count(batch: pa.Table) -> pa.Table:
         lf = pl.from_arrow(batch).with_columns(
-            n_tokens=pl.col("text").str.count_matches(r"\S+").cast(pl.Int64),
+            n_tokens=pl.col("text").str.count_matches(tk.NONWS_PAT).cast(pl.Int64),
             range_id=(pl.col("doc_id") // PACK_RANGE).cast(pl.Int64),
         )
         return lf.select("doc_id", "n_tokens", "range_id").to_arrow()

@@ -18,9 +18,20 @@ import numpy as np
 
 from spider_ray.kernels.hashing import hash64, polyhash64
 
+# Frozen whitespace class: Python re's ``\s`` set enumerated EXPLICITLY
+# (equal to ``str.isspace`` over all of Unicode; pinned by test). The
+# three regex engines this repo spans disagree about ``\s`` — Python re
+# includes 0x1C-0x1F, Rust regex (polars) is White_Space only, DuckDB RE2
+# is ASCII-only — so every tokenizing site (scalar kernels, polars
+# expressions, DuckDB oracle SQL) interpolates this one class instead.
+# Class-body characters are raw codepoints, valid in all three syntaxes.
+WS_CLASS = "\t-\r\x1c- \x85\xa0  -     　"
+NONWS_PAT = f"[^{WS_CLASS}]+"
+
 # BPE-ish word pattern: letter runs, digit runs, single punctuation marks.
-TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
-WS_RE = re.compile(r"\S+")
+TOKEN_PAT = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CLASS}]"
+TOKEN_RE = re.compile(TOKEN_PAT)
+WS_RE = re.compile(NONWS_PAT)
 _PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
 _DIGIT_RE = re.compile(r"[0-9]")
 _UPPER_RE = re.compile(r"[A-Z]")
@@ -296,7 +307,7 @@ def detect_lang_batch(texts) -> "pa.Array":
             "i",
             pl.col("t")
             .str.to_lowercase()
-            .str.extract_all(r"\S+")
+            .str.extract_all(NONWS_PAT)
             .alias("w"),
         )
         .explode("w")  # empty/null list -> one null-w row: n counts 0

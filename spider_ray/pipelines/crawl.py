@@ -558,6 +558,20 @@ def run_crawl(
         hot_hosts = tuple(hot_hosts) + derived
 
     os.makedirs(out_dir, exist_ok=True)
+    if not resume:
+        stale = [
+            d for d in os.listdir(out_dir) if d.startswith("gen=")
+        ]
+        if stale:
+            # a fresh run must own the whole out_dir: a COMPLETED old gen
+            # (with _DONE) survives the per-gen markerless cleanup below,
+            # and its extra rolled sink parts would be concatenated by
+            # read_sink alongside the new run's output (double-count)
+            raise ValueError(
+                f"out_dir {out_dir} already holds generations "
+                f"({sorted(stale)[:3]}…); pass resume=True to continue "
+                "that run, or point a fresh run at an empty directory"
+            )
     # pin the run's sharding topology: shard assignment (num_shards,
     # hot_hosts) and seen-set sizing are part of the checkpointed state —
     # a resume under a DIFFERENT topology would silently re-route hosts

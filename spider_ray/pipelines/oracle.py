@@ -28,10 +28,16 @@ MAX_GENS = 8
 
 
 def load_corpus(corpus_dir: str) -> dict:
+    from spider_ray.sources import lance_io
+
     t = {
         name: pq.read_table(f"{corpus_dir}/{name}.parquet")
-        for name in ("web_graph", "images", "robots", "host_load", "frontier_seed")
+        for name in ("web_graph", "robots", "host_load", "frontier_seed")
     }
+    # the image store goes through the Lance seam (format-blind read)
+    t["images"] = lance_io.read_images_table(
+        lance_io.resolve_images(f"{corpus_dir}/images")
+    )
     pages = {r["url"]: r for r in t["web_graph"].to_pylist()}
     images = {r["image_id"]: r for r in t["images"].to_pylist()}
     robots = {

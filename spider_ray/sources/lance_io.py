@@ -14,10 +14,17 @@ hit disk:
 * fallback (this container) → Parquet with the same schema under the
   same logical path, ``.parquet`` suffix instead of ``.lance``.
 
-Everything downstream (webgen, crawl sinks, phash/multimodal queries) is
-format-agnostic: it calls :func:`read_images` / :func:`write_images` and
-never spells a format. A production build with the lance wheel installed
-flips every pipeline to Lance by doing nothing.
+The corpus image store is format-agnostic end to end: webgen WRITES it
+through :func:`write_images`, and readers (the oracle crawler's
+``load_corpus``, the fetch actors' WebIndex build, ``phash_neardup``)
+locate it with :func:`resolve_images` and read through
+:func:`read_images` / :func:`read_images_table` — so installing the
+lance wheel flips the store to Lance with no call-site changes. Two
+deliberate parquet holdouts: webgen also writes a parquet twin under
+lance (the DuckDB oracles read the store directly and DuckDB has no
+lance reader), and the crawl's per-generation image SINK stays parquet
+(it is a rolling append stream under the resumable-gen contract, not
+the static interchange table this seam covers).
 """
 
 from __future__ import annotations
@@ -100,3 +107,24 @@ def read_images(
     if path.endswith(".lance"):  # pragma: no cover - wheel not present
         return ray.data.read_lance(path, columns=columns)
     return ray.data.read_parquet(path, columns=columns)
+
+
+def resolve_images(base: str) -> str:
+    """Locate the image store rooted at ``base`` (extensionless): prefers
+    ``base.lance`` when present, else ``base.parquet``. Lets readers stay
+    format-blind across corpora written with and without the wheel."""
+    for ext in (".lance", ".parquet"):
+        if os.path.exists(base + ext):
+            return base + ext
+    raise FileNotFoundError(f"no image store at {base}.lance/.parquet")
+
+
+def read_images_table(path: str) -> pa.Table:
+    """DRIVER-side (non-distributed) read of an image store as one Arrow
+    table — the small-corpus path (oracle crawler, WebIndex build). For
+    the distributed path use :func:`read_images`."""
+    if path.endswith(".lance"):  # pragma: no cover - wheel not present
+        return lance.dataset(path).to_table()
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)

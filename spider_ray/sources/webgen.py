@@ -264,6 +264,20 @@ def generate(
         "frontier_seed": pa.table(fs),
     }
     for name, t in tables.items():
+        if name == "images":
+            # the input_hint image store goes through the Lance seam
+            # (lance when the wheel is present, parquet fallback); the
+            # parquet twin is ALWAYS written because the DuckDB oracles
+            # read the store directly and DuckDB has no lance reader
+            from spider_ray.sources import lance_io
+
+            p = lance_io.write_images(t, os.path.join(out_dir, "images"))
+            if lance_io.HAVE_LANCE:  # pragma: no cover - wheel not here
+                pq.write_table(
+                    t, os.path.join(out_dir, "images.parquet")
+                )
+            paths[name] = p
+            continue
         p = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(t, p)
         paths[name] = p

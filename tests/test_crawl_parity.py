@@ -466,3 +466,16 @@ def test_hard_kill_partial_gen_resume(corpus, oracle_out, ray_session):
         assert (e["url"], e["fetch_ts"], e["status"]) == (
             g["url"], g["fetch_ts"], g["status"]
         )
+
+
+def test_fresh_run_refuses_dirty_out_dir(corpus, ray_session):
+    """A resume=False run into an out_dir holding generations from a prior
+    run must refuse instead of interleaving with (and double-counting)
+    the old run's rolled sink parts."""
+    from spider_ray.pipelines.crawl import run_crawl
+
+    out = "/tmp/spider_ray_test_dirty_outdir"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, max_gens=1)
+    with pytest.raises(ValueError, match="resume=True"):
+        run_crawl(corpus, out, num_shards=2, fetch_concurrency=2)
