@@ -468,7 +468,13 @@ def _jaccard_verify(
             "jaccard", pa.array(jac[keep], pa.float64())
         )
 
-    t = _concat(j.map_batches(verify, batch_format="pyarrow"))
+    t = _concat(
+        j.map_batches(verify, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()),
+             ("jaccard", pa.float64())]
+        ),
+    )
     return _sorted(t, ["a_id", "b_id"])
 
 
@@ -718,7 +724,13 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
     cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
     out = _hamming_verify(cand, sigs, "simhash", HAMMING_TAU)
-    return _sorted(_concat(out), ["a_id", "b_id"])
+    return _sorted(
+        _concat(out, schema=pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()),
+             ("hamming", pa.int64())]
+        )),
+        ["a_id", "b_id"],
+    )
 
 
 # q_embedding_neardup materializes an O(N) driver matrix and does an O(N^2)

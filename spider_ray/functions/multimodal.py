@@ -282,7 +282,13 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
         ["a_id", "b_id"]
     )
     out = _hamming_verify(cand, sigs, "sig", tau, id_type=pa.string())
-    return _sorted(_concat(out), ["a_id", "b_id"])
+    return _sorted(
+        _concat(out, schema=pa.schema(
+            [("a_id", pa.string()), ("b_id", pa.string()),
+             ("hamming", pa.int64())]
+        )),
+        ["a_id", "b_id"],
+    )
 
 
 def extract_image_features(

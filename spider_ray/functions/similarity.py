@@ -420,5 +420,11 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
             "cosine", pa.array(cos[keep], pa.float64())
         )
 
-    t = _concat(j.map_batches(verify, batch_format="pyarrow"))
+    t = _concat(
+        j.map_batches(verify, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()),
+             ("cosine", pa.float64())]
+        ),
+    )
     return _sorted(t, ["a_id", "b_id"])

@@ -1005,12 +1005,18 @@ def q_quantiles(sf_dir: str) -> pa.Table:
 # helpers
 
 
-def _concat(ds: ray.data.Dataset) -> pa.Table:
+def _concat(ds: ray.data.Dataset, schema: pa.Schema | None = None) -> pa.Table:
     # materialize first: to_arrow_refs() on a LAZY dataset runs the plan a
     # second time (a limit-1 schema probe) — on join-bearing plans that
     # doubles the wall time; on a MaterializedDataset the refs are free
     tables = ray.get(ds.materialize().to_arrow_refs())
-    return pa.concat_tables(tables, promote_options="default")
+    t = pa.concat_tables(tables, promote_options="default")
+    if t.num_columns == 0 and schema is not None:
+        # an all-empty pipeline (e.g. a near-dup query with zero surviving
+        # pairs) yields only zero-field blocks; restore the contract schema
+        # so downstream sorts/column access don't crash
+        return schema.empty_table()
+    return t
 
 
 from spider_ray._serial import register_all as _register_all  # noqa: E402

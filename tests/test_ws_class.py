@@ -72,3 +72,44 @@ def test_langid_and_simhash_batch_scalar_parity_on_tricky_ws():
     assert tk.simhash_batch(TRICKY).tolist() == [
         tk.simhash(t) for t in TRICKY
     ]
+
+
+def test_queries_match_oracles_on_unicode_corpus(ray_session, tmp_path):
+    """End-to-end seam check: tokenizing queries and their DuckDB oracles
+    must agree on a corpus full of non-ASCII whitespace — the exact input
+    the raw-escape regexes silently diverged on."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    texts = [(t + " the of and to in la de le") * 3 for t in TRICKY if t]
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "source": pa.array(["web"] * n, pa.string()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    for name in ("langid", "token_stats", "sequence_pack", "simhash_pairs"):
+        ours = E.queries()[name](sf)
+        ours = ours.to_pandas() if not isinstance(ours, pd.DataFrame) else ours
+        theirs = con.execute(E.oracle_sql()[name]).df()
+        a = ours[sorted(ours.columns)].sort_values(
+            by=sorted(ours.columns), ignore_index=True
+        )
+        b = theirs[sorted(theirs.columns)].sort_values(
+            by=sorted(theirs.columns), ignore_index=True
+        )
+        assert a.equals(b), f"{name} diverged on unicode whitespace"
