@@ -45,6 +45,22 @@ except Exception:
 
 _CRAWL_CACHE: dict[str, dict] = {}
 
+# ONE demo-crawl recipe shared by the engine demo (_crawl_demo) and its
+# independent golden twin (_crawl_golden): the two MUST crawl the same
+# corpus with the same sharding or the crawl-trio oracles compare
+# different crawls
+DEMO_CORPUS_ARGS = {"n_pages": 150, "n_hosts": 6, "seed": 42}
+DEMO_NUM_SHARDS = 2
+
+
+def _demo_corpus() -> str:
+    from spider_ray.sources.webgen import generate
+
+    return _build_once(
+        "/tmp/spider_ray_entry_corpus", "_DONE",
+        lambda d: generate(d, **DEMO_CORPUS_ARGS),
+    )
+
 
 def _build_once(path: str, done_name: str, build) -> str:
     """Build a deterministic artifact directory exactly once, atomically:
@@ -98,15 +114,13 @@ def _crawl_demo() -> dict:
     import pyarrow.parquet as pq
 
     from spider_ray.pipelines.crawl import run_crawl
-    from spider_ray.sources.webgen import generate
 
-    corpus = _build_once(
-        "/tmp/spider_ray_entry_corpus", "_DONE",
-        lambda d: generate(d, n_pages=150, n_hosts=6, seed=42),
-    )
+    corpus = _demo_corpus()
     out = _build_once(
         "/tmp/spider_ray_entry_crawl_v2", "_DONE",
-        lambda d: run_crawl(corpus, d, num_shards=2, fetch_concurrency=2),
+        lambda d: run_crawl(
+            corpus, d, num_shards=DEMO_NUM_SHARDS, fetch_concurrency=2
+        ),
     )
     import pyarrow as pa
 
@@ -146,16 +160,12 @@ def _crawl_golden() -> str:
             STATUS_SCHEMA,
         )
         from spider_ray.pipelines.oracle import run_oracle
-        from spider_ray.sources.webgen import generate
 
-        corpus = _build_once(
-            "/tmp/spider_ray_entry_corpus", "_DONE",
-            lambda c: generate(c, n_pages=150, n_hosts=6, seed=42),
-        )
+        corpus = _demo_corpus()
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        out = run_oracle(corpus, num_shards=2)
+        out = run_oracle(corpus, num_shards=DEMO_NUM_SHARDS)
         pq.write_table(
             pa.Table.from_pylist(out["status"], schema=STATUS_SCHEMA),
             os.path.join(d, "status.parquet"),
@@ -338,6 +348,11 @@ def oracle_sql() -> dict[str, str]:
             r"^\s+|\s+$", "^[" + WS_CLASS + "]+|[" + WS_CLASS + "]+$"
         )
         sql = sql.replace(r"\S+", "[^" + WS_CLASS + "]+")
+        # no other spelling may slip through: a surviving \s/\S would be
+        # ASCII-only under RE2 — the silent divergence this rewrite removes
+        assert "\\s" not in sql and "\\S" not in sql, (
+            "unrewritten whitespace regex in oracle SQL: " + sql[:120]
+        )
         return sql
 
     out = {

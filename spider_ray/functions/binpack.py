@@ -33,7 +33,11 @@ def greedy_binpack(weights: list[tuple[str, float | int]], n_bins: int) -> list[
     b = 0
     for _, w in weights:
         cum += w
-        if cum > avg * (b + 1) and b < n_bins - 1:
+        # compare through float64 DELIBERATELY: the SQL oracle coerces its
+        # BIGINT cum to DOUBLE for this comparison, so past 2^53 cents an
+        # exact int-vs-float Python compare would diverge from SQL by one
+        # ulp at the threshold; float(cum) applies the identical rounding
+        if float(cum) > avg * (b + 1) and b < n_bins - 1:
             b += 1
         out.append(b)
     return out

@@ -470,12 +470,25 @@ def _jaccard_verify(
 
     t = _concat(
         j.map_batches(verify, batch_format="pyarrow"),
-        schema=pa.schema(
-            [("a_id", pa.int64()), ("b_id", pa.int64()),
-             ("jaccard", pa.float64())]
-        ),
+        schema=JACCARD_PAIR_SCHEMA,
     )
     return _sorted(t, ["a_id", "b_id"])
+
+
+def hamming_pair_schema(id_type: pa.DataType | None = None) -> pa.Schema:
+    """Output contract of :func:`_hamming_verify` — the ONE place its
+    dtypes live, shared by the non-empty path and the empty-result
+    conform (a drifted literal twin would only surface on zero-pair
+    inputs as a dtype-strict flake)."""
+    id_t = id_type if id_type is not None else pa.int64()
+    return pa.schema(
+        [("a_id", id_t), ("b_id", id_t), ("hamming", pa.int64())]
+    )
+
+
+JACCARD_PAIR_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard", pa.float64())]
+)
 
 
 def _hamming_verify(
@@ -725,11 +738,7 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     cand = _bucket_cogroup_pairs(exploded).select_columns(["a_id", "b_id"])
     out = _hamming_verify(cand, sigs, "simhash", HAMMING_TAU)
     return _sorted(
-        _concat(out, schema=pa.schema(
-            [("a_id", pa.int64()), ("b_id", pa.int64()),
-             ("hamming", pa.int64())]
-        )),
-        ["a_id", "b_id"],
+        _concat(out, schema=hamming_pair_schema()), ["a_id", "b_id"]
     )
 
 

@@ -236,6 +236,7 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     from spider_ray.functions.dedup import (
         _bucket_cogroup_pairs,
         _hamming_verify,
+        hamming_pair_schema,
     )
     from spider_ray.pipelines.relational import _concat, _sorted
     from spider_ray.kernels import tokens as tk
@@ -283,10 +284,7 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     )
     out = _hamming_verify(cand, sigs, "sig", tau, id_type=pa.string())
     return _sorted(
-        _concat(out, schema=pa.schema(
-            [("a_id", pa.string()), ("b_id", pa.string()),
-             ("hamming", pa.int64())]
-        )),
+        _concat(out, schema=hamming_pair_schema(pa.string())),
         ["a_id", "b_id"],
     )
 

@@ -21,6 +21,12 @@ from spider_ray.kernels.hashing import mix64_int
 from spider_ray.pipelines.relational import _concat, _sorted
 from spider_ray.sources.tables import read_table
 
+# output contract of the embedding-LSH cosine verify — shared by the
+# non-empty path and the empty-result conform
+COSINE_PAIR_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("cosine", pa.float64())]
+)
+
 TOP_K = 10
 N_QUERIES = 8
 IVF_CENTROIDS = 16
@@ -422,9 +428,6 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
 
     t = _concat(
         j.map_batches(verify, batch_format="pyarrow"),
-        schema=pa.schema(
-            [("a_id", pa.int64()), ("b_id", pa.int64()),
-             ("cosine", pa.float64())]
-        ),
+        schema=COSINE_PAIR_SCHEMA,
     )
     return _sorted(t, ["a_id", "b_id"])

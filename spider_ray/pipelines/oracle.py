@@ -14,6 +14,11 @@ import pyarrow.parquet as pq
 
 from spider_ray.kernels.hashing import hash64
 from spider_ray.kernels.robots import parse_robots
+# module-level on purpose: load_corpus runs inside FetchWorker.__init__ on
+# Ray workers, where only pickle-by-value modules resolve — a function-level
+# import would re-import by NAME at call time and crash any worker that
+# cannot import the spider_ray package (the repo's worker-serialization rule)
+from spider_ray.sources import lance_io
 from spider_ray.stages.fetchsim import (
     WebIndex,
     fetch_one,
@@ -28,8 +33,6 @@ MAX_GENS = 8
 
 
 def load_corpus(corpus_dir: str) -> dict:
-    from spider_ray.sources import lance_io
-
     t = {
         name: pq.read_table(f"{corpus_dir}/{name}.parquet")
         for name in ("web_graph", "robots", "host_load", "frontier_seed")

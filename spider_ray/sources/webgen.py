@@ -273,8 +273,11 @@ def generate(
 
             p = lance_io.write_images(t, os.path.join(out_dir, "images"))
             if lance_io.HAVE_LANCE:  # pragma: no cover - wheel not here
+                # twin must carry the SAME conformed schema as the lance
+                # store, or wheel and fallback machines would disagree
                 pq.write_table(
-                    t, os.path.join(out_dir, "images.parquet")
+                    lance_io.conform_images(t),
+                    os.path.join(out_dir, "images.parquet"),
                 )
             paths[name] = p
             continue

@@ -1,0 +1,37 @@
+"""Workers must resolve spider_ray via pickle-by-value ALONE (the repo's
+worker-serialization rule): a driver whose sys.path tweak workers don't
+inherit (bare cwd, no PYTHONPATH — the `ray job submit` shape) must still
+run the crawl. Runs in a SUBPROCESS because under pytest the workers can
+import the repo anyway, masking inline-import regressions."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+
+def test_crawl_from_bare_driver_no_pythonpath(tmp_path):
+    script = tmp_path / "driver.py"
+    out_dir = tmp_path / "out"
+    script.write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 log_to_driver=False, logging_level="ERROR")
+        import __ray_entry__ as E  # registers pickle-by-value
+        from spider_ray.pipelines.crawl import run_crawl
+        corpus = E._demo_corpus()
+        res = run_crawl(corpus, {str(out_dir)!r},
+                        num_shards=2, fetch_concurrency=2, max_gens=2)
+        assert res["total_fetched"] > 0
+        print("WORKER_IMPORT_OK", res["total_fetched"])
+        ray.shutdown()
+    """))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=300,
+    )
+    assert "WORKER_IMPORT_OK" in p.stdout, p.stdout + p.stderr
