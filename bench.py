@@ -166,24 +166,14 @@ def _scaling_child(num_cpus: int) -> None:
     ray = _init_ray(num_cpus)
     from spider_ray.pipelines.frontier_bench import (
         run_control_bench,
-        run_frontier_bench,
+        run_scaling_leg,
     )
 
-    # IDENTICAL job at both cpu counts: fixed block count (not cpus*4), so
-    # per-task granularity matches and only the parallelism level differs —
-    # mirrors the no-Ray control's fixed 93,750-URL chunks. 64 blocks is
-    # the 32-cpu optimum under streaming consumption (sweep 2026-08-17:
-    # 64/96/128/192/256/384 blocks -> 4.34/4.00/3.69/3.64/2.90/2.57 M/s
-    # at 32 cpus; the 8-cpu leg measured 1.41 M/s at the same 64)
-    run_frontier_bench(300_000, parallelism=64)  # warm-up, untimed
-    # best-of-2 per leg, same rationale as every other component: one
-    # noise dip in ONE leg otherwise corrupts the 8→32 RATIO (run L:
-    # stationary controls but a single slow 32-leg sample → eff 0.44 where
-    # repeat runs sit at 0.55-0.56)
-    r = max(
-        (run_frontier_bench(SCALING_URLS, parallelism=64) for _ in range(2)),
-        key=lambda x: x["urls_per_s"],
-    )
+    # IDENTICAL job at both cpu counts: run_scaling_leg runs the fixed
+    # SCALING_BLOCKS job (warm-up + best-of-2; rationale + block sweep in
+    # frontier_bench.py) so per-task granularity matches and only the
+    # parallelism level differs — mirrors the control's fixed-size chunks
+    r = run_scaling_leg(SCALING_URLS)
     crawl = _bench_crawl()
     ray.shutdown()
     ctl = max(

@@ -82,6 +82,27 @@ def _frontier_stage(batch: pa.Table, num_shards: int) -> pa.Table:
     return df.group_by("shard").agg(pl.len().alias("n")).to_arrow()
 
 
+# fixed identical-job block count for scaling legs: the 32-cpu optimum
+# under streaming consumption (sweep 2026-08-17: 64/96/128/192/256/384
+# blocks -> 4.34/4.00/3.69/3.64/2.90/2.57 M urls/s at 32 cpus; the 8-cpu
+# leg measured 1.41 M/s at the same 64). ONE constant so bench.py
+# --scaling and tools/scaling_curve.py can never run different jobs.
+SCALING_BLOCKS = 64
+
+
+def run_scaling_leg(n_urls: int) -> dict:
+    """One scaling leg: untimed 300k warm-up, then best-of-2 timed runs of
+    the fixed ``SCALING_BLOCKS`` job. Best-of-2 because one noise dip in
+    ONE leg otherwise corrupts the cross-leg RATIO (BASELINE.md run L).
+    Shared by ``bench.py --scaling`` and ``tools/scaling_curve.py`` —
+    the identical-job invariant lives here, not in the callers."""
+    run_frontier_bench(300_000, parallelism=SCALING_BLOCKS)
+    return max(
+        (run_frontier_bench(n_urls, parallelism=SCALING_BLOCKS) for _ in range(2)),
+        key=lambda x: x["urls_per_s"],
+    )
+
+
 def run_frontier_bench(
     n_urls: int = 2_000_000, num_shards: int = 64, parallelism: int | None = None
 ) -> dict:
@@ -115,6 +136,9 @@ def run_frontier_bench(
         "wall_s": wall,
         "urls_per_s": n_urls / wall,
         "shards_seen": totals.height,
+        # (shard, n) rows so tests/tools can assert parity against a
+        # single-process run of the same UDF without rebuilding the plan
+        "shard_totals": totals.rows(),
     }
 
 

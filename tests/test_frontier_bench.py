@@ -9,7 +9,6 @@ of the identical per-batch UDF over the same id range.
 
 import numpy as np
 import polars as pl
-import pyarrow as pa
 
 from spider_ray.pipelines.frontier_bench import (
     _derive_urls,
@@ -34,29 +33,12 @@ def test_frontier_bench_matches_single_process(ray_session):
     assert r["n_urls"] == N
     assert r["urls_per_s"] > 0
 
+    # the function's OWN distributed per-shard totals must equal a
+    # single-process run of the identical UDF over the same id range —
+    # pins the streaming-consumption seam without rebuilding the plan
     expected = _single_process_totals(N)
     assert r["shards_seen"] == expected.height
-
-    # distributed per-shard totals must equal the single-process ones.
-    # run_frontier_bench only returns the count, so recompute the
-    # distributed totals the same way it does (same stages, same consume)
-    import ray
-
-    ds = ray.data.range(N, override_num_blocks=16)
-    ds = ds.map_batches(_derive_urls, batch_format="numpy", batch_size=None)
-    ds = ds.map_batches(
-        _frontier_stage,
-        batch_format="pyarrow",
-        batch_size=None,
-        fn_kwargs={"num_shards": SHARDS},
-    )
-    parts = pa.concat_tables(
-        ds.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-    got = (
-        pl.from_arrow(parts).group_by("shard").agg(pl.col("n").sum()).sort("shard")
-    )
-    assert got.equals(expected)
+    assert r["shard_totals"] == expected.rows()
 
 
 def test_frontier_stage_dedups_and_filters(ray_session):
