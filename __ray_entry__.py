@@ -256,9 +256,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,
         "simhash_pairs": D.q_simhash_pairs,
         "embedding_neardup": D.q_embedding_neardup,
-        # rows-only: LSH-bucketed scale path of embedding_neardup (random
-        # hyperplanes → not SQL-expressible); recall vs the exact variant
-        # asserted in tests/test_text_dedup_sim.py
+        # LSH-bucketed scale path of embedding_neardup — SQL-oracled end to
+        # end: integer-exact Rademacher banding (quantized components +
+        # mix64-parity signs, similarity._rademacher_signs) replays in
+        # DuckDB; recall vs the exact variant is ALSO asserted in
+        # tests/test_text_dedup_sim.py
         "embedding_neardup_lsh": S.q_embedding_neardup_lsh,
         "dup_clusters": D.q_dup_clusters,
         "corpus_curate": D.q_corpus_curate,
@@ -676,6 +678,59 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(a.embedding::DOUBLE[],
                                               b.embedding::DOUBLE[]) AS cosine
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.4 ORDER BY a_id, b_id
+        """,
+        "embedding_neardup_lsh": """
+            -- full replay of the integer-exact Rademacher LSH banding
+            -- (similarity.py): components quantized floor(x*2^20 + 0.5),
+            -- hyperplane signs from the parity of the frozen
+            -- mix64_int(t*1000003 + b*10007 + i, seed=20260817) (i is
+            -- 1-based), per-bit dot = exact BIGINT sum, 12 tables x 3 bits,
+            -- bucket self-join for candidates, cosine >= 0.4 verify (same
+            -- float pairing as the driver-green exact twin)
+            WITH dims AS MATERIALIZED (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS i,
+                       CAST(floor(unnest(embedding::DOUBLE[]) * 1048576.0
+                                  + 0.5) AS BIGINT) AS q
+                FROM embeddings
+            ),
+            keys AS (
+                SELECT t.t, b.b, idx.i,
+                       CAST(t.t*1000003 + b.b*10007 + idx.i AS HUGEINT)
+                           AS key
+                FROM range(12) t(t), range(3) b(b),
+                     (SELECT DISTINCT i FROM dims) idx
+            ),
+            s1 AS (SELECT t, b, i, CAST((key * 2654435761 + 20260817)
+                        % 18446744073709551616 AS UBIGINT) AS u FROM keys),
+            s2 AS (SELECT t, b, i, xor(u, u >> 29) AS u FROM s1),
+            s3 AS (SELECT t, b, i, CAST((CAST(u AS HUGEINT) * 2246822519)
+                        % 18446744073709551616 AS UBIGINT) AS u FROM s2),
+            signs AS MATERIALIZED (
+                SELECT t, b, i,
+                       CASE WHEN xor(u, u >> 32) % 2 = 1 THEN 1 ELSE -1 END
+                           AS s
+                FROM s3),
+            bits AS (
+                SELECT d.vec_id, s.t, s.b,
+                       CASE WHEN sum(s.s * d.q) > 0 THEN 1 ELSE 0 END AS bit
+                FROM dims d JOIN signs s ON s.i = d.i
+                GROUP BY d.vec_id, s.t, s.b),
+            codes AS MATERIALIZED (
+                SELECT vec_id, t, sum(bit * (1 << b)) AS code
+                FROM bits GROUP BY vec_id, t),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM codes a JOIN codes b
+                  ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id)
+            SELECT a_id, b_id, cosine FROM (
+                SELECT c.a_id, c.b_id,
+                       list_cosine_similarity(ea.embedding::DOUBLE[],
+                                              eb.embedding::DOUBLE[])
+                           AS cosine
+                FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+                            JOIN embeddings eb ON eb.vec_id = c.b_id)
             WHERE cosine >= 0.4 ORDER BY a_id, b_id
         """,
         "mixture_sample": """

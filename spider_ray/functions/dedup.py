@@ -780,10 +780,12 @@ def q_embedding_neardup(
 
     def neardup(batch: pa.Table) -> pa.Table:
         gids, gM = ray.get(mat_ref)
-        from spider_ray.functions.similarity import _ids64 as _i, _vec_matrix as _v
-
-        bids = _i(batch["vec_id"])
-        B = _v(batch["embedding"])
+        # use the names captured from the OUTER (driver-side) import — an
+        # inline import here would re-resolve spider_ray by NAME on the
+        # worker and crash any driver whose cwd isn't the repo (the
+        # worker-serialization rule; reproduced from a bare-/tmp driver)
+        bids = _ids64(batch["vec_id"])
+        B = _vec_matrix(batch["embedding"])
         Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         C = Bn @ gM.T  # (batch, all)
         ai, bj = np.nonzero(C >= COSINE_TAU)

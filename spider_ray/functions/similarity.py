@@ -343,16 +343,50 @@ _register_all()
 # (cos ≥ 0.9 ⇒ ≈ 0.86/bit) would use more bits and fewer tables.
 EMB_LSH_TABLES = 12
 EMB_LSH_BITS = 3
+# fixed-point quantization scale + sign-derivation seed for the
+# INTEGER-EXACT banding scheme (see _rademacher_signs): frozen — the
+# DuckDB oracle replays both
+EMB_LSH_SCALE = 1 << 20
+EMB_LSH_SEED = 20260817
+
+
+def _rademacher_signs(dim: int, tables: int, bits: int) -> np.ndarray:
+    """±1 hyperplane signs derived from the frozen SQL-expressible
+    ``mix64_int`` kernel — shape (tables, dim, bits), int64.
+
+    Replaces Gaussian RNG hyperplanes for the near-dup banding path so the
+    WHOLE pipeline replays exactly in DuckDB: signs come from the parity of
+    ``mix64_int(t·1_000_003 + b·10_007 + i, seed=EMB_LSH_SEED)`` (i is
+    1-based to match SQL list indexing), components are quantized to
+    integers (``floor(x·2^20 + 0.5)``), and the per-bit dot product is an
+    exact int64 sum — no float associativity anywhere in bucket
+    assignment. Rademacher (±1) projections preserve the random-hyperplane
+    locality property (sign-agreement probability still monotone in
+    cosine; Achlioptas-style sparse projections)."""
+    t_idx, i_idx, b_idx = np.meshgrid(
+        np.arange(tables, dtype=np.int64),
+        np.arange(dim, dtype=np.int64),
+        np.arange(bits, dtype=np.int64),
+        indexing="ij",
+    )
+    keys = t_idx * 1_000_003 + b_idx * 10_007 + (i_idx + 1)
+    par = (mix64_int(keys.ravel(), seed=EMB_LSH_SEED) % np.uint64(2)).astype(
+        np.int64
+    )
+    return (2 * par - 1).reshape(tables, dim, bits)
 
 
 def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH banding —
     the 100 TB scale path next to the exact O(N²) oracle variant
     (``q_embedding_neardup``): vectors land in EMB_LSH_TABLES independent
-    hash tables (EMB_LSH_BITS hyperplane signs each); candidate pairs come
-    from the fully distributed bucket cogroup; the cosine verify joins the
-    normalized vectors back by id (packed float64 blobs). Approximate →
-    rows-only driver check; recall vs the exact variant is pytest-asserted.
+    hash tables (EMB_LSH_BITS Rademacher-sign bits each — integer-exact,
+    see ``_rademacher_signs``); candidate pairs come from the fully
+    distributed bucket cogroup; the cosine verify joins the normalized
+    vectors back by id (packed float64 blobs). The whole pipeline —
+    quantization, signs, banding, pair generation, cosine verify — replays
+    exactly in the DuckDB oracle; recall vs the exact variant is ALSO
+    pytest-asserted.
     """
     from spider_ray.functions.dedup import (
         COSINE_TAU,
@@ -363,24 +397,20 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     probe = ds.take(1)
     dim = len(probe[0]["embedding"])
-    H = np.stack(
-        [
-            _hyperplanes(dim, EMB_LSH_BITS, seed=10416 + t)
-            for t in range(EMB_LSH_TABLES)
-        ]
-    )  # (tables, dim, bits)
-    h_ref = ray.put(H)
+    S = _rademacher_signs(dim, EMB_LSH_TABLES, EMB_LSH_BITS)
+    s_ref = ray.put(S)
     powers = 1 << np.arange(EMB_LSH_BITS)
 
     def code_rows(batch: pa.Table) -> pa.Table:
-        bH = ray.get(h_ref)
+        bS = ray.get(s_ref)
         ids = _ids64(batch["vec_id"])
-        V = _normalize(
-            _vec_matrix(batch["embedding"])
-        )
+        V = _vec_matrix(batch["embedding"])  # raw values: sign(Σ s·x) is
+        # normalization-invariant, and quantizing the RAW float32 values is
+        # what the SQL oracle replays
+        Q = np.floor(V * float(EMB_LSH_SCALE) + 0.5).astype(np.int64)
         out_ids, out_buckets = [], []
-        for t in range(bH.shape[0]):
-            codes = ((V @ bH[t]) > 0) @ powers
+        for t in range(bS.shape[0]):
+            codes = ((Q @ bS[t]) > 0) @ powers  # int64 dot — exact
             out_ids.append(ids)
             out_buckets.append(
                 codes.astype(np.uint64) | (np.uint64(t) << np.uint64(32))

@@ -35,3 +35,34 @@ def test_crawl_from_bare_driver_no_pythonpath(tmp_path):
         timeout=300,
     )
     assert "WORKER_IMPORT_OK" in p.stdout, p.stdout + p.stderr
+
+
+def test_neardup_queries_from_bare_driver(tmp_path):
+    """Regression for the inline-import-in-worker-closure bug found in
+    q_embedding_neardup (dedup.py): its per-batch closure imported
+    spider_ray by NAME at call time, crashing every worker of a bare-cwd
+    driver. Both near-dup variants must run from that driver shape."""
+    script = tmp_path / "driver.py"
+    script.write_text(textwrap.dedent("""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 log_to_driver=False, logging_level="ERROR")
+        import __ray_entry__ as E  # registers pickle-by-value
+        from spider_ray.functions.dedup import q_embedding_neardup
+        from spider_ray.functions.similarity import q_embedding_neardup_lsh
+        sf = "/root/testdata/sf0.001"
+        a = q_embedding_neardup(sf)
+        b = q_embedding_neardup_lsh(sf)
+        assert a.num_rows > 0 and b.num_rows > 0
+        print("NEARDUP_IMPORT_OK", a.num_rows, b.num_rows)
+        ray.shutdown()
+    """))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=300,
+    )
+    assert "NEARDUP_IMPORT_OK" in p.stdout, p.stdout + p.stderr
