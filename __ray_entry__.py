@@ -274,7 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": T.q_fingerprints,
         "mixture_sample": T.q_mixture_sample,
         "sequence_pack": T.q_sequence_pack,
-        # similarity search
+        # similarity search. knn_ivf stays rows-only by construction
+        # (float k-means iterations can't replay in SQL); knn_lsh is
+        # SQL-oracled end to end via the integer-exact Rademacher scheme
         "knn_bruteforce": S.q_knn_bruteforce,
         "knn_ivf": S.q_knn_ivf,
         "knn_lsh": S.q_knn_lsh,
@@ -1273,6 +1275,88 @@ def oracle_sql() -> dict[str, str]:
                                DESC, e.vec_id) AS rn
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id < 8)
+            WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
+        """,
+        "knn_lsh": """
+            -- full replay of the integer-exact Rademacher multi-probe LSH
+            -- (similarity.q_knn_lsh): adaptive bits = max(3,
+            -- floor(log2(max(n/64, 2)))); components quantized
+            -- floor(x*2^20 + 0.5); signs = parity of the frozen
+            -- mix64_int(b*10007 + i, seed=20260817) (table 0, 1-based i);
+            -- margins/codes are exact BIGINT sums; probes = own bucket +
+            -- all 1-bit flips + 2-bit flips over the 4 lowest-|margin|
+            -- bits (ties by bit index — the engine's stable argsort);
+            -- top-10 per query by (cosine rounded to 6, vec_id)
+            WITH params AS (
+                SELECT greatest(3, CAST(floor(log2(greatest(
+                           count(*) / 64.0, 2.0))) AS BIGINT)) AS bits
+                FROM embeddings),
+            dims AS MATERIALIZED (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS i,
+                       CAST(floor(unnest(embedding::DOUBLE[]) * 1048576.0
+                                  + 0.5) AS BIGINT) AS q
+                FROM embeddings
+            ),
+            keys AS (
+                SELECT b.b, idx.i, CAST(b.b*10007 + idx.i AS HUGEINT) AS key
+                FROM range(16) b(b), (SELECT DISTINCT i FROM dims) idx
+                WHERE b.b < (SELECT bits FROM params)
+            ),
+            s1 AS (SELECT b, i, CAST((key * 2654435761 + 20260817)
+                        % 18446744073709551616 AS UBIGINT) AS u FROM keys),
+            s2 AS (SELECT b, i, xor(u, u >> 29) AS u FROM s1),
+            s3 AS (SELECT b, i, CAST((CAST(u AS HUGEINT) * 2246822519)
+                        % 18446744073709551616 AS UBIGINT) AS u FROM s2),
+            signs AS MATERIALIZED (
+                SELECT b, i,
+                       CASE WHEN xor(u, u >> 32) % 2 = 1 THEN 1 ELSE -1 END
+                           AS s
+                FROM s3),
+            sums AS MATERIALIZED (
+                SELECT d.vec_id, s.b, sum(s.s * d.q) AS m
+                FROM dims d JOIN signs s ON s.i = d.i
+                GROUP BY d.vec_id, s.b),
+            vcodes AS MATERIALIZED (
+                SELECT vec_id,
+                       sum(CASE WHEN m > 0 THEN 1 << b ELSE 0 END) AS code
+                FROM sums GROUP BY vec_id),
+            ranked AS (
+                SELECT vec_id AS query_id, b,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY abs(m), b) AS rk
+                FROM sums WHERE vec_id < 8),
+            base AS (SELECT vec_id AS query_id, code AS base FROM vcodes
+                     WHERE vec_id < 8),
+            masks AS (
+                SELECT query_id, CAST(0 AS BIGINT) AS mask FROM base
+                UNION ALL
+                SELECT query_id, CAST(1 << b AS BIGINT) FROM ranked
+                UNION ALL
+                SELECT a.query_id,
+                       CAST((1 << a.b) | (1 << c.b) AS BIGINT)
+                FROM ranked a JOIN ranked c
+                  ON a.query_id = c.query_id AND a.rk < c.rk
+                WHERE a.rk <= 4 AND c.rk <= 4),
+            probes AS (
+                SELECT DISTINCT b.query_id,
+                       xor(b.base::BIGINT, m.mask) AS code
+                FROM base b JOIN masks m USING (query_id)),
+            cand AS (
+                SELECT p.query_id, v.vec_id
+                FROM probes p JOIN vcodes v ON v.code = p.code),
+            scored AS (
+                SELECT c.query_id, c.vec_id,
+                       round(list_cosine_similarity(
+                           eq.embedding::DOUBLE[],
+                           ev.embedding::DOUBLE[]), 6) AS cosine
+                FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+                            JOIN embeddings ev ON ev.vec_id = c.vec_id)
+            SELECT query_id, vec_id, cosine FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS rn
+                FROM scored)
             WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
         """,
     }

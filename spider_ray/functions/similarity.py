@@ -266,24 +266,32 @@ def _lsh_codes(Vn: np.ndarray, H: np.ndarray) -> np.ndarray:
 
 def q_knn_lsh(sf_dir: str) -> pa.Table:
     """LSH-bucketed approximate top-k (the other scale path next to IVF):
-    random-hyperplane signatures put vectors into 2^LSH_BITS buckets; each
-    query multi-probes its own bucket plus the LSH_PROBES lowest-margin bit
-    flips. Per-batch work: assign codes, keep rows in probed buckets, local
-    top-k; driver merges. Approximate → rows-only; recall tested vs brute
-    force."""
+    INTEGER-EXACT Rademacher signatures (see ``_rademacher_signs``; table
+    index 0) put vectors into 2^bits buckets; each query multi-probes its
+    own bucket plus all single-bit flips plus two-bit flips over the 4
+    lowest-|margin| hyperplanes. Margins are exact int64 sums of quantized
+    components, so the probe sets — and therefore the candidate set —
+    replay exactly in the DuckDB oracle; per-batch local top-k uses the
+    same (rounded-cosine desc, vec_id asc) total order as the global
+    merge, so batch-boundary ties cannot diverge. Recall vs brute force is
+    ALSO pytest-asserted."""
     n_total = read_table(sf_dir, "embeddings", columns=["vec_id"]).count()
     bits = _lsh_bits(n_total)
-    qids, Q = _query_matrix(sf_dir)
-    H = _hyperplanes(Q.shape[1], bits)
-    margins = Q @ H  # (nq, bits)
+    qids, Qraw = _collect_vectors(sf_dir, max_id=N_QUERIES)
+    Q = _normalize(Qraw)
+    S = _rademacher_signs(Qraw.shape[1], 1, bits)[0]  # (dim, bits)
+    Qq = np.floor(Qraw * float(EMB_LSH_SCALE) + 0.5).astype(np.int64)
+    margins = Qq @ S  # (nq, bits) int64 — exact
     base = ((margins > 0) @ (1 << np.arange(bits))).astype(np.int64)
     probe_sets = []
     for qi in range(Q.shape[0]):
         # multi-probe: own bucket + ALL single-bit flips, plus two-bit
         # flips over the 4 lowest-margin hyperplanes (the bits most likely
-        # to be on the wrong side for a true neighbor)
+        # to be on the wrong side for a true neighbor). STABLE argsort over
+        # integer |margins| with index tie-break = the SQL oracle's
+        # ORDER BY abs(m), b
         codes = {int(base[qi])}
-        order = np.argsort(np.abs(margins[qi]))
+        order = np.argsort(np.abs(margins[qi]), kind="stable")
         for f in order:
             codes.add(int(base[qi]) ^ (1 << int(f)))
         low = [int(f) for f in order[: min(4, len(order))]]
@@ -291,25 +299,31 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
             for j in range(i + 1, len(low)):
                 codes.add(int(base[qi]) ^ (1 << low[i]) ^ (1 << low[j]))
         probe_sets.append(np.array(sorted(codes), dtype=np.int64))
-    state_ref = ray.put((qids, Q, H, probe_sets))
+    state_ref = ray.put((qids, Q, S, probe_sets))
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def batch_probe(batch: pa.Table) -> pa.Table:
-        bq_ids, bQ, bH, bprobes = ray.get(state_ref)
+        bq_ids, bQ, bS, bprobes = ray.get(state_ref)
         vids = _ids64(batch["vec_id"])
-        V = _normalize(_vec_matrix(batch["embedding"]))
-        codes = _lsh_codes(V, bH).astype(np.int64)
+        Vraw = _vec_matrix(batch["embedding"])
+        V = _normalize(Vraw)
+        Vq = np.floor(Vraw * float(EMB_LSH_SCALE) + 0.5).astype(np.int64)
+        codes = ((Vq @ bS) > 0) @ (1 << np.arange(bS.shape[1]))
+        codes = codes.astype(np.int64)
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(bQ.shape[0]):
             mask = np.isin(codes, bprobes[qi])
             if not mask.any():
                 continue
-            c = bQ[qi] @ V[mask].T
-            k = min(TOP_K, c.size)
-            idx = np.argpartition(-c, kth=k - 1)[:k]
+            c6 = np.round(bQ[qi] @ V[mask].T, 6)
+            k = min(TOP_K, c6.size)
+            # local selection under the GLOBAL total order (c6 desc, vid
+            # asc): lexsort's last key is primary
+            mvids = vids[mask]
+            idx = np.lexsort((mvids, -c6))[:k]
             rows_q.extend([bq_ids[qi]] * k)
-            rows_v.extend(vids[mask][idx].tolist())
-            rows_c.extend(np.round(c[idx], 6).tolist())
+            rows_v.extend(mvids[idx].tolist())
+            rows_c.extend(c6[idx].tolist())
         return pa.table(
             {
                 "query_id": pa.array(rows_q, pa.int64()),
