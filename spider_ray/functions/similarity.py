@@ -250,18 +250,11 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
 
 def _lsh_bits(n: int) -> int:
     """Adaptive signature width: target ~64 vectors per bucket (on this
-    corpus's near-isotropic embeddings small buckets destroy recall)."""
-    return max(3, int(np.log2(max(n / 64, 2))))
-
-
-def _hyperplanes(dim: int, bits: int, seed: int = 10416) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.normal(size=(dim, bits))
-
-
-def _lsh_codes(Vn: np.ndarray, H: np.ndarray) -> np.ndarray:
-    bits = H.shape[1]
-    return ((Vn @ H) > 0) @ (1 << np.arange(bits))
+    corpus's near-isotropic embeddings small buckets destroy recall).
+    Capped at 16 — the DuckDB oracle's sign table is provisioned for 16
+    planes (``range(16)`` — its table functions only take constants), and
+    65,536 buckets is already past the useful width for one table."""
+    return min(16, max(3, int(np.log2(max(n / 64, 2)))))
 
 
 def q_knn_lsh(sf_dir: str) -> pa.Table:
@@ -280,7 +273,7 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     qids, Qraw = _collect_vectors(sf_dir, max_id=N_QUERIES)
     Q = _normalize(Qraw)
     S = _rademacher_signs(Qraw.shape[1], 1, bits)[0]  # (dim, bits)
-    Qq = np.floor(Qraw * float(EMB_LSH_SCALE) + 0.5).astype(np.int64)
+    Qq = _quantize(Qraw)
     margins = Qq @ S  # (nq, bits) int64 — exact
     base = ((margins > 0) @ (1 << np.arange(bits))).astype(np.int64)
     probe_sets = []
@@ -307,7 +300,7 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
         vids = _ids64(batch["vec_id"])
         Vraw = _vec_matrix(batch["embedding"])
         V = _normalize(Vraw)
-        Vq = np.floor(Vraw * float(EMB_LSH_SCALE) + 0.5).astype(np.int64)
+        Vq = _quantize(Vraw)
         codes = ((Vq @ bS) > 0) @ (1 << np.arange(bS.shape[1]))
         codes = codes.astype(np.int64)
         rows_q, rows_v, rows_c = [], [], []
@@ -390,6 +383,14 @@ def _rademacher_signs(dim: int, tables: int, bits: int) -> np.ndarray:
     return (2 * par - 1).reshape(tables, dim, bits)
 
 
+def _quantize(X: np.ndarray) -> np.ndarray:
+    """The FROZEN fixed-point quantization the DuckDB oracles replay
+    character-for-character (``floor(x·2^20 + 0.5)`` over the float64 view
+    of the stored float32) — one definition shared by every Rademacher-LSH
+    path so the engine cannot desynchronize from itself or the SQL."""
+    return np.floor(X * float(EMB_LSH_SCALE) + 0.5).astype(np.int64)
+
+
 def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH banding —
     the 100 TB scale path next to the exact O(N²) oracle variant
@@ -421,7 +422,7 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
         V = _vec_matrix(batch["embedding"])  # raw values: sign(Σ s·x) is
         # normalization-invariant, and quantizing the RAW float32 values is
         # what the SQL oracle replays
-        Q = np.floor(V * float(EMB_LSH_SCALE) + 0.5).astype(np.int64)
+        Q = _quantize(V)
         out_ids, out_buckets = [], []
         for t in range(bS.shape[0]):
             codes = ((Q @ bS[t]) > 0) @ powers  # int64 dot — exact
