@@ -274,9 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": T.q_fingerprints,
         "mixture_sample": T.q_mixture_sample,
         "sequence_pack": T.q_sequence_pack,
-        # similarity search. knn_ivf stays rows-only by construction
-        # (float k-means iterations can't replay in SQL); knn_lsh is
-        # SQL-oracled end to end via the integer-exact Rademacher scheme
+        # similarity search — ALL SQL-oracled end to end: knn_lsh via the
+        # integer-exact Rademacher scheme, knn_ivf via integer-state
+        # k-means + replayable-double distance ranks (_ivf_oracle_sql)
         "knn_bruteforce": S.q_knn_bruteforce,
         "knn_ivf": S.q_knn_ivf,
         "knn_lsh": S.q_knn_lsh,
@@ -1277,6 +1277,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 8)
             WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
         """,
+        "knn_ivf": _ivf_oracle_sql(),
         "knn_lsh": """
             -- full replay of the integer-exact Rademacher multi-probe LSH
             -- (similarity.q_knn_lsh): adaptive bits = max(3,
@@ -1388,3 +1389,123 @@ _NGRAM_PAIRS_SQL = r"""
     WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
     ORDER BY a_id, b_id
 """
+
+
+def _ivf_oracle_sql(iters: int = 8, k: int = 16, nprobe: int = 12) -> str:
+    """Full replay of the integer-state IVF (similarity.q_knn_ivf), the 8
+    k-means iterations unrolled as generated CTE stages.
+
+    Exactness argument: the ONLY float operations are (a) the numerator
+    and denominator of the distance rank f = (||s||^2 - 2*n*(x.s)) / n^2 —
+    both EXACT int64, each converted to DOUBLE once and divided once (two
+    single IEEE roundings, identical in numpy and DuckDB; no float
+    summation anywhere), and (b) the final cosine rounded to 6 decimals
+    (the same pairing every other ANN oracle uses). Sample gate =
+    mix64_int(vec_id) % stride, seeds = evenly spaced rows of the
+    id-sorted sample with count 1, assignment ties ORDER BY f, j ==
+    numpy first-argmin, empty clusters carry the previous (sum, count)
+    state forward via the LEFT JOIN coalesce."""
+    head = """
+WITH par AS (
+    SELECT ((count(*) + 99999) // 100000) AS stride FROM embeddings),
+dims AS MATERIALIZED (
+    SELECT vec_id,
+           unnest(range(1, len(embedding) + 1)) AS i,
+           CAST(floor(unnest(embedding::DOUBLE[]) * 1024.0 + 0.5)
+                AS BIGINT) AS q
+    FROM embeddings
+),
+g1 AS (SELECT vec_id, CAST((CAST(vec_id AS HUGEINT) * 2654435761)
+            % 18446744073709551616 AS UBIGINT) AS u FROM embeddings),
+g2 AS (SELECT vec_id, xor(u, u >> 29) AS u FROM g1),
+g3 AS (SELECT vec_id, CAST((CAST(u AS HUGEINT) * 2246822519)
+            % 18446744073709551616 AS UBIGINT) AS u FROM g2),
+gate AS (SELECT vec_id FROM (
+            SELECT vec_id, xor(u, u >> 32) AS u FROM g3)
+         WHERE u % (SELECT stride FROM par) = 0),
+sdims AS MATERIALIZED (
+    SELECT d.* FROM dims d JOIN gate g ON g.vec_id = d.vec_id),
+samp AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+         FROM gate),
+seedmap AS (
+    SELECT t.j, (t.j * greatest((SELECT count(*) FROM samp) // {k}, 1))
+               % (SELECT count(*) FROM samp) AS rn
+    FROM range({k}) t(j)),
+sv0 AS MATERIALIZED (
+    SELECT m.j, d.i, d.q AS s
+    FROM seedmap m JOIN samp sm ON sm.rn = m.rn
+    JOIN sdims d ON d.vec_id = sm.vec_id),
+sn0 AS (SELECT j, CAST(1 AS BIGINT) AS n FROM range({k}) t(j)),
+""".format(k=k)
+    its = []
+    for t in range(1, iters + 1):
+        p = t - 1
+        its.append("""
+xs{t} AS (
+    SELECT d.vec_id, v.j, sum(d.q * v.s) AS xs
+    FROM sdims d JOIN sv{p} v ON v.i = d.i
+    GROUP BY d.vec_id, v.j),
+f{t} AS (
+    SELECT x.vec_id, x.j,
+           CAST(s2.s2 - 2 * x.xs * n.n AS DOUBLE)
+               / CAST(n.n * n.n AS DOUBLE) AS f
+    FROM xs{t} x
+    JOIN (SELECT j, sum(s*s) AS s2 FROM sv{p} GROUP BY j) s2 USING (j)
+    JOIN sn{p} n USING (j)),
+asg{t} AS MATERIALIZED (
+    SELECT vec_id, j FROM (
+        SELECT vec_id, j, row_number() OVER (
+            PARTITION BY vec_id ORDER BY f, j) AS rn FROM f{t})
+    WHERE rn = 1),
+newv{t} AS (
+    SELECT a.j, d.i, sum(d.q) AS s
+    FROM asg{t} a JOIN sdims d ON d.vec_id = a.vec_id
+    GROUP BY a.j, d.i),
+newn{t} AS (SELECT j, count(*) AS n FROM asg{t} GROUP BY j),
+sv{t} AS MATERIALIZED (
+    SELECT o.j, o.i, coalesce(nv.s, o.s) AS s
+    FROM sv{p} o LEFT JOIN newv{t} nv ON nv.j = o.j AND nv.i = o.i),
+sn{t} AS MATERIALIZED (
+    SELECT o.j, coalesce(nn.n, o.n) AS n
+    FROM sn{p} o LEFT JOIN newn{t} nn ON nn.j = o.j),
+""".format(t=t, p=p))
+    tail = """
+xsC AS (
+    SELECT d.vec_id, v.j, sum(d.q * v.s) AS xs
+    FROM dims d JOIN sv{T} v ON v.i = d.i
+    GROUP BY d.vec_id, v.j),
+fC AS MATERIALIZED (
+    SELECT x.vec_id, x.j,
+           CAST(s2.s2 - 2 * x.xs * n.n AS DOUBLE)
+               / CAST(n.n * n.n AS DOUBLE) AS f
+    FROM xsC x
+    JOIN (SELECT j, sum(s*s) AS s2 FROM sv{T} GROUP BY j) s2 USING (j)
+    JOIN sn{T} n USING (j)),
+asgC AS MATERIALIZED (
+    SELECT vec_id, j FROM (
+        SELECT vec_id, j, row_number() OVER (
+            PARTITION BY vec_id ORDER BY f, j) AS rn FROM fC)
+    WHERE rn = 1),
+probes AS (
+    SELECT vec_id AS query_id, j FROM (
+        SELECT vec_id, j, row_number() OVER (
+            PARTITION BY vec_id ORDER BY f, j) AS rn FROM fC
+        WHERE vec_id < 8)
+    WHERE rn <= {nprobe}),
+cand AS (
+    SELECT p.query_id, a.vec_id
+    FROM probes p JOIN asgC a ON a.j = p.j),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                        ev.embedding::DOUBLE[]), 6)
+               AS cosine
+    FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+                JOIN embeddings ev ON ev.vec_id = c.vec_id)
+SELECT query_id, vec_id, cosine FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored)
+WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
+""".format(T=iters, nprobe=nprobe)
+    return head + "".join(its) + tail

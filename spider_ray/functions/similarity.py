@@ -172,61 +172,104 @@ def q_knn_bruteforce(sf_dir: str) -> pa.Table:
     return out.to_arrow()
 
 
-def _kmeans(M: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
-    """Deterministic seeded k-means (k-means‖-free simple variant: seeds are
-    evenly spaced rows of the id-sorted matrix). Distances via the matmul
-    identity (‖m‖² is constant per row, so argmin over −2·M·Cᵀ + ‖c‖²
-    equals argmin over squared Euclid) — O(n·k) memory, never the
-    O(n·k·d) broadcast-subtract array."""
-    n = M.shape[0]
+# Coarser fixed-point scale for the IVF path than the LSH banding's 2^20:
+# the k-means state must stay EXACT int64 at the 100k-training-sample
+# design bound. Bounds with |x| ≤ 0.5, dim 64, n ≤ 1e5: q ≤ 512,
+# |s| ≤ 5.2e7/dim, ‖s‖² ≤ 1.8e17, 2·n·(x·s) ≤ 3.5e17 — all < 2^63.
+IVF_SCALE = 1 << 10
+IVF_ITERS = 8
+
+
+def _quantize_ivf(X: np.ndarray) -> np.ndarray:
+    """IVF twin of :func:`_quantize` at the coarser frozen scale."""
+    return np.floor(X * float(IVF_SCALE) + 0.5).astype(np.int64)
+
+
+def _ivf_dist(Xq: np.ndarray, S: np.ndarray, N: np.ndarray) -> np.ndarray:
+    """Replayable-double squared-Euclid ranks to integer-state centroids.
+
+    Centroid j is the exact rational s_j/n_j (int64 sum vector + count);
+    dropping the per-row constant ‖x‖², argmin over j of
+    ‖x − s_j/n_j‖² equals argmin over ``f_j = (‖s_j‖² − 2·n_j·(x·s_j))
+    / n_j²``. Numerator and denominator are EXACT int64; each is converted
+    to float64 once and divided once — two single IEEE roundings that
+    DuckDB reproduces bit-for-bit, with no float summation anywhere. Empty
+    centroids rank +inf."""
+    XS = Xq @ S.T  # (n, k) int64 — exact
+    s2 = (S * S).sum(axis=1)  # (k,) int64 — exact
+    A = s2[None, :] - 2 * (XS * N[None, :])
+    den = (N * N).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = A.astype(np.float64) / den[None, :]
+    f[:, N == 0] = np.inf
+    return f
+
+
+def _kmeans_int(Q: np.ndarray, k: int, iters: int = IVF_ITERS):
+    """Deterministic seeded k-means over QUANTIZED vectors with INTEGER
+    state: centroids live as (sum-vector, count) pairs so every iteration —
+    seeding (evenly spaced rows of the id-sorted matrix, n=1), assignment
+    (:func:`_ivf_dist`, first-min tie-break = ORDER BY f, j), update (exact
+    int64 sums; empty clusters carry the previous state forward) — replays
+    exactly in the DuckDB oracle. O(n·k) memory via the matmul identity."""
+    n = Q.shape[0]
     seed_idx = (np.arange(k) * max(n // k, 1)) % n
-    C = M[seed_idx].copy()
+    S = Q[seed_idx].copy()
+    N = np.ones(k, dtype=np.int64)
     for _ in range(iters):
-        d = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
-        assign = d.argmin(1)
-        sums = np.zeros_like(C)
-        np.add.at(sums, assign, M)
-        counts = np.bincount(assign, minlength=k).astype(np.float64)
-        nonzero = counts > 0
-        C[nonzero] = sums[nonzero] / counts[nonzero, None]
-    return C
+        assign = _ivf_dist(Q, S, N).argmin(1)
+        sums = np.zeros((k, Q.shape[1]), dtype=np.int64)
+        np.add.at(sums, assign, Q)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        nz = counts > 0
+        S[nz] = sums[nz]
+        N[nz] = counts[nz]
+    return S, N
 
 
 def q_knn_ivf(sf_dir: str) -> pa.Table:
-    """IVF approximate top-k: assign vectors to 16 seeded-k-means centroid
-    buckets; probe the nprobe closest buckets per query. Centroids train on
-    a hash-gated sample of ≤ IVF_TRAIN_MAX rows (assignment + probing stay
-    fully distributed). Approximate → no SQL oracle; tests assert recall
-    ≥ 0.9 vs q_knn_bruteforce."""
+    """IVF approximate top-k: assign vectors to 16 integer-state k-means
+    centroid buckets; probe the nprobe closest buckets per query. Centroids
+    train on a hash-gated sample of ≤ IVF_TRAIN_MAX rows (assignment +
+    probing stay fully distributed). Every stage — sample gate, quantized
+    integer k-means (:func:`_kmeans_int`), replayable-double distance ranks
+    (:func:`_ivf_dist`), probe ordering, rounded-cosine top-k under the
+    (cosine desc, vec_id asc) total order — replays exactly in the DuckDB
+    oracle; recall ≥ 0.9 vs q_knn_bruteforce is ALSO pytest-asserted."""
     n_total = read_table(sf_dir, "embeddings", columns=["vec_id"]).count()
-    stride = max(1, -(-n_total // IVF_TRAIN_MAX))  # ceil div
+    stride = (n_total + IVF_TRAIN_MAX - 1) // IVF_TRAIN_MAX  # int ceil
     ids, M = _collect_vectors(sf_dir, stride=stride)
-    Mn = _normalize(M)
-    C = _kmeans(Mn, IVF_CENTROIDS)
-    Cn = _normalize(C)
-    qids, Q = _query_matrix(sf_dir)
-    # centroid assignment + probing is deterministic; ship both maps
-    probe = np.argsort(-(Q @ Cn.T), axis=1)[:, :IVF_NPROBE]  # (nq, nprobe)
-    state_ref = ray.put((qids, Q, Cn, probe))
+    S, N = _kmeans_int(_quantize_ivf(M), IVF_CENTROIDS)
+    qids, Qraw = _collect_vectors(sf_dir, max_id=N_QUERIES)
+    Q = _normalize(Qraw)
+    # probe order: replayable-double distance, ties by centroid index
+    # (stable argsort == ORDER BY f, j)
+    probe = np.argsort(
+        _ivf_dist(_quantize_ivf(Qraw), S, N), axis=1, kind="stable"
+    )[:, :IVF_NPROBE]
+    state_ref = ray.put((qids, Q, S, N, probe))
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def batch_probe(batch: pa.Table) -> pa.Table:
-        bq_ids, bQ, bC, bprobe = ray.get(state_ref)
+        bq_ids, bQ, bS, bN, bprobe = ray.get(state_ref)
         vids = _ids64(batch["vec_id"])
-        V = _normalize(_vec_matrix(batch["embedding"]))
-        assign = (V @ bC.T).argmax(1)  # (batch,)
+        Vraw = _vec_matrix(batch["embedding"])
+        V = _normalize(Vraw)
+        assign = _ivf_dist(_quantize_ivf(Vraw), bS, bN).argmin(1)
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(bQ.shape[0]):
             mask = np.isin(assign, bprobe[qi])
             if not mask.any():
                 continue
-            sub = V[mask]
-            c = bQ[qi] @ sub.T
-            k = min(TOP_K, c.size)
-            idx = np.argpartition(-c, kth=k - 1)[:k]
+            c6 = np.round(bQ[qi] @ V[mask].T, 6)
+            k = min(TOP_K, c6.size)
+            # local selection under the GLOBAL total order (c6 desc, vid
+            # asc) so batch-boundary ties cannot diverge from the oracle
+            mvids = vids[mask]
+            idx = np.lexsort((mvids, -c6))[:k]
             rows_q.extend([bq_ids[qi]] * k)
-            rows_v.extend(vids[mask][idx].tolist())
-            rows_c.extend(c[idx].tolist())
+            rows_v.extend(mvids[idx].tolist())
+            rows_c.extend(c6[idx].tolist())
         return pa.table(
             {
                 "query_id": pa.array(rows_q, pa.int64()),
