@@ -1391,7 +1391,7 @@ _NGRAM_PAIRS_SQL = r"""
 """
 
 
-def _ivf_oracle_sql(iters: int = 8, k: int = 16, nprobe: int = 12) -> str:
+def _ivf_oracle_sql() -> str:
     """Full replay of the integer-state IVF (similarity.q_knn_ivf), the 8
     k-means iterations unrolled as generated CTE stages.
 
@@ -1404,14 +1404,18 @@ def _ivf_oracle_sql(iters: int = 8, k: int = 16, nprobe: int = 12) -> str:
     mix64_int(vec_id) % stride, seeds = evenly spaced rows of the
     id-sorted sample with count 1, assignment ties ORDER BY f, j ==
     numpy first-argmin, empty clusters carry the previous (sum, count)
-    state forward via the LEFT JOIN coalesce."""
+    state forward via the LEFT JOIN coalesce. Every parameter is read
+    from the similarity module so tuning the engine cannot silently
+    desync the oracle."""
+    iters, k, nprobe = S.IVF_ITERS, S.IVF_CENTROIDS, S.IVF_NPROBE
+    scale, tmax, nq = float(S.IVF_SCALE), S.IVF_TRAIN_MAX, S.N_QUERIES
     head = """
 WITH par AS (
-    SELECT ((count(*) + 99999) // 100000) AS stride FROM embeddings),
+    SELECT ((count(*) + {tm1}) // {tmax}) AS stride FROM embeddings),
 dims AS MATERIALIZED (
     SELECT vec_id,
            unnest(range(1, len(embedding) + 1)) AS i,
-           CAST(floor(unnest(embedding::DOUBLE[]) * 1024.0 + 0.5)
+           CAST(floor(unnest(embedding::DOUBLE[]) * {scale} + 0.5)
                 AS BIGINT) AS q
     FROM embeddings
 ),
@@ -1436,7 +1440,7 @@ sv0 AS MATERIALIZED (
     FROM seedmap m JOIN samp sm ON sm.rn = m.rn
     JOIN sdims d ON d.vec_id = sm.vec_id),
 sn0 AS (SELECT j, CAST(1 AS BIGINT) AS n FROM range({k}) t(j)),
-""".format(k=k)
+""".format(k=k, scale=scale, tmax=tmax, tm1=tmax - 1)
     its = []
     for t in range(1, iters + 1):
         p = t - 1
@@ -1447,7 +1451,7 @@ xs{t} AS (
     GROUP BY d.vec_id, v.j),
 f{t} AS (
     SELECT x.vec_id, x.j,
-           CAST(s2.s2 - 2 * x.xs * n.n AS DOUBLE)
+           CAST(CAST(s2.s2 - 2 * x.xs * n.n AS BIGINT) AS DOUBLE)
                / CAST(n.n * n.n AS DOUBLE) AS f
     FROM xs{t} x
     JOIN (SELECT j, sum(s*s) AS s2 FROM sv{p} GROUP BY j) s2 USING (j)
@@ -1476,7 +1480,7 @@ xsC AS (
     GROUP BY d.vec_id, v.j),
 fC AS MATERIALIZED (
     SELECT x.vec_id, x.j,
-           CAST(s2.s2 - 2 * x.xs * n.n AS DOUBLE)
+           CAST(CAST(s2.s2 - 2 * x.xs * n.n AS BIGINT) AS DOUBLE)
                / CAST(n.n * n.n AS DOUBLE) AS f
     FROM xsC x
     JOIN (SELECT j, sum(s*s) AS s2 FROM sv{T} GROUP BY j) s2 USING (j)
@@ -1490,7 +1494,7 @@ probes AS (
     SELECT vec_id AS query_id, j FROM (
         SELECT vec_id, j, row_number() OVER (
             PARTITION BY vec_id ORDER BY f, j) AS rn FROM fC
-        WHERE vec_id < 8)
+        WHERE vec_id < {nq})
     WHERE rn <= {nprobe}),
 cand AS (
     SELECT p.query_id, a.vec_id
@@ -1507,5 +1511,5 @@ SELECT query_id, vec_id, cosine FROM (
         PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
     FROM scored)
 WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
-""".format(T=iters, nprobe=nprobe)
+""".format(T=iters, nprobe=nprobe, nq=nq)
     return head + "".join(its) + tail

@@ -126,6 +126,50 @@ def _query_matrix(sf_dir: str):
     return ids, _normalize(M)
 
 
+def _local_topk(bq_ids, bQ, V, vids, mask_fn) -> pa.Table:
+    """Per-batch candidate emission under the GLOBAL (rounded-cosine desc,
+    vec_id asc) total order — the ONE definition shared by the IVF and LSH
+    probe stages, so a tie-break change can never apply to one and not the
+    other (batch-boundary ties would then diverge from the SQL oracles).
+    ``mask_fn(qi)`` returns the candidate-row mask for query ``qi``."""
+    rows_q, rows_v, rows_c = [], [], []
+    for qi in range(bQ.shape[0]):
+        mask = mask_fn(qi)
+        if not mask.any():
+            continue
+        c6 = np.round(bQ[qi] @ V[mask].T, 6)
+        k = min(TOP_K, c6.size)
+        mvids = vids[mask]
+        # lexsort's LAST key is primary: c6 desc, then vec_id asc
+        idx = np.lexsort((mvids, -c6))[:k]
+        rows_q.extend([bq_ids[qi]] * k)
+        rows_v.extend(mvids[idx].tolist())
+        rows_c.extend(c6[idx].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(rows_v, pa.int64()),
+            "cosine": pa.array(rows_c, pa.float64()),
+        }
+    )
+
+
+def _topk_merge(cands: pa.Table) -> pa.Table:
+    """Final global top-k under the frozen (query_id asc, cosine desc,
+    vec_id asc) total order. Cosines must already be rounded to 6 dp so
+    the ranking is bit-identical to the DuckDB oracles."""
+    import polars as pl
+
+    out = (
+        pl.from_arrow(cands)
+        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
+        .group_by("query_id", maintain_order=True)
+        .head(TOP_K)
+        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
+    )
+    return out.to_arrow()
+
+
 def q_knn_bruteforce(sf_dir: str) -> pa.Table:
     """Exact top-k cosine neighbors of the query set. Per-batch matmul →
     per-batch top-k → driver-side merge of ≤ k·batches candidates."""
@@ -155,27 +199,24 @@ def q_knn_bruteforce(sf_dir: str) -> pa.Table:
         )
 
     cands = _concat(ds.map_batches(batch_topk, batch_format="pyarrow"))
-    # final merge: true top-k per query. Cosines rounded to 6 dp BEFORE
-    # ranking so the result is bit-identical to the DuckDB oracle (different
-    # float summation orders otherwise differ in the last ulp); ties broken
-    # by vec_id in both.
+    # cosines rounded to 6 dp BEFORE ranking so the result is bit-identical
+    # to the DuckDB oracle (different float summation orders otherwise
+    # differ in the last ulp); merge order is the shared frozen one
     import polars as pl
 
-    out = (
-        pl.from_arrow(cands)
-        .with_columns(cosine=pl.col("cosine").round(6))
-        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
-        .group_by("query_id", maintain_order=True)
-        .head(TOP_K)
-        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
-    )
-    return out.to_arrow()
+    cands = pl.from_arrow(cands).with_columns(
+        cosine=pl.col("cosine").round(6)
+    ).to_arrow()
+    return _topk_merge(cands)
 
 
 # Coarser fixed-point scale for the IVF path than the LSH banding's 2^20:
 # the k-means state must stay EXACT int64 at the 100k-training-sample
-# design bound. Bounds with |x| ≤ 0.5, dim 64, n ≤ 1e5: q ≤ 512,
-# |s| ≤ 5.2e7/dim, ‖s‖² ≤ 1.8e17, 2·n·(x·s) ≤ 3.5e17 — all < 2^63.
+# design bound. With qmax = max|quantized component| (the shipped corpora
+# measure qmax ≈ 592 at scale 2^10), dim d and n ≤ IVF_TRAIN_MAX, the
+# distance numerator is bounded by |A| ≤ 3·d·n²·qmax² — at d=64, n=1e5
+# that requires qmax < 2191 (current margin ≈ 13×). _ivf_dist ASSERTS the
+# bound instead of trusting this comment (numpy int64 wraps silently).
 IVF_SCALE = 1 << 10
 IVF_ITERS = 8
 
@@ -195,6 +236,19 @@ def _ivf_dist(Xq: np.ndarray, S: np.ndarray, N: np.ndarray) -> np.ndarray:
     to float64 once and divided once — two single IEEE roundings that
     DuckDB reproduces bit-for-bit, with no float summation anywhere. Empty
     centroids rank +inf."""
+    # overflow guard: the whole exactness argument is "everything fits
+    # int64" — check it with Python ints (numpy would wrap silently).
+    # |x·s| ≤ d·qmax·smax, so |A| ≤ d·smax² + 2·Nmax·d·qmax·smax.
+    if len(Xq) and len(S):
+        d = Xq.shape[1]
+        qmax = int(np.abs(Xq).max())
+        smax = int(np.abs(S).max())
+        nmax = int(N.max())
+        bound = d * smax * smax + 2 * nmax * d * qmax * smax
+        assert bound < 2**63, (
+            f"IVF int64 bound violated (|A| may reach {bound:.3e}); "
+            "lower IVF_SCALE or IVF_TRAIN_MAX"
+        )
     XS = Xq @ S.T  # (n, k) int64 — exact
     s2 = (S * S).sum(axis=1)  # (k,) int64 — exact
     A = s2[None, :] - 2 * (XS * N[None, :])
@@ -256,39 +310,12 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
         Vraw = _vec_matrix(batch["embedding"])
         V = _normalize(Vraw)
         assign = _ivf_dist(_quantize_ivf(Vraw), bS, bN).argmin(1)
-        rows_q, rows_v, rows_c = [], [], []
-        for qi in range(bQ.shape[0]):
-            mask = np.isin(assign, bprobe[qi])
-            if not mask.any():
-                continue
-            c6 = np.round(bQ[qi] @ V[mask].T, 6)
-            k = min(TOP_K, c6.size)
-            # local selection under the GLOBAL total order (c6 desc, vid
-            # asc) so batch-boundary ties cannot diverge from the oracle
-            mvids = vids[mask]
-            idx = np.lexsort((mvids, -c6))[:k]
-            rows_q.extend([bq_ids[qi]] * k)
-            rows_v.extend(mvids[idx].tolist())
-            rows_c.extend(c6[idx].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(rows_q, pa.int64()),
-                "vec_id": pa.array(rows_v, pa.int64()),
-                "cosine": pa.array(rows_c, pa.float64()),
-            }
+        return _local_topk(
+            bq_ids, bQ, V, vids, lambda qi: np.isin(assign, bprobe[qi])
         )
 
     cands = _concat(ds.map_batches(batch_probe, batch_format="pyarrow"))
-    import polars as pl
-
-    out = (
-        pl.from_arrow(cands)
-        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
-        .group_by("query_id", maintain_order=True)
-        .head(TOP_K)
-        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
-    )
-    return out.to_arrow()
+    return _topk_merge(cands)
 
 
 def _lsh_bits(n: int) -> int:
@@ -346,39 +373,12 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
         Vq = _quantize(Vraw)
         codes = ((Vq @ bS) > 0) @ (1 << np.arange(bS.shape[1]))
         codes = codes.astype(np.int64)
-        rows_q, rows_v, rows_c = [], [], []
-        for qi in range(bQ.shape[0]):
-            mask = np.isin(codes, bprobes[qi])
-            if not mask.any():
-                continue
-            c6 = np.round(bQ[qi] @ V[mask].T, 6)
-            k = min(TOP_K, c6.size)
-            # local selection under the GLOBAL total order (c6 desc, vid
-            # asc): lexsort's last key is primary
-            mvids = vids[mask]
-            idx = np.lexsort((mvids, -c6))[:k]
-            rows_q.extend([bq_ids[qi]] * k)
-            rows_v.extend(mvids[idx].tolist())
-            rows_c.extend(c6[idx].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(rows_q, pa.int64()),
-                "vec_id": pa.array(rows_v, pa.int64()),
-                "cosine": pa.array(rows_c, pa.float64()),
-            }
+        return _local_topk(
+            bq_ids, bQ, V, vids, lambda qi: np.isin(codes, bprobes[qi])
         )
 
     cands = _concat(ds.map_batches(batch_probe, batch_format="pyarrow"))
-    import polars as pl
-
-    out = (
-        pl.from_arrow(cands)
-        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
-        .group_by("query_id", maintain_order=True)
-        .head(TOP_K)
-        .sort(["query_id", "cosine", "vec_id"], descending=[False, True, False])
-    )
-    return out.to_arrow()
+    return _topk_merge(cands)
 
 
 from spider_ray._serial import register_all as _register_all  # noqa: E402
