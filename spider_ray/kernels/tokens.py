@@ -16,7 +16,11 @@ import zlib
 
 import numpy as np
 
-from spider_ray.kernels.hashing import hash64, polyhash64
+# module-level on purpose: these kernels run INSIDE worker closures, where
+# only pickle-by-value module globals resolve — a function-level import
+# would re-import spider_ray by NAME at call time and crash any worker
+# whose driver cwd isn't the repo (the worker-serialization rule)
+from spider_ray.kernels.hashing import hash64, mix64_int, polyhash64
 
 # Frozen whitespace class: Python re's ``\s`` set enumerated EXPLICITLY
 # (equal to ``str.isspace`` over all of Unicode; pinned by test). The
@@ -375,8 +379,6 @@ def doc_fingerprint(text: str, k: int = 8, window: int = 16) -> int:
     )
     if data.size < k:
         return zlib.crc32(data.tobytes())
-    from spider_ray.kernels.hashing import mix64_int
-
     with np.errstate(over="ignore"):
         m = data.size
         binv_pow = np.full(m, np.uint64(_FP_BINV & (2**64 - 1)))

@@ -66,3 +66,44 @@ def test_neardup_queries_from_bare_driver(tmp_path):
         timeout=300,
     )
     assert "NEARDUP_IMPORT_OK" in p.stdout, p.stdout + p.stderr
+
+
+def test_all_queries_from_bare_driver(tmp_path):
+    """Class-wide gate for the inline-import-on-worker bug: EVERY
+    queries() entry must run from a bare-cwd, no-PYTHONPATH driver (the
+    `ray job submit` shape). This shape caught two real worker crashes in
+    round 3 (q_embedding_neardup's closure and tokens.doc_fingerprint)
+    that the normal pytest environment masks — workers there can import
+    the repo from cwd. Crawl trio excluded (covered by the dedicated
+    crawl test above; their golden build is slow). ~105 s at sf0.001."""
+    script = tmp_path / "driver.py"
+    script.write_text(textwrap.dedent("""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 log_to_driver=False, logging_level="ERROR")
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "e", "/root/repo/__ray_entry__.py")
+        E = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(E)
+        bad = []
+        for name, fn in E.queries().items():
+            if name.startswith("crawl_"):
+                continue
+            try:
+                fn("/root/testdata/sf0.001")
+            except Exception as exc:  # noqa: BLE001
+                bad.append((name, repr(exc)[:200]))
+        assert not bad, bad
+        print("ALL_QUERIES_IMPORT_OK")
+        ray.shutdown()
+    """))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=480,
+    )
+    assert "ALL_QUERIES_IMPORT_OK" in p.stdout, p.stdout[-3000:] + p.stderr[-3000:]
