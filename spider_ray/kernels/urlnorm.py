@@ -173,54 +173,64 @@ except Exception:  # pragma: no cover
     _HAVE_POLARS = False
 
 
-def canonicalize_vector(urls) -> list[str | None]:
-    """Vectorized canonicalizer: a polars fast path for the common shapes
-    (case folding, default-port elision, fragment strip, query sort) with a
-    per-row fallback to :func:`canonicalize_one` for anything hairy
-    (percent-escapes, dot segments, IDN, userinfo, odd ports). Guaranteed
+# ONE anchored regex pass extracts every component (scheme/host/port/path/
+# query) and simultaneously validates the parse: a URL that cannot be split
+# cleanly into these groups (userinfo "@", non-digit port, embedded
+# whitespace, non-http scheme, schemeless...) matches nothing → all-null
+# groups → per-row slow path. Anchoring (`$` + optional fragment group) is
+# load-bearing: the previous multi-extract version's unanchored port regex
+# accepted "http://hh:80x/" as port 80 where the scalar kernel rejects it.
+_FUSED_RE = (
+    r"(?i)^(?P<scheme>https?)://(?P<host>[^/?#:@]+)(?::(?P<port>\d+))?"
+    r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+# fast-path eligibility charsets: the plain safe characters plus %7E/%7e —
+# the one percent-escape whose canonical form is vectorizable (unreserved
+# '~' comes out bare under _requote, nothing else changes)
+_FAST_PATH_CHARS = r"^(?:[A-Za-z0-9/._~!$&'()*+,;=:@-]|%7[Ee])*$"
+_FAST_QUERY_CHARS = r"^(?:[A-Za-z0-9._~!$'()*+,;=:@/?&-]|%7[Ee])*$"
+
+_PARTS_SCHEMA = {"canon": None, "host": None, "path": None, "query": None}
+
+
+def canonicalize_parts(urls):
+    """Canonicalize a string column and return a polars DataFrame with the
+    canonical URL *and its components* in one pass:
+
+    ``canon``  canonical URL (null = rejected), ``host`` lowercased host,
+    ``path``   canonical path (always starts ``/`` when canon non-null),
+    ``query``  canonical (sorted, empty-param-stripped) query or null.
+
+    This is the hot-path form: downstream stages (frontier filter, host
+    sharding) need host/path/query anyway, and re-extracting them from the
+    canonical string costs three more full-column regex passes. Guaranteed
     equal to the scalar kernel — property-tested in
-    tests/test_kernels_url.py::test_vectorized_equals_scalar."""
+    tests/test_kernels_url.py::test_vectorized_equals_scalar and pinned
+    independently by tests/test_frontier_bench.py. Requires polars."""
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
-    if isinstance(urls, pa.Array):
-        n = len(urls)
-    else:
+    if not isinstance(urls, pa.Array):
         urls = pa.array(list(urls), pa.string())
-        n = len(urls)
-    if not _HAVE_POLARS or n == 0:
-        return canonicalize(urls)
-    s = _pl.from_arrow(urls).alias("raw")
-    df = _pl.DataFrame({"raw": s})
-    parts = df.select(
-        trimmed=_pl.col("raw").fill_null("").str.strip_chars()
-    ).with_columns(
-        nofrag=_pl.col("trimmed").str.replace(r"#.*$", "", literal=False)
-    ).with_columns(
-        scheme=_pl.col("nofrag")
-        .str.extract(r"(?i)^(https?)://", 1)
-        .str.to_lowercase(),
-        has_scheme=_pl.col("nofrag").str.contains(r"(?i)^[a-z][a-z0-9+.-]*:"),
-        rest=_pl.col("nofrag").str.replace(r"(?i)^(https?)://", "", literal=False),
-    ).with_columns(
-        host=_pl.col("rest").str.extract(r"^([^/?#:]+)", 1).str.to_lowercase(),
-        port=_pl.col("rest").str.extract(r"^[^/?#:]+:(\d+)", 1),
-        path=_pl.col("rest").str.extract(r"^[^/?#]*(/[^?#]*)", 1).fill_null("/"),
-        query=_pl.col("rest").str.extract(r"^[^?#]*\?([^#]*)", 1),
+    if len(urls) == 0:
+        return _pl.DataFrame(schema={k: _pl.Utf8 for k in _PARTS_SCHEMA})
+    out = (
+        _pl.DataFrame({"raw": _pl.from_arrow(urls)})
+        .with_columns(trimmed=_pl.col("raw").fill_null("").str.strip_chars())
+        .with_columns(g=_pl.col("trimmed").str.extract_groups(_FUSED_RE))
+        .unnest("g")
+        .with_columns(
+            scheme=_pl.col("scheme").str.to_lowercase(),
+            host=_pl.col("host").str.to_lowercase(),
+            path0=_pl.col("path").fill_null("/"),
+        )
     )
-    # fast-path eligibility: scheme http(s) (or schemeless handled by slow
-    # path), clean ascii host, no escapes/dot-segments in path, default or
-    # no port, simple query characters
-    FAST_PATH_CHARS = r"^[A-Za-z0-9/._~!$&'()*+,;=:@-]*$"
-    FAST_QUERY_CHARS = r"^[A-Za-z0-9._~!$'()*+,;=:@/?&-]*$"
-    parts = parts.with_columns(
+    out = out.with_columns(
         fast=(
-            _pl.col("has_scheme")
-            & _pl.col("scheme").is_not_null()
+            _pl.col("scheme").is_not_null()
             & _pl.col("host").str.contains(r"^[a-z0-9][a-z0-9.-]*[a-z0-9]$")
             & ~_pl.col("host").str.contains(r"\.\.", literal=True)
-            & ~_pl.col("rest").str.contains("@", literal=True)
-            & _pl.col("path").str.contains(FAST_PATH_CHARS)
-            & ~_pl.col("path").str.contains(r"/\.{1,2}(/|$)")
+            & _pl.col("path0").str.contains(_FAST_PATH_CHARS)
+            & ~_pl.col("path0").str.contains(r"/\.{1,2}(/|$)")
             & (
                 _pl.col("port").is_null()
                 | ((_pl.col("scheme") == "http") & (_pl.col("port") == "80"))
@@ -228,32 +238,41 @@ def canonicalize_vector(urls) -> list[str | None]:
             )
             & (
                 _pl.col("query").is_null()
-                | _pl.col("query").str.contains(FAST_QUERY_CHARS)
+                | _pl.col("query").str.contains(_FAST_QUERY_CHARS)
             )
             & (_pl.col("trimmed").str.len_bytes() <= MAX_URL_LEN)
         )
     )
+    # sorted query: native list.sort puts the empty parts ("a&&b") first,
+    # the strip_chars_start drops them after the join — equivalent to
+    # filter(!= "") + sort but all-native kernels, and computed ONCE into a
+    # column (the when/then form evaluated the list pipeline twice)
     sorted_q = (
         _pl.col("query")
+        .str.replace_all(r"%7[Ee]", "~")
         .str.split("&")
-        .list.eval(_pl.element().filter(_pl.element() != "").sort())
+        .list.sort()
         .list.join("&")
+        .str.strip_chars_start("&")
     )
-    out = parts.with_columns(
-        canon=_pl.when(_pl.col("fast"))
-        .then(
+    out = out.with_columns(sq=sorted_q).with_columns(
+        cpath=_pl.when(_pl.col("fast"))
+        .then(_pl.col("path0").str.replace_all(r"%7[Ee]", "~"))
+        .otherwise(None),
+        cquery=_pl.when(_pl.col("fast") & (_pl.col("sq") != ""))
+        .then(_pl.col("sq"))
+        .otherwise(None),
+    ).with_columns(
+        canon=_pl.when(_pl.col("fast")).then(
             _pl.col("scheme")
             + _pl.lit("://")
             + _pl.col("host")
-            + _pl.col("path")
-            + _pl.when(_pl.col("query").is_not_null() & (sorted_q != ""))
-            .then(_pl.lit("?") + sorted_q)
+            + _pl.col("cpath")
+            + _pl.when(_pl.col("cquery").is_not_null())
+            .then(_pl.lit("?") + _pl.col("cquery"))
             .otherwise(_pl.lit(""))
-        )
-        .otherwise(None)
+        ).otherwise(None)
     )
-    import numpy as _np
-
     ok = (
         out.select(
             ok=_pl.col("fast")
@@ -263,12 +282,48 @@ def canonicalize_vector(urls) -> list[str | None]:
         .fill_null(False)
         .to_numpy()
     )
-    result: list[str | None] = out["canon"].to_list()
+    canon_s = out["canon"]
+    host_s = out["host"]
+    path_s = out["cpath"]
+    query_s = out["cquery"]
     if not ok.all():
-        raws = df["raw"].to_list()
-        for i in _np.nonzero(~ok)[0]:
-            result[i] = canonicalize_one(raws[i])
-    return result
+        bad = np.nonzero(~ok)[0]
+        fixed = [canonicalize_one(u) for u in out["raw"].gather(bad).to_list()]
+        # a canonical URL always re-parses under the fused regex (scalar
+        # output is scheme://host[:port]path[?query] with '#'/'?' escaped
+        # inside components), so the patched rows' parts come from the same
+        # single extract pass over the small fixed set
+        sub = (
+            _pl.DataFrame({"canon": fixed}, schema={"canon": _pl.Utf8})
+            .with_columns(g=_pl.col("canon").str.extract_groups(_FUSED_RE))
+            .unnest("g")
+        )
+        idx = _pl.Series(bad)
+        canon_s = canon_s.scatter(idx, sub["canon"])
+        host_s = host_s.scatter(idx, sub["host"])
+        path_s = path_s.scatter(idx, sub["path"])
+        query_s = query_s.scatter(idx, sub["query"])
+    return _pl.DataFrame(
+        {
+            "canon": canon_s,
+            "host": host_s,
+            "path": path_s,
+            "query": query_s,
+        }
+    )
+
+
+def canonicalize_vector(urls) -> list[str | None]:
+    """Vectorized canonicalizer (list interface over
+    :func:`canonicalize_parts`): a polars fast path for the common shapes
+    (case folding, default-port elision, fragment strip, query sort, bare
+    %7E escapes) with a per-row fallback to :func:`canonicalize_one` for
+    anything hairy (other percent-escapes, dot segments, IDN, userinfo, odd
+    ports). Guaranteed equal to the scalar kernel — property-tested in
+    tests/test_kernels_url.py::test_vectorized_equals_scalar."""
+    if not _HAVE_POLARS:
+        return canonicalize(urls)
+    return canonicalize_parts(urls)["canon"].to_list()
 
 
 _HOST_RE = re.compile(r"^[a-z]+://([^/?#:]+)")

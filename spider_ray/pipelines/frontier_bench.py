@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 
 from spider_ray.kernels.hashing import SEED, hash64_expr
-from spider_ray.kernels.urlnorm import MAX_PATH_DEPTH, MAX_QUERY_LEN, canonicalize_vector
+from spider_ray.kernels.urlnorm import MAX_PATH_DEPTH, MAX_QUERY_LEN, canonicalize_parts
 
 _HOST_POOL = 1000
 _DIRTY = ["", "#frag", "?b=2&a=1", ":80/x", "/%7Euser"]
@@ -57,19 +57,21 @@ def _derive_urls(batch: dict) -> pa.Table:
 
 
 def _frontier_stage(batch: pa.Table, num_shards: int) -> pa.Table:
-    canon = canonicalize_vector(batch["url"])
-    df = pl.DataFrame({"url": pl.Series(canon, dtype=pl.Utf8)}).drop_nulls()
-    df = df.with_columns(
-        host=pl.col("url").str.extract(r"^[a-z]+://([^/?#:]+)", 1),
-        path_q=pl.col("url").str.replace(r"^[a-z]+://[^/]*", "", literal=False),
-    ).with_columns(
-        path_depth=pl.col("path_q").str.split("?").list.first().str.count_matches("/", literal=True),
-        query_len=pl.col("path_q").str.extract(r"\?(.*)$", 1).fill_null("").str.len_bytes(),
+    # ONE canonicalize pass also yields host/path/query (canonicalize_parts)
+    # — re-extracting them from the canonical string would cost three more
+    # full-column regex passes, and on a 32-wide node this stage is memory-
+    # bandwidth-bound, not compute-bound
+    parts = canonicalize_parts(batch["url"])
+    df = parts.drop_nulls(subset=["canon"]).select(
+        url=pl.col("canon"),
+        host=pl.col("host"),
+        path_depth=pl.col("path").str.count_matches("/", literal=True),
+        query_len=pl.col("query").fill_null("").str.len_bytes(),
     )
     df = df.filter(
         (pl.col("path_depth") <= MAX_PATH_DEPTH)
         & (pl.col("query_len") <= MAX_QUERY_LEN)
-    )
+    ).drop("path_depth", "query_len")
     # the FROZEN production hash kernel (kernels/hashing.py hash64_expr —
     # bit-identical to hash64, pinned by test): the bench measures exactly
     # the hash the crawl pipeline runs
