@@ -61,6 +61,11 @@ def _init_ray(num_cpus: int):
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # 10 Hz completion-poll bursts in the streaming executor cost 25-45% of
+    # 32-wide throughput at sub-second task granularity (spider_ray/compat.py)
+    from spider_ray.compat import tighten_scheduler_cadence
+
+    tighten_scheduler_cadence()
     return ray
 
 
@@ -158,7 +163,10 @@ def main() -> None:
     ray.shutdown()
 
 
-SCALING_URLS = 8_000_000
+# 24M (was 8M): the fused-canonicalizer UDF (2026-08-18) runs ~3x faster,
+# so the old job finished in ~1s at 32 cpus — short enough that per-job
+# fixed costs pollute the 8-vs-32 ratio. 24M keeps the 32-cpu leg ~3s.
+SCALING_URLS = 24_000_000
 
 
 def _scaling_child(num_cpus: int) -> None:

@@ -85,11 +85,12 @@ def _frontier_stage(batch: pa.Table, num_shards: int) -> pa.Table:
 
 
 # fixed identical-job block count for scaling legs: the 32-cpu optimum
-# under streaming consumption (sweep 2026-08-17: 64/96/128/192/256/384
-# blocks -> 4.34/4.00/3.69/3.64/2.90/2.57 M urls/s at 32 cpus; the 8-cpu
-# leg measured 1.41 M/s at the same 64). ONE constant so bench.py
-# --scaling and tools/scaling_curve.py can never run different jobs.
-SCALING_BLOCKS = 64
+# under the fused canonicalizer + tightened scheduler cadence (sweep
+# 2026-08-18, 24M urls: 64/96/128/192/256 blocks -> 11.09/11.23/11.84/
+# 10.85/10.46 M urls/s at 32 cpus; the 8-cpu leg measured 3.58 M/s at the
+# same 128). ONE constant so bench.py --scaling and tools/scaling_curve.py
+# can never run different jobs.
+SCALING_BLOCKS = 128
 
 
 def run_scaling_leg(n_urls: int) -> dict:
@@ -108,6 +109,11 @@ def run_scaling_leg(n_urls: int) -> dict:
 def run_frontier_bench(
     n_urls: int = 2_000_000, num_shards: int = 64, parallelism: int | None = None
 ) -> dict:
+    # driver-side: 10 Hz completion-poll bursts cost 25-45% of 32-wide
+    # throughput at frontier task granularity (see spider_ray/compat.py)
+    from spider_ray.compat import tighten_scheduler_cadence
+
+    tighten_scheduler_cadence()
     t0 = time.time()
     ds = ray.data.range(n_urls, override_num_blocks=parallelism)
     # whole-block batches (batch_size=None): one UDF call per block, the

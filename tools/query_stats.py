@@ -28,6 +28,9 @@ def main() -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                  include_dashboard=False, logging_level="ERROR")
+    from spider_ray.compat import tighten_scheduler_cadence
+
+    tighten_scheduler_cadence()
     import __ray_entry__ as E
 
     qs = E.queries()

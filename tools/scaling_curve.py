@@ -65,7 +65,7 @@ def _ray_leg(repo: str, cpus: int, n_urls: int) -> float:
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
 
     sys.path.insert(0, repo)
     os.environ.setdefault("POLARS_MAX_THREADS", "1")

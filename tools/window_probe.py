@@ -24,8 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if __name__ == "__main__":
     from spider_ray.pipelines.frontier_bench import run_control_bench
 
-    r8 = run_control_bench(4_000_000, 8)
-    r32 = run_control_bench(4_000_000, 32)
+    r8 = run_control_bench(12_000_000, 8)
+    r32 = run_control_bench(12_000_000, 32)
     print(
         "ctl8 %.0f urls/s  ctl32 %.0f urls/s  speedup %.2f/4"
         % (
