@@ -163,10 +163,12 @@ def main() -> None:
     ray.shutdown()
 
 
-# 24M (was 8M): the fused-canonicalizer UDF (2026-08-18) runs ~3x faster,
-# so the old job finished in ~1s at 32 cpus — short enough that per-job
-# fixed costs pollute the 8-vs-32 ratio. 24M keeps the 32-cpu leg ~3s.
-SCALING_URLS = 24_000_000
+# 96M (was 8M): the fused-canonicalizer UDF (2026-08-18) runs ~3x faster
+# and the per-job harness cost (~0.6s: dispatch ramp + ~4ms/task submit)
+# hits the fast leg proportionally harder — a 2s 32-cpu leg reads ~30%
+# fixed cost vs ~7% on the 8-cpu leg, biasing the ratio low. 96M keeps the
+# 32-cpu leg ~8.5s (fixed share <8%) while the whole protocol stays ~4 min.
+SCALING_URLS = 96_000_000
 
 
 def _scaling_child(num_cpus: int) -> None:
@@ -178,7 +180,7 @@ def _scaling_child(num_cpus: int) -> None:
     )
 
     # IDENTICAL job at both cpu counts: run_scaling_leg runs the fixed
-    # SCALING_BLOCKS job (warm-up + best-of-2; rationale + block sweep in
+    # SCALING_CHUNK-granularity job (warm-up + best-of-2; rationale + sweeps in
     # frontier_bench.py) so per-task granularity matches and only the
     # parallelism level differs — mirrors the control's fixed-size chunks
     r = run_scaling_leg(SCALING_URLS)

@@ -84,24 +84,34 @@ def _frontier_stage(batch: pa.Table, num_shards: int) -> pa.Table:
     return df.group_by("shard").agg(pl.len().alias("n")).to_arrow()
 
 
-# fixed identical-job block count for scaling legs: the 32-cpu optimum
-# under the fused canonicalizer + tightened scheduler cadence (sweep
-# 2026-08-18, 24M urls: 64/96/128/192/256 blocks -> 11.09/11.23/11.84/
-# 10.85/10.46 M urls/s at 32 cpus; the 8-cpu leg measured 3.58 M/s at the
-# same 128). ONE constant so bench.py --scaling and tools/scaling_curve.py
-# can never run different jobs.
-SCALING_BLOCKS = 128
+# fixed identical-job chunk SIZE for scaling legs: the 32-cpu optimum under
+# the fused canonicalizer + tightened scheduler cadence is ~187.5k URLs per
+# block (sweeps 2026-08-18: at 24M urls, 64/96/128/192/256 blocks ->
+# 11.09/11.23/11.84/10.85/10.46 M urls/s — optimum 128 = 187.5k/block; at
+# 96M urls, 128/256/384/512/640/768 blocks -> 5.44/10.14/10.56/11.48/11.52/
+# 11.45 — optimum 512-640 = 150-187.5k/block). Chunk size, not block count,
+# is the invariant that transfers across job sizes: big whole-block batches
+# fall out of cache (128x750k: 5.44 M/s), finer ones pay dispatch. ONE
+# constant so bench.py --scaling and tools/scaling_curve.py can never run
+# different granularities.
+SCALING_CHUNK = 187_500
+
+
+def scaling_parallelism(n_urls: int) -> int:
+    return max(1, n_urls // SCALING_CHUNK)
 
 
 def run_scaling_leg(n_urls: int) -> dict:
-    """One scaling leg: untimed 300k warm-up, then best-of-2 timed runs of
-    the fixed ``SCALING_BLOCKS`` job. Best-of-2 because one noise dip in
-    ONE leg otherwise corrupts the cross-leg RATIO (BASELINE.md run L).
-    Shared by ``bench.py --scaling`` and ``tools/scaling_curve.py`` —
-    the identical-job invariant lives here, not in the callers."""
-    run_frontier_bench(300_000, parallelism=SCALING_BLOCKS)
+    """One scaling leg: untimed warm-up (spawns the worker pool), then
+    best-of-2 timed runs of the fixed ``SCALING_CHUNK``-granularity job.
+    Best-of-2 because one noise dip in ONE leg otherwise corrupts the
+    cross-leg RATIO (BASELINE.md run L). Shared by ``bench.py --scaling``
+    and ``tools/scaling_curve.py`` — the identical-job invariant lives
+    here, not in the callers."""
+    run_frontier_bench(6_000_000, parallelism=scaling_parallelism(6_000_000))
+    par = scaling_parallelism(n_urls)
     return max(
-        (run_frontier_bench(n_urls, parallelism=SCALING_BLOCKS) for _ in range(2)),
+        (run_frontier_bench(n_urls, parallelism=par) for _ in range(2)),
         key=lambda x: x["urls_per_s"],
     )
 

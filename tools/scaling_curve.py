@@ -7,7 +7,7 @@ shape from the box's memory-bandwidth knee — if Ray/control stays ~1.0 at
 every width while both bend at the same point, the bend is hardware.
 
 Both sides use the same sampling discipline: the Ray leg is
-``run_scaling_leg`` (warm-up + best-of-2 of the fixed ``SCALING_BLOCKS``
+``run_scaling_leg`` (warm-up + best-of-2 of the fixed ``SCALING_CHUNK``
 job — the identical recipe ``bench.py --scaling`` runs), and the control
 leg is best-of-2 as well. Legs are interleaved Ray-then-control per width
 so each ratio is measured back-to-back, not curve-after-curve.
