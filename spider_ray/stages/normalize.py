@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from spider_ray.kernels.hashing import derive, hash64
 from spider_ray.kernels.robots import is_fetchable, robots_level
-from spider_ray.kernels.urlnorm import canonicalize, filter_rules, hosts_of
+from spider_ray.kernels.urlnorm import canonicalize_parts, filter_rules, host_of
 
 MAX_DEPTH = 3  # crawler2/general_crawler/extractor.cc:36 max_url_depth
 POLICY = "general"
@@ -103,11 +103,13 @@ def shard_meta(
         columns=["url", "status_code", "latency_us"],
     )
     urls = t["url"].to_pylist()
-    canon = canonicalize(urls)
+    parts = canonicalize_parts(urls)
+    canon = parts["canon"].to_list()
+    hosts = parts["host"].fill_null("").to_list()
     # a corpus URL that isn't already canonical can never be hit (candidate
     # lookups use canonical keys); shard it by its raw host — harmless
-    keys = [c if c is not None else u for c, u in zip(canon, urls)]
-    hv = hosts_of(keys)
+    hv = [h if c is not None else host_of(u)
+          for c, h, u in zip(canon, hosts, urls)]
     sh = shard_of(hash64(hv), hv, num_shards, hot_hosts)
     status = t["status_code"].to_pylist()
     lat = t["latency_us"].to_pylist()
@@ -132,11 +134,12 @@ def normalize_batch(
     batch's first arrival-sequence number (caller guarantees global
     uniqueness: seq = position in the generation's candidate file)."""
     urls_raw = batch["url"].to_pylist()
-    canon = canonicalize(urls_raw)
+    parts = canonicalize_parts(urls_raw)
+    canon = parts["canon"].to_list()
     keep, reasons = filter_rules(canon, blacklist)
     metrics = {"in": len(urls_raw), "canon_reject": 0, "rule_reject": 0,
                "robots_blocked": 0, "depth_exceeded": 0, "accepted": 0}
-    hostv = hosts_of(canon)
+    hostv = parts["host"].fill_null("").to_list()
     depth = batch["depth"].to_pylist() if "depth" in batch.column_names else [0] * len(urls_raw)
     tried = batch["tried"].to_pylist() if "tried" in batch.column_names else [0] * len(urls_raw)
     prio_in = (
