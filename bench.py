@@ -44,7 +44,7 @@ QUERY_NAMES = [
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"
 BENCH_OUT = "/tmp/spider_ray_bench_crawl"
-FRONTIER_URLS = 2_000_000
+FRONTIER_URLS = 24_000_000
 
 
 def _init_ray(num_cpus: int):
@@ -122,11 +122,19 @@ def _bench_crawl() -> dict:
 
 
 def _bench_frontier() -> dict:
-    from spider_ray.pipelines.frontier_bench import run_frontier_bench
+    # 24M urls at the protocol chunk size (was 2M at 64 blocks): the fused
+    # canonicalizer finishes 2M in <1s, i.e. mostly harness — too short to
+    # measure the engine. frontier_urls_per_s is the comparable number.
+    from spider_ray.pipelines.frontier_bench import (
+        run_frontier_bench,
+        scaling_parallelism,
+    )
 
     best = None
     for _ in range(2):
-        r = run_frontier_bench(FRONTIER_URLS, parallelism=NUM_CPUS * 2)
+        r = run_frontier_bench(
+            FRONTIER_URLS, parallelism=scaling_parallelism(FRONTIER_URLS)
+        )
         best = r if best is None or r["wall_s"] < best["wall_s"] else best
     return {
         "frontier_urls": best["n_urls"],
