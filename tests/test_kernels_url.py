@@ -111,3 +111,47 @@ def test_max_url_len_boundary():
     pad = MAX_URL_LEN - len(base)
     assert canonicalize_one(base + "a" * pad) is not None
     assert canonicalize_one(base + "a" * (pad + 1)) is None
+
+
+def test_nondigit_port_rejected_in_vector_path():
+    """Regression: the pre-2026-08-18 multi-extract fast path used an
+    UNANCHORED port regex, so 'http://hh:80x/' parsed as port 80 and was
+    accepted where the scalar kernel rejects it. The fused anchored regex
+    must route these to the slow path (→ None)."""
+    from spider_ray.kernels.urlnorm import canonicalize_vector
+
+    cases = ["http://hh:80x/", "https://hh:443abc/p", "http://hh:080/",
+             "http://hh:80/p", "https://hh:443/p", "http://hh:65536/"]
+    assert canonicalize_vector(cases) == [canonicalize_one(c) for c in cases]
+    assert canonicalize_vector(["http://hh:80x/"]) == [None]
+
+
+def test_canonicalize_parts_columns_consistent_with_canon():
+    """canonicalize_parts' host/path/query columns must be exactly what
+    re-parsing its own canon column yields — downstream stages (frontier
+    filter, host sharding) rely on the parts instead of re-extracting."""
+    import re
+
+    from spider_ray.kernels.urlnorm import canonicalize_parts
+
+    corpus = [
+        "HTTP://Host5.example.com/p/5:80/x", "http://hh:80x/",
+        "http://h.io/p?b=2&a=1#f", "http://h.io#frag?x", "ftp://x.com/",
+        "http://h.io/%7Euser?x=%7e", "e.com/q?z=1&y=2", None,
+        "http://h.io:8080/P/%7Ex?b=2&a=1#f", "http://h.io/p?a&&b",
+        "  http://E.com/x  ", "http://user@e.com/x", "http://h..y.com/",
+        "http://münchen.de/straße", "http://h.io/a/./b/../c?q=%20",
+    ]
+    parts = canonicalize_parts(corpus)
+    pat = re.compile(
+        r"^([a-z]+)://([^/?#:@]+)(?::(\d+))?(/[^?#]*)(?:\?(.*))?$"
+    )
+    for canon, host, path, query in parts.rows():
+        if canon is None:
+            assert host is None and path is None and query is None
+            continue
+        m = pat.match(canon)
+        assert m is not None, canon
+        assert host == m.group(2)
+        assert path == m.group(4)
+        assert query == m.group(5)
