@@ -41,16 +41,16 @@ def _derive_urls(batch: dict) -> pa.Table:
         host_id=pl.when(pl.col("id") % 4 == 0)
         .then(0)  # hot host: ~25% of rows (skew)
         .otherwise(pl.col("id") % _HOST_POOL),
-        dirty=(pl.col("id") % len(_DIRTY)).cast(pl.Int32),
+        # index into the 5-element literal Series beats casting the index
+        # to Utf8 + dict replace (17.7 -> 12.3 ms per 93.75k rows)
+        dirty=pl.lit(pl.Series(_DIRTY)).gather(pl.col("id") % len(_DIRTY)),
     )
     df = df.with_columns(
         url=pl.format(
             "HTTP://host{}.example.com/p/{}{}",
             pl.col("host_id"),
             pl.col("id"),
-            pl.col("dirty").cast(pl.Utf8).replace_strict(
-                {str(i): d for i, d in enumerate(_DIRTY)}, default=""
-            ),
+            pl.col("dirty"),
         )
     )
     return df.select("url").to_arrow()
