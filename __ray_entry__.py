@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": R.q_rollup,
         "stratified_sample": R.q_stratified_sample,
         "quantiles": R.q_quantiles,
+        "url_parts": U.q_url_parts,
     }
     return q
 
@@ -628,6 +629,40 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS median_value,
                    quantile_disc(value, 0.95) AS p95_value
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "url_parts": """
+            -- six dirty-URL classes with closed-form canonical parts;
+            -- class 2 (non-digit port) must reject to all-NULL - the
+            -- 2026-08-18 anchored-regex regression class
+            SELECT doc_id,
+              CASE doc_id % 6
+                WHEN 0 THEN 'http://' || lower(source) || '.example.com/docs/'
+                            || doc_id || '?a=1&b=2'
+                WHEN 1 THEN 'https://' || lower(source) || '.example.com/~user/'
+                            || doc_id
+                WHEN 2 THEN NULL
+                WHEN 3 THEN 'http://' || lower(source) || '.example.com/p/'
+                            || doc_id
+                WHEN 4 THEN 'http://' || lower(source) || '.example.com/a/'
+                            || doc_id || '?one=1'
+                ELSE 'http://' || lower(source) || '.example.com/' || doc_id
+              END AS url,
+              CASE WHEN doc_id % 6 = 2 THEN NULL
+                   ELSE lower(source) || '.example.com' END AS host,
+              CASE doc_id % 6
+                WHEN 0 THEN '/docs/' || doc_id
+                WHEN 1 THEN '/~user/' || doc_id
+                WHEN 2 THEN NULL
+                WHEN 3 THEN '/p/' || doc_id
+                WHEN 4 THEN '/a/' || doc_id
+                ELSE '/' || doc_id
+              END AS path,
+              CASE doc_id % 6
+                WHEN 0 THEN 'a=1&b=2'
+                WHEN 4 THEN 'one=1'
+                ELSE NULL
+              END AS "query"
+            FROM documents ORDER BY doc_id
         """,
         "sessionize": """
             WITH gaps AS (

@@ -8,7 +8,7 @@ import pyarrow as pa
 
 from spider_ray.kernels.hashing import derive, hash64, mix64_int
 from spider_ray.kernels.hosts import split_host
-from spider_ray.kernels.urlnorm import canonicalize_vector
+from spider_ray.kernels.urlnorm import canonicalize_parts, canonicalize_vector
 from spider_ray.pipelines.relational import _concat, _sorted
 from spider_ray.sources.tables import read_table
 
@@ -31,6 +31,47 @@ def q_url_canonicalize(sf_dir: str) -> pa.Table:
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "url": pa.array(canon, pa.string()),
+            }
+        )
+
+    return _sorted(_concat(ds.map_batches(build, batch_format="pyarrow")), "doc_id")
+
+
+def q_url_parts(sf_dir: str) -> pa.Table:
+    """M1/M6 component extraction over a 6-class dirty-URL family (one
+    class per ``doc_id % 6``): canonicalize_parts returns canon + host +
+    path + query in one fused pass, and every class has a closed-form
+    expected value the DuckDB oracle reconstructs — including class 2
+    (non-digit port), the parity-bug regression class the 2026-08-18
+    anchored-regex rewrite fixed: canon/host/path/query all NULL."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        raw = []
+        for i, s in zip(ids, srcs):
+            k = i % 6
+            if k == 0:
+                raw.append(f"HTTP://{s.upper()}.EXAMPLE.COM:80/docs/{i}?b=2&a=1#f")
+            elif k == 1:
+                raw.append(f"https://{s}.example.com:443/%7Euser/{i}")
+            elif k == 2:
+                raw.append(f"http://{s}.example.com:80x/{i}")  # reject: bad port
+            elif k == 3:
+                raw.append(f"{s}.example.com/p/{i}")  # schemeless
+            elif k == 4:
+                raw.append(f"http://{s}.example.com/a/./b/../{i}?one=1")
+            else:
+                raw.append(f"  http://{s}.example.com/{i}#frag ")
+        parts = canonicalize_parts(raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(parts["canon"].to_list(), pa.string()),
+                "host": pa.array(parts["host"].to_list(), pa.string()),
+                "path": pa.array(parts["path"].to_list(), pa.string()),
+                "query": pa.array(parts["query"].to_list(), pa.string()),
             }
         )
 
