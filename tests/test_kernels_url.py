@@ -91,7 +91,7 @@ def test_vectorized_equals_scalar():
     schemes = ["http://", "HTTP://", "https://", "", "ftp://", "javascript:"]
     hosts = ["Example.COM", "a.b.c.org", "münchen.de", ".bad.com", "h-x.io",
              "x..y.com", "host9.example.com"]
-    ports = ["", ":80", ":443", ":8080", ":99999"]
+    ports = ["", ":80", ":443", ":8080", ":99999", ":80x", ":0x50", ":"]
     paths = ["", "/", "/p/1", "/a/./b", "/a/../b", "/%7Euser", "/a b",
              "/deep/" + "x/" * 12, "/p%2Fq", "/UPPER"]
     queries = ["", "?b=2&a=1", "?a=1", "?x=%20", "?" + "q" * 1100, "?a&&b"]
