@@ -124,6 +124,14 @@ def run_frontier_bench(
     from spider_ray.compat import tighten_scheduler_cadence
 
     tighten_scheduler_cadence()
+    # single-op pipeline: operator resource reservation exists to split the
+    # cluster among concurrent ops; for this one-op job it only adds
+    # per-dispatch accounting (+2.4% at 32 cpus when disabled, neutral at
+    # 8 — interleaved best-of-3, 2026-08-18). Scoped save/restore so query
+    # pipelines (multi-op, backpressure-fair) keep the default.
+    ctx = ray.data.DataContext.get_current()
+    prev_reservation = ctx.op_resource_reservation_enabled
+    ctx.op_resource_reservation_enabled = False
     t0 = time.time()
     ds = ray.data.range(n_urls, override_num_blocks=parallelism)
     # whole-block batches (batch_size=None): one UDF call per block, the
@@ -142,9 +150,12 @@ def run_frontier_bench(
     # negligible on a long job, but it hits the fast (many-cpu) scaling leg
     # ~3x harder than the slow one and was worth ~35% of 32-cpu throughput
     # (2.7 -> 3.7 M urls/s at 128 blocks, measured 2026-08-17)
-    parts = pa.concat_tables(
-        ds.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
+    try:
+        parts = pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    finally:
+        ctx.op_resource_reservation_enabled = prev_reservation
     totals = (
         pl.from_arrow(parts).group_by("shard").agg(pl.col("n").sum()).sort("shard")
     )
