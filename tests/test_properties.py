@@ -51,6 +51,27 @@ def test_canonicalize_vector_matches_scalar(batch):
     assert canonicalize(batch) == [canonicalize_one(u) for u in batch]
 
 
+@given(st.lists(urls(), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_polars_fast_path_matches_scalar(batch):
+    # canonicalize() above is the scalar list wrapper; THIS drives the
+    # polars fused-extract fast path (canonicalize_parts) over the same
+    # structured strategy
+    from spider_ray.kernels.urlnorm import canonicalize_vector
+
+    assert canonicalize_vector(batch) == [canonicalize_one(u) for u in batch]
+
+
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_canonicalize_vector_survives_arbitrary_text(batch):
+    # wild-unicode fuzz: whatever the bytes, the vector path must neither
+    # raise nor diverge from the scalar kernel
+    from spider_ray.kernels.urlnorm import canonicalize_vector
+
+    assert canonicalize_vector(batch) == [canonicalize_one(u) for u in batch]
+
+
 # --- hashing ---------------------------------------------------------------
 
 
