@@ -50,6 +50,14 @@ FRONTIER_URLS = 24_000_000
 def _init_ray(num_cpus: int):
     import ray
 
+    # Each map_batches task gets 1 CPU, but polars' default per-process
+    # thread pool is one thread per CORE — 32 concurrent workers x 32
+    # threads oversubscribes the node 32x and costs ~20-25% end to end
+    # (interleaved A/B 2026-08-18: frontier 10.0 -> 12.7 M urls/s, crawl
+    # 588 -> 721 pages/s, headline 21.9/23.7 -> 18.3 s). Must be in the
+    # environment BEFORE ray.init so the raylet's workers inherit it; on
+    # a multi-node cluster pass it via runtime_env env_vars instead.
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     ray.init(
         address="local",
         num_cpus=num_cpus,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -76,6 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
+        # 1 polars thread per 1-CPU worker (see bench._init_ray); must be
+        # set before ray.init so workers inherit it from the raylet
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus

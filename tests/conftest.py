@@ -11,6 +11,10 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
+        # match the bench/CLI resource model: 1 polars thread per worker
+        # (each task holds 1 CPU); must precede ray.init so workers
+        # inherit it from the raylet
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
         ray.init(
             address="local",
             num_cpus=4,

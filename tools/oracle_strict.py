@@ -45,6 +45,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     if not ray.is_initialized():
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")  # 1 thread/worker
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  log_to_driver=False)
     import __ray_entry__ as E

@@ -26,6 +26,7 @@ def main() -> int:
     args = sys.argv[1:]
     sf = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
     if not ray.is_initialized():
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")  # 1 thread/worker
         ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                  include_dashboard=False, logging_level="ERROR")
     from spider_ray.compat import tighten_scheduler_cadence
