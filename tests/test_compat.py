@@ -48,3 +48,24 @@ def test_shim_rewrites_only_the_loop_call_shape(ray_session):
     ready, rest = ses.ray.wait(refs, num_returns=3, timeout=30.0)
     assert len(ready) == 3 and rest == []
     assert real_ray.get(ready) == [1, 1, 1]
+
+
+def test_workers_inherit_single_polars_thread(ray_session):
+    """The session entry points export POLARS_MAX_THREADS=1 BEFORE
+    ray.init (workers inherit the raylet's env): 32 concurrent 1-CPU map
+    tasks each running polars' default one-thread-per-core pool cost
+    ~20-25% end to end (BASELINE.md §11). Ray caps arrow (pa.cpu_count)
+    and OMP itself; polars reads only its own env var — this pins the
+    one pool Ray does not manage."""
+    import pyarrow as pa
+    import ray
+
+    def probe(batch):
+        import polars as pl
+
+        return pa.table({"tp": [pl.thread_pool_size()]})
+
+    ds = ray.data.range(2, override_num_blocks=2).map_batches(
+        probe, batch_format="numpy", batch_size=None
+    )
+    assert {r["tp"] for r in ds.take_all()} == {1}
