@@ -785,7 +785,7 @@ def q_embedding_neardup(
         # worker and crash any driver whose cwd isn't the repo (the
         # worker-serialization rule; reproduced from a bare-/tmp driver)
         bids = _ids64(batch["vec_id"])
-        B = _vec_matrix(batch["embedding"])
+        B = _vec_matrix(batch["embedding"], dim=gM.shape[1])
         Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         C = Bn @ gM.T  # (batch, all)
         ai, bj = np.nonzero(C >= COSINE_TAU)
@@ -863,13 +863,22 @@ def q_corpus_curate(sf_dir: str) -> pa.Table:
     that computes the vectorized quality columns. Fully SQL-oracle-checked
     (recursive-CTE components + the same quality expressions)."""
     clusters = q_dup_clusters(sf_dir)
-    drop = {
-        d
-        for d, r in zip(
-            clusters["doc_id"].to_pylist(), clusters["cluster_rep"].to_pylist()
-        )
-        if d != r
-    }
+    # build the is_in operand ONCE driver-side (sorted polars Series) and
+    # broadcast it — rebuilding sorted(set) inside every map_batches call
+    # costs O(D log D) per BLOCK at corpus scale for a value that never
+    # changes between batches
+    drop = pl.Series(
+        "drop",
+        sorted(
+            d
+            for d, r in zip(
+                clusters["doc_id"].to_pylist(),
+                clusters["cluster_rep"].to_pylist(),
+            )
+            if d != r
+        ),
+        dtype=pl.Int64,  # doc_id dtype even when the drop set is empty
+    )
     drop_ref = ray.put(drop)
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -888,7 +897,7 @@ def q_corpus_curate(sf_dir: str) -> pa.Table:
             .with_columns(punct_ratio=pl.col("n_punct") / pl.col("n_chars"))
         )
         out = lf.filter(
-            ~pl.col("doc_id").is_in(sorted(dropped))
+            ~pl.col("doc_id").is_in(dropped)
             & (pl.col("n_tokens") >= 30)
             & (pl.col("punct_ratio") <= 0.05)
         ).select("doc_id", "n_tokens", "punct_ratio")

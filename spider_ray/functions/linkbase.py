@@ -38,9 +38,21 @@ SCHEMA = pa.schema(
 )
 
 
+# Keep-latest total order: (timestamp desc, score desc) is the reference
+# semantics; the (update_fail_cnt asc, url asc) tail breaks exact ties
+# DETERMINISTICALLY (lowest fail count wins, then lexical url). Without it
+# a stable sort resolves ties by arrival order — i.e. by Ray's
+# nondeterministic union/shuffle block order — and the survivor's
+# update_fail_cnt (hence whether +R commands kill it) differs run to run.
+# The same order is used by the map-side partial and the reducer so the
+# winner is also independent of block splits.
+_KEEP_LATEST_KEYS = ["timestamp", "score", "update_fail_cnt", "url"]
+_KEEP_LATEST_DESC = [True, True, False, False]
+
+
 def _merge_group(df: pl.DataFrame) -> pl.DataFrame:
     recs = df.filter(pl.col("cmd") == "").sort(
-        ["timestamp", "score"], descending=[True, True]
+        _KEEP_LATEST_KEYS, descending=_KEEP_LATEST_DESC
     )
     if recs.height == 0:
         return recs.head(0)
@@ -72,7 +84,7 @@ def linkbase_merge(
         df = pl.from_arrow(batch)
         recs = (
             df.filter(pl.col("cmd") == "")
-            .sort(["timestamp", "score"], descending=[True, True])
+            .sort(_KEEP_LATEST_KEYS, descending=_KEEP_LATEST_DESC)
             .group_by("url_hash", maintain_order=True)
             .first()
         )

@@ -45,9 +45,11 @@ def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     sums = np.zeros((out_h, out_w, ch))
     cnts = np.zeros((out_h, out_w, 1))
     idx = (yi[:, None] * out_w + xi[None, :]).ravel()
-    for c in range(ch):
-        np.add.at(sums[:, :, c].ravel(), idx, src[:, :, c].ravel())
-    np.add.at(cnts.ravel(), idx, 1.0)
+    # scatter-add into a reshape VIEW of the contiguous buffer — a
+    # per-channel `sums[:, :, c].ravel()` makes a copy for ch>1 and the
+    # adds are lost (all-black thumbnails for RGB input)
+    np.add.at(sums.reshape(out_h * out_w, ch), idx, src.reshape(h * w, ch))
+    np.add.at(cnts.reshape(out_h * out_w, 1), idx, 1.0)
     out = (sums / np.maximum(cnts, 1.0)).round().clip(0, 255).astype(np.uint8)
     return out[:, :, 0] if img.ndim == 2 else out
 

@@ -69,15 +69,21 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
-def _vec_matrix(col) -> np.ndarray:
+def _vec_matrix(col, dim: int = 0) -> np.ndarray:
     """``list<float>`` column → (n, dim) float64 matrix without the
     Python-object round-trip ``to_pylist`` pays (millions of boxed floats
     per batch): one flatten of the child values + reshape. Embeddings are
-    fixed-dim; a ragged or null row would break the reshape — asserted."""
+    fixed-dim; a ragged or null row would break the reshape — asserted.
+
+    ``dim`` is only used for the empty-column case: an empty Arrow block
+    (empty row group, over-split dataset) carries no width, and a (0, 0)
+    return crashes every downstream ``@`` against a (dim, k) operand —
+    batch functions pass the dim they know from their broadcast state so
+    empty blocks flow through as empty results instead."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     if n == 0:
-        return np.empty((0, 0), dtype=np.float64)
+        return np.empty((0, dim), dtype=np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
         np.float64, copy=False
     )
@@ -179,17 +185,29 @@ def q_knn_bruteforce(sf_dir: str) -> pa.Table:
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         bq_ids, bQ = ray.get(q_ref)
+        if batch.num_rows == 0:  # empty block: (0,0) matrix would crash matmul
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         ids = _ids64(batch["vec_id"])
         M = _normalize(_vec_matrix(batch["embedding"]))
-        C = bQ @ M.T  # (nq, batch)
-        k = min(TOP_K, C.shape[1])
-        # per-query partial top-k within this batch
-        idx = np.argpartition(-C, kth=k - 1, axis=1)[:, :k]
+        # round BEFORE the per-batch cut and break ties by vec_id asc —
+        # the frozen (rounded-cosine desc, vec_id asc) order _local_topk /
+        # _topk_merge use. Cutting on raw cosines can drop a row that ties
+        # at 6 dp with the kept one but has the smaller vec_id, making the
+        # result diverge from the oracle depending on block splits.
+        C6 = np.round(bQ @ M.T, 6)  # (nq, batch)
+        k = min(TOP_K, C6.shape[1])
         rows_q, rows_v, rows_c = [], [], []
-        for qi in range(C.shape[0]):
+        for qi in range(C6.shape[0]):
+            idx = np.lexsort((ids, -C6[qi]))[:k]
             rows_q.extend([bq_ids[qi]] * k)
-            rows_v.extend(ids[idx[qi]].tolist())
-            rows_c.extend(C[qi, idx[qi]].tolist())
+            rows_v.extend(ids[idx].tolist())
+            rows_c.extend(C6[qi, idx].tolist())
         return pa.table(
             {
                 "query_id": pa.array(rows_q, pa.int64()),
@@ -199,14 +217,6 @@ def q_knn_bruteforce(sf_dir: str) -> pa.Table:
         )
 
     cands = _concat(ds.map_batches(batch_topk, batch_format="pyarrow"))
-    # cosines rounded to 6 dp BEFORE ranking so the result is bit-identical
-    # to the DuckDB oracle (different float summation orders otherwise
-    # differ in the last ulp); merge order is the shared frozen one
-    import polars as pl
-
-    cands = pl.from_arrow(cands).with_columns(
-        cosine=pl.col("cosine").round(6)
-    ).to_arrow()
     return _topk_merge(cands)
 
 
@@ -307,7 +317,7 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     def batch_probe(batch: pa.Table) -> pa.Table:
         bq_ids, bQ, bS, bN, bprobe = ray.get(state_ref)
         vids = _ids64(batch["vec_id"])
-        Vraw = _vec_matrix(batch["embedding"])
+        Vraw = _vec_matrix(batch["embedding"], dim=bQ.shape[1])
         V = _normalize(Vraw)
         assign = _ivf_dist(_quantize_ivf(Vraw), bS, bN).argmin(1)
         return _local_topk(
@@ -368,7 +378,7 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     def batch_probe(batch: pa.Table) -> pa.Table:
         bq_ids, bQ, bS, bprobes = ray.get(state_ref)
         vids = _ids64(batch["vec_id"])
-        Vraw = _vec_matrix(batch["embedding"])
+        Vraw = _vec_matrix(batch["embedding"], dim=bQ.shape[1])
         V = _normalize(Vraw)
         Vq = _quantize(Vraw)
         codes = ((Vq @ bS) > 0) @ (1 << np.arange(bS.shape[1]))
@@ -462,9 +472,9 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
     def code_rows(batch: pa.Table) -> pa.Table:
         bS = ray.get(s_ref)
         ids = _ids64(batch["vec_id"])
-        V = _vec_matrix(batch["embedding"])  # raw values: sign(Σ s·x) is
-        # normalization-invariant, and quantizing the RAW float32 values is
-        # what the SQL oracle replays
+        # raw values: sign(Σ s·x) is normalization-invariant, and
+        # quantizing the RAW float32 values is what the SQL oracle replays
+        V = _vec_matrix(batch["embedding"], dim=bS.shape[1])
         Q = _quantize(V)
         out_ids, out_buckets = [], []
         for t in range(bS.shape[0]):

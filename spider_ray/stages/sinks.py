@@ -39,17 +39,31 @@ def write_time_partitioned(
         return df.to_arrow()
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
-    existing = {
-        d.split("=", 1)[1]
-        for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
-        if d.startswith("_part=")
-        and os.path.exists(os.path.join(out_dir, d, "_DONE"))
-    }
-    # prune already-done partitions at the stream (resume path)
+    existing = set()
+    for d in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
+        if not d.startswith("_part="):
+            continue
+        if os.path.exists(os.path.join(out_dir, d, "_DONE")):
+            existing.add(d.split("=", 1)[1])
+        else:
+            # markerless partition = a crashed attempt's partial files; the
+            # retry owns the whole partition (same contract as crawl.py's
+            # partial-gen wipe) — re-writing WITHOUT the wipe would append
+            # new uniquely-named files next to the stale ones and then
+            # stamp the duplicated partition _DONE
+            import shutil
+
+            shutil.rmtree(os.path.join(out_dir, d))
+    # prune already-done partitions at the stream (resume path) —
+    # vectorized batch filter, not a per-row Python predicate
     if existing:
-        tagged = tagged.filter(
-            lambda row: row["_part"] not in existing
-        )
+        keep = pl.Series("_done", sorted(existing))
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch)
+            return df.filter(~pl.col("_part").is_in(keep)).to_arrow()
+
+        tagged = tagged.map_batches(drop_done, batch_format="pyarrow")
     os.makedirs(out_dir, exist_ok=True)
     tagged.write_parquet(out_dir, partition_cols=["_part"])
     written = []

@@ -256,9 +256,21 @@ class ShardScheduler:
             elif ret > 0:
                 heapq.heappush(events, (ret, 1, p, g, s, host))
             elif ret == -1:
-                # connection budget (host or shard) full → sleep until the
-                # next completion wakes all blocked hosts
-                blocked_conn.add(host)
+                # connection budget (host or shard) full. A host whose
+                # config row pins max_connections to 0 can NEVER pass this
+                # gate — parking it in blocked_conn would re-wake/re-block
+                # it on every completion and then silently abandon its
+                # queue at wave end with no accounting. Treat it like the
+                # dead-key path: drop with the same metric.
+                if self.lc._find_record(host, t).max_connections <= 0:
+                    dropped = len(q)
+                    q.clear()
+                    self._last_dropped = (
+                        getattr(self, "_last_dropped", 0) + dropped
+                    )
+                else:
+                    # sleep until the next completion wakes blocked hosts
+                    blocked_conn.add(host)
             else:  # -2 dead key: drop all queued URLs for this host
                 dropped = len(q)
                 q.clear()

@@ -74,6 +74,26 @@ def test_image_feature_stage(ray_session):
     assert th.shape[:2] == (8, 8)
 
 
+def test_resize_area_preserves_values_multichannel():
+    """Regression: the per-channel scatter-add used to write into a ravel()
+    COPY of the non-contiguous channel slice, silently producing all-black
+    thumbnails for every RGB image (grayscale was unaffected)."""
+    from spider_ray.functions.multimodal import resize_area
+
+    rgb = np.full((16, 20, 3), (10, 128, 250), np.uint8)
+    out = resize_area(rgb, 8, 8)
+    assert out.shape == (8, 8, 3)
+    assert (out == np.array((10, 128, 250), np.uint8)).all()
+    gray = np.full((16, 20), 77, np.uint8)
+    og = resize_area(gray, 8, 8)
+    assert og.shape == (8, 8) and (og == 77).all()
+    # mean is preserved for a non-constant image (area-mean semantics)
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    o = resize_area(img, 8, 8)
+    assert abs(float(o.mean()) - float(img.mean())) < 4.0
+
+
 def test_audio_stage_fake_and_stub(ray_session):
     import ray
 

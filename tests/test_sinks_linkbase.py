@@ -80,6 +80,43 @@ def test_time_split_sink(ray_session, sf_small, tmp_path):
     assert files_before == files_after
 
 
+def test_time_split_sink_crashed_partition_rewrite(ray_session, sf_small,
+                                                   tmp_path):
+    """A markerless (crashed mid-write) partition is wiped and re-written on
+    resume — NOT appended to — so the resumed output has no duplicate rows."""
+    import glob
+
+    import duckdb
+    import ray
+
+    from spider_ray.stages.sinks import write_time_partitioned
+
+    out = str(tmp_path / "events_sink")
+    ds = ray.data.read_parquet(f"{sf_small}/events.parquet")
+    n_rows = ds.count()
+    write_time_partitioned(ds, "ts", out, freq="1d")
+    part_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("_part=")
+    )
+    assert len(part_dirs) >= 2
+    # simulate a crash: one partition lost its marker after a partial write
+    victim = os.path.join(out, part_dirs[0])
+    os.remove(os.path.join(victim, "_DONE"))
+    stale = sorted(glob.glob(os.path.join(victim, "*.parquet")))
+    assert stale  # the partial files a crashed attempt left behind
+    # resume
+    write_time_partitioned(ds, "ts", out, freq="1d")
+    assert os.path.exists(os.path.join(victim, "_DONE"))
+    total = duckdb.sql(
+        f"select count(*) from read_parquet('{out}/*/*.parquet')"
+    ).fetchone()[0]
+    assert total == n_rows  # no duplicated partition rows
+    # the stale partial files are gone (victim dir was wiped, not appended)
+    assert not set(stale) & set(
+        glob.glob(os.path.join(victim, "*.parquet"))
+    )
+
+
 def test_linkbase_merge(ray_session):
     import ray
 
@@ -123,6 +160,37 @@ def test_linkbase_merge(ray_session):
     assert set(rows) == {"http://a.com/1", "http://a.com/4", "http://a.com/5"}
     assert rows["http://a.com/1"]["timestamp"] == 200
     assert rows["http://a.com/4"]["update_fail_cnt"] == 1
+
+
+def test_linkbase_merge_tie_deterministic(ray_session):
+    """Records tying on (timestamp, score) resolve by the frozen
+    (update_fail_cnt asc, url asc) tail — NOT by arrival/block order — so
+    the survivor (and whether pending R commands kill it) is identical
+    whichever side of the union the tied record arrives on."""
+    import ray
+
+    from spider_ray.functions.linkbase import SCHEMA, linkbase_merge
+
+    a = {"url": "http://t.com/x", "timestamp": 100, "score": 1.0,
+         "cmd": "", "update_fail_cnt": 0}
+    b = {"url": "http://t.com/x", "timestamp": 100, "score": 1.0,
+         "cmd": "", "update_fail_cnt": 2}
+    r = {"url": "http://t.com/x", "timestamp": 0, "score": 0.0,
+         "cmd": "R", "update_fail_cnt": 0}
+
+    def run(old_rows, delta_rows):
+        out = linkbase_merge(
+            ray.data.from_arrow(pa.Table.from_pylist(old_rows, schema=SCHEMA)),
+            ray.data.from_arrow(pa.Table.from_pylist(delta_rows, schema=SCHEMA)),
+        )
+        return sorted(out.take_all(), key=lambda x: x["url"])
+
+    # both arrival orders pick the update_fail_cnt=0 twin → +1 R = 1 < 3,
+    # record survives in BOTH runs with identical fields
+    r1 = run([a], [b, r])
+    r2 = run([b], [a, r])
+    assert r1 == r2
+    assert len(r1) == 1 and r1[0]["update_fail_cnt"] == 1
 
 
 def test_dns_attach_deterministic(ray_session):

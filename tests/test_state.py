@@ -118,6 +118,41 @@ def test_state_roundtrip():
     assert lc2.check_fetch("a", 6) == lc.check_fetch("a", 6)
 
 
+def test_zero_connection_host_dropped_with_accounting():
+    """A host whose config row pins max_connections=0 can never pass the
+    connection gate. The wave must terminate, drop its queue, and count the
+    loss in the dead-key drop metric — not abandon it silently."""
+    from spider_ray.kernels.hashing import hash64 as h64
+    from spider_ray.state.scheduler import ShardScheduler
+
+    sched = ShardScheduler(
+        0, 1, load_rows=[("banned.example.com", 0, 1.0, "")], options=None
+    )
+    tasks = []
+    for i, host in enumerate(["banned.example.com", "ok.example.com"]):
+        for j in range(3):
+            url = f"http://{host}/p{j}"
+            tasks.append(
+                {
+                    "url": url,
+                    "url_hash": int(h64([url])[0]),
+                    "host": host,
+                    "priority": 1,
+                    "gen": 0,
+                    "seq": i * 3 + j,
+                    "depth": 0,
+                    "tried": 0,
+                    "referer": "",
+                }
+            )
+    meta = {t["url"]: (200, 50_000) for t in tasks}
+    permits = sched.run_wave(tasks, wave_start=0, meta=meta)
+    hosts = {p.host for p in permits}
+    assert hosts == {"ok.example.com"}
+    assert len(permits) == 3
+    assert getattr(sched, "_last_dropped", 0) == 3
+
+
 # --- CuckooFilter ---------------------------------------------------------------
 
 

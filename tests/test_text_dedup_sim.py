@@ -362,6 +362,26 @@ def test_embedding_neardup_exact_guarded(ray_session, sf_small, monkeypatch):
     assert out.num_rows >= 0  # override runs to completion
 
 
+def test_vec_matrix_empty_block_keeps_dim():
+    """An empty Arrow block must flow through the ANN/near-dup batch fns as
+    an empty (0, dim) matrix — a (0, 0) return crashes every downstream
+    matmul against a (dim, k) operand (empty row group / over-split read)."""
+    import pyarrow as pa
+
+    from spider_ray.functions.similarity import _vec_matrix
+
+    empty = pa.chunked_array([], type=pa.list_(pa.float32()))
+    M = _vec_matrix(empty, dim=64)
+    assert M.shape == (0, 64)
+    # downstream shapes survive: matmul, normalize, nonzero
+    Q = np.ones((5, 64))
+    C = Q @ M.T
+    assert C.shape == (5, 0) and np.nonzero(C >= 0.5)[0].size == 0
+    # non-empty path ignores dim
+    col = pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32()))
+    assert _vec_matrix(col, dim=64).shape == (2, 2)
+
+
 def test_simhash_batch_matches_scalar():
     """simhash_batch must be bit-identical to per-doc simhash, including
     empty docs interleaved between non-empty ones."""
