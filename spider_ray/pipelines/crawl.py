@@ -164,6 +164,11 @@ class ShardActor:
         out["fp_audit"] = self.sched.fp_audit
         out["seen_size"] = self.sched.seen.size
         out["clock"] = self.sched.clock
+        # cumulative cuckoo insert failures (filter saturation) — nonzero
+        # means seen_capacity is undersized and exactly-once is degraded
+        out["cuckoo_add_failures"] = (
+            self.sched.seen_add_failures + self.sched.image_add_failures
+        )
         return out
 
     def admit_images(self, hashes: list[int]) -> list[bool]:
@@ -572,25 +577,48 @@ def run_crawl(
                 f"({sorted(stale)[:3]}…); pass resume=True to continue "
                 "that run, or point a fresh run at an empty directory"
             )
+        # NOTE: a pre-existing control.json is deliberately honored by a
+        # fresh run — it is a live control channel (T8 zk-watch analog),
+        # and pre-seeding directives (pause, stop_after_gen,
+        # fetch_concurrency) before launch is part of its contract
+        # (test_dynamic_control_stop_and_resume does exactly that)
     # pin the run's sharding topology: shard assignment (num_shards,
     # hot_hosts) and seen-set sizing are part of the checkpointed state —
     # a resume under a DIFFERENT topology would silently re-route hosts
     # away from the actors holding their politeness/seen state
     cfg_path = os.path.join(out_dir, "run_config.json")
+    # hash-provider canary: checkpoints persist hash64 outputs (cuckoo
+    # fingerprints, exact_seen keys, url_hash), but the polars xxhash
+    # kernel only guarantees determinism within one environment. A resume
+    # under a polars build that hashes differently would silently miss
+    # every restored seen key and re-fetch the whole history — reject it
+    # loudly instead by pinning a canary hash at run start.
+    canary = int(hash64(["spider-ray-hash-canary-v1"])[0])
     cfg = {
         "num_shards": num_shards,
         "hot_hosts": list(hot_hosts),
         "seen_capacity": seen_capacity,
+        "hash_canary": canary,
     }
     if resume and os.path.exists(cfg_path):
         with open(cfg_path) as f:
             stored = json.load(f)
-        if stored != cfg:
+        if stored.get("hash_canary", canary) != canary:
             raise ValueError(
-                f"resume topology mismatch: run was started with {stored}, "
-                f"resume requested {cfg}; pass identical num_shards / "
-                "hot_hosts / seen_capacity (they shard the checkpointed "
-                "scheduler state)"
+                "resume hash-provider mismatch: the checkpointed run's "
+                f"hash64 canary {stored['hash_canary']} != this "
+                f"environment's {canary} (different polars build?); the "
+                "persisted seen-set/url_hash values are not comparable — "
+                "resume on the original environment or restart the crawl"
+            )
+        topo = {k: v for k, v in cfg.items() if k != "hash_canary"}
+        stored_topo = {k: v for k, v in stored.items() if k != "hash_canary"}
+        if stored_topo != topo:
+            raise ValueError(
+                f"resume topology mismatch: run was started with "
+                f"{stored_topo}, resume requested {topo}; pass identical "
+                "num_shards / hot_hosts / seen_capacity (they shard the "
+                "checkpointed scheduler state)"
             )
     else:
         with open(cfg_path, "w") as f:
@@ -615,349 +643,370 @@ def run_crawl(
         FetchActorCls.remote(corpus_dir) for _ in range(fetch_concurrency)
     ]
 
-    def _as_blocks(t: pa.Table) -> tuple[list, int]:
-        """Chunk a candidate table into object-store block refs — from here
-        on the wave flows by refs."""
-        return [ray.put(ch) for ch in _chunks(t, 4096)], t.num_rows
+    # everything from here on runs against live actors; ANY exit path —
+    # success, mid-wave actor death, a driver exception — must tear the
+    # fleet down, or each failed attempt leaks num_shards + fetch_pool
+    # actors (each holding O(seen) / WebIndex state) into the session
+    try:
+        def _as_blocks(t: pa.Table) -> tuple[list, int]:
+            """Chunk a candidate table into object-store block refs — from here
+            on the wave flows by refs."""
+            return [ray.put(ch) for ch in _chunks(t, 4096)], t.num_rows
 
-    start_gen = 0
-    cand_blocks, cand_count = _as_blocks(_with_seq(_seeds_candidates(c["seeds"])))
-    wave_start = 0
-    if resume:
-        done_gens = sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(out_dir)
-            if d.startswith("gen=")
-            and os.path.exists(os.path.join(out_dir, d, "_DONE"))
-        )
-        if done_gens:
-            g = done_gens[-1]
-            ck = os.path.join(out_dir, f"gen={g}", "ckpt")
-            for s, a in enumerate(actors):
-                with open(os.path.join(ck, f"shard_{s}.pkl"), "rb") as f:
-                    ray.get(a.load_state.remote(f.read()))
-            cand_blocks, cand_count = _as_blocks(
-                read_sink(os.path.join(out_dir, f"gen={g}"), "next_candidates")
+        start_gen = 0
+        cand_blocks, cand_count = _as_blocks(_with_seq(_seeds_candidates(c["seeds"])))
+        wave_start = 0
+        if resume:
+            done_gens = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out_dir)
+                if d.startswith("gen=")
+                and os.path.exists(os.path.join(out_dir, d, "_DONE"))
             )
-            with open(os.path.join(ck, "wave_start.txt")) as f:
-                wave_start = int(f.read())
-            start_gen = g + 1
+            if done_gens:
+                g = done_gens[-1]
+                ck = os.path.join(out_dir, f"gen={g}", "ckpt")
+                for s, a in enumerate(actors):
+                    with open(os.path.join(ck, f"shard_{s}.pkl"), "rb") as f:
+                        ray.get(a.load_state.remote(f.read()))
+                cand_blocks, cand_count = _as_blocks(
+                    read_sink(os.path.join(out_dir, f"gen={g}"), "next_candidates")
+                )
+                with open(os.path.join(ck, "wave_start.txt")) as f:
+                    wave_start = int(f.read())
+                start_gen = g + 1
 
-    # T8 dynamic-config watch (zk-watch analog, job_manager.cc:191-237):
-    # `control.json` in out_dir is re-read at every generation boundary.
-    # Hot-swappable mid-run: pause, graceful stop_after_gen (resumable —
-    # the normal resume path continues the crawl), fetch_concurrency
-    # (fetch actors are stateless, so the pool resizes freely). Politeness
-    # / sharding knobs are deliberately NOT hot-swappable — they shard the
-    # checkpointed scheduler state (same invariant the resume topology
-    # check enforces).
-    ctl_path = os.path.join(out_dir, "control.json")
+        # T8 dynamic-config watch (zk-watch analog, job_manager.cc:191-237):
+        # `control.json` in out_dir is re-read at every generation boundary.
+        # Hot-swappable mid-run: pause, graceful stop_after_gen (resumable —
+        # the normal resume path continues the crawl), fetch_concurrency
+        # (fetch actors are stateless, so the pool resizes freely). Politeness
+        # / sharding knobs are deliberately NOT hot-swappable — they shard the
+        # checkpointed scheduler state (same invariant the resume topology
+        # check enforces).
+        ctl_path = os.path.join(out_dir, "control.json")
 
-    def _read_control() -> dict:
-        try:
-            with open(ctl_path) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return {}
+        def _read_control() -> dict:
+            try:
+                with open(ctl_path) as f:
+                    return json.load(f)
+            except (OSError, ValueError):
+                return {}
 
-    stopped_by_control = False
-    total_fetched = 0
-    for gen in range(start_gen, max_gens):
-        if cand_count == 0:
-            break
-        ctl = _read_control()
-        while ctl.get("pause"):
-            import time as _time
-
-            _time.sleep(0.2)
+        stopped_by_control = False
+        total_fetched = 0
+        for gen in range(start_gen, max_gens):
+            if cand_count == 0:
+                break
             ctl = _read_control()
-        if (
-            ctl.get("stop_after_gen") is not None
-            and gen > int(ctl["stop_after_gen"])
-        ):
-            stopped_by_control = True
-            break
-        want = int(ctl.get("fetch_concurrency") or 0)
-        if want > 0 and want != len(fetch_pool):
-            while len(fetch_pool) < want:
-                fetch_pool.append(FetchActorCls.remote(corpus_dir))
-            while len(fetch_pool) > want:
-                ray.kill(fetch_pool.pop())
-        gen_dir = os.path.join(out_dir, f"gen={gen}")
-        if os.path.isdir(gen_dir) and not os.path.exists(
-            os.path.join(gen_dir, "_DONE")
-        ):
-            # leftovers from a killed attempt at this generation (hard
-            # kill mid-gen): sink part files the retry doesn't re-write —
-            # rolled parts past the retry's roll count, or an unclosed
-            # trailing parquet — would otherwise survive and double-count
-            # (or fail) in read_sink. The retry owns the whole gen.
-            shutil.rmtree(gen_dir)
-        os.makedirs(os.path.join(gen_dir, "ckpt"), exist_ok=True)
+            while ctl.get("pause"):
+                import time as _time
 
-        # 1. normalize (stateless mb; robots broadcast) over the candidate
-        # block refs — the wave enters as object-store blocks, not a
-        # driver table.
-        cand_ds = ray.data.from_arrow_refs(list(cand_blocks))
+                _time.sleep(0.2)
+                ctl = _read_control()
+            if ctl.get("stop_after_gen") is not None:
+                sag = int(ctl["stop_after_gen"])
+                # a directive SATISFIED by a previous attempt (resume
+                # starts past it) is spent — honoring it literally would
+                # make every resume after a graceful stop a no-op; the
+                # resume path is the documented way to continue the crawl
+                if start_gen <= sag < gen:
+                    stopped_by_control = True
+                    break
+            want = int(ctl.get("fetch_concurrency") or 0)
+            if want > 0 and want != len(fetch_pool):
+                while len(fetch_pool) < want:
+                    fetch_pool.append(FetchActorCls.remote(corpus_dir))
+                while len(fetch_pool) > want:
+                    ray.kill(fetch_pool.pop())
+            gen_dir = os.path.join(out_dir, f"gen={gen}")
+            if os.path.isdir(gen_dir) and not os.path.exists(
+                os.path.join(gen_dir, "_DONE")
+            ):
+                # leftovers from a killed attempt at this generation (hard
+                # kill mid-gen): sink part files the retry doesn't re-write —
+                # rolled parts past the retry's roll count, or an unclosed
+                # trailing parquet — would otherwise survive and double-count
+                # (or fail) in read_sink. The retry owns the whole gen.
+                shutil.rmtree(gen_dir)
+            os.makedirs(os.path.join(gen_dir, "ckpt"), exist_ok=True)
 
-        def _norm(batch: pa.Table, g=gen) -> pa.Table:
-            rob = ray.get(robots_ref)
-            out, _m = normalize_batch(
-                batch, rob, num_shards, g, hot_hosts=hot_hosts
-            )
-            return out
+            # 1. normalize (stateless mb; robots broadcast) over the candidate
+            # block refs — the wave enters as object-store blocks, not a
+            # driver table.
+            cand_ds = ray.data.from_arrow_refs(list(cand_blocks))
 
-        norm_ds = cand_ds.map_batches(_norm, batch_format="pyarrow")
+            def _norm(batch: pa.Table, g=gen) -> pa.Table:
+                rob = ray.get(robots_ref)
+                out, _m = normalize_batch(
+                    batch, rob, num_shards, g, hot_hosts=hot_hosts
+                )
+                return out
 
-        # 2. route to shard actors directly from the streaming map stage —
-        # co-location by message passing instead of a groupby shuffle (the
-        # actor IS the partition owner; rows move exactly once, and small
-        # waves skip all-to-all overhead). Order restored by seq in-actor.
-        actor_list = list(actors)
+            norm_ds = cand_ds.map_batches(_norm, batch_format="pyarrow")
 
-        def _route(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({"shard": pa.array([], pa.int32()),
-                                 "n": pa.array([], pa.int64())})
-            import polars as _pl
+            # 2. route to shard actors directly from the streaming map stage —
+            # co-location by message passing instead of a groupby shuffle (the
+            # actor IS the partition owner; rows move exactly once, and small
+            # waves skip all-to-all overhead). Order restored by seq in-actor.
+            actor_list = list(actors)
 
-            df = _pl.from_arrow(batch)
-            futs, counts = [], {}
-            for (sh,), sub in df.group_by("shard"):
-                futs.append(actor_list[int(sh)].enqueue.remote(sub.to_arrow()))
-                counts[int(sh)] = sub.height
-            ray.get(futs)
-            return pa.table(
-                {
-                    "shard": pa.array(list(counts), pa.int32()),
-                    "n": pa.array(list(counts.values()), pa.int64()),
-                }
-            )
+            def _route(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return pa.table({"shard": pa.array([], pa.int32()),
+                                     "n": pa.array([], pa.int64())})
+                import polars as _pl
 
-        # consume the routed dataset (one pass; side effects land in actors)
-        for _ in norm_ds.map_batches(_route, batch_format="pyarrow").iter_batches(
-            batch_size=None
-        ):
-            pass
-
-        # 3. schedule each shard's wave (politeness DES in the actors).
-        # Permits come back as per-shard Arrow TABLE REFS — the driver holds
-        # ObjectRefs, never the rows.
-        wave_res = ray.get(
-            [a.schedule_wave.remote(wave_start) for a in actors]
-        )
-        permit_refs = [a.take_permits.remote() for a in actors]
-        n_permits = sum(r["scheduled"] for r in wave_res)
-
-        # permits → global crawl-order sort → fetch pool. Small waves pull
-        # the bounded permit tables and sort with the arrow kernel; waves
-        # past DS_SORT_THRESHOLD sort distributed (ray.data over the refs)
-        # and the sorted blocks go straight to the fetch actors. SORT_KEYS
-        # is a total order, so both paths yield the identical global row
-        # sequence (asserted by test_distributed_sort_path_identical).
-        if n_permits <= DS_SORT_THRESHOLD:
-            permits_t = pa.concat_tables(
-                ray.get(permit_refs), promote_options="default"
-            ).sort_by(SORT_KEYS)
-            fetch_in = _chunks(permits_t, 256) if permits_t.num_rows else []
-        else:
-            sorted_ds = ray.data.from_arrow_refs(permit_refs).sort(
-                [k for k, _ in SORT_KEYS]
-            )
-            fetch_in = list(sorted_ds.materialize().to_arrow_refs())
-        fetched_refs = [
-            fetch_pool[i % len(fetch_pool)].fetch_batch.remote(chunk)
-            for i, chunk in enumerate(fetch_in)
-        ]
-
-        # 4. per-block derivative tasks, submitted up front and consumed in
-        # global crawl order — the heavy fetched blocks stay in the object
-        # store; the driver only streams SMALL derived tables, one block at
-        # a time, into single-file parquet sinks (RSS stays flat no matter
-        # the wave size).
-        status_refs = [_block_status.remote(r) for r in fetched_refs]
-        imref_refs = [_block_image_refs.remote(r) for r in fetched_refs]
-        cand_refs = [_block_candidates.remote(r) for r in fetched_refs]
-
-        # Windowed pulls: one ray.get round-trip per WINDOW blocks instead
-        # of per block (a 16-shard wave can produce dozens of sorted
-        # blocks; strictly per-block gets made the driver latency-bound).
-        # Memory stays bounded: ≤ WINDOW small derived blocks at a time.
-        WINDOW = 8
-
-        def _iter_windowed(refs):
-            for i in range(0, len(refs), WINDOW):
-                yield from ray.get(list(refs[i : i + WINDOW]))
-
-        # 4a. status sink (streamed, global crawl order, rolled parts)
-        n_fetched = n2 = n4 = n5 = 0
-        status_writer = RollingWriter(gen_dir, "status")
-        for st in _iter_windowed(status_refs):
-            status_writer.write(st)
-            n_fetched += st.num_rows
-            codes = st["status"].to_numpy(zero_copy_only=False)
-            n2 += int(((codes >= 200) & (codes < 300)).sum())
-            n4 += int(((codes >= 400) & (codes < 500)).sum())
-            n5 += int(((codes >= 500)).sum())
-        status_writer.close(STATUS_SCHEMA)
-        total_fetched += n_fetched
-
-        # 4b. image sink: first-wins dedup on REFS via shard actors, then
-        # decode/recompress/phash only the kept refs in the fetch pool.
-        # Admit SUBMISSION stays strictly in crawl order (actor tasks from
-        # one caller execute in submission order, so each shard sees the
-        # same hash sequence as the whole-wave path — the parity seam is
-        # block-size-invariant); result GATHERING is pipelined one window
-        # behind submission, overlapping admits with routing.
-        img_futs = []
-
-        def _drain(window):
-            if not window:
-                return
-            entries, futs = window
-            results = {s: ray.get(f) for s, f in futs.items()}
-            for refs_t, rec in entries:
-                keep = np.zeros(refs_t.num_rows, dtype=bool)
-                for s, (idxs, start) in rec.items():
-                    keep[idxs] = results[s][start : start + len(idxs)]
-                kept = refs_t.filter(pa.array(keep)).to_pylist()
-                img_futs.extend(
-                    fetch_pool[
-                        len(img_futs) % len(fetch_pool)
-                    ].process_refs.remote(kept[j : j + 64], gen)
-                    for j in range(0, len(kept), 64)
+                df = _pl.from_arrow(batch)
+                futs, counts = [], {}
+                for (sh,), sub in df.group_by("shard"):
+                    futs.append(actor_list[int(sh)].enqueue.remote(sub.to_arrow()))
+                    counts[int(sh)] = sub.height
+                ray.get(futs)
+                return pa.table(
+                    {
+                        "shard": pa.array(list(counts), pa.int32()),
+                        "n": pa.array(list(counts.values()), pa.int64()),
+                    }
                 )
 
-        prev_window = None
-        for i in range(0, len(imref_refs), WINDOW):
-            # ONE admit RPC per shard per window: the window's blocks are
-            # walked in crawl order and each shard's hashes concatenate in
-            # that order, so the per-shard admit sequence is identical to
-            # the per-block (and whole-wave) construction
-            per_shard: dict[int, list] = {}
-            entries = []
-            for refs_t in ray.get(list(imref_refs[i : i + WINDOW])):
-                if refs_t.num_rows == 0:
-                    continue
-                ih = hash64(refs_t["image_id"])
-                shard_of = (ih % np.uint64(num_shards)).astype(np.int64)
-                rec = {}
-                for s in np.unique(shard_of):
-                    idxs = np.flatnonzero(shard_of == s)
-                    lst = per_shard.setdefault(int(s), [])
-                    rec[int(s)] = (idxs, len(lst))
-                    lst.extend(int(h) for h in ih[idxs])
-                entries.append((refs_t, rec))
-            futs = {
-                s: actors[s].admit_images.remote(h)
-                for s, h in per_shard.items()
-            }
-            _drain(prev_window)
-            prev_window = (entries, futs)
-        _drain(prev_window)
-        img_writer = RollingWriter(gen_dir, "images")
-        for t in _iter_windowed(img_futs):
-            img_writer.write(t)
-        img_writer.close(IMAGE_SCHEMA)
-        n_images = img_writer.n_rows
+            # consume the routed dataset (one pass; side effects land in actors)
+            # max_retries=0: a _route task that dies AFTER some of its
+            # enqueue.remote calls committed must fail the run loudly
+            # (resume recovers at the last _DONE gen) — a silent Ray-level
+            # task retry would re-run every enqueue and double-count the
+            # duplicated candidate rows in the shard metrics
+            for _ in norm_ds.map_batches(
+                _route, batch_format="pyarrow", max_retries=0
+            ).iter_batches(
+                batch_size=None
+            ):
+                pass
 
-        # 4c. next-gen candidates: ALL retries (crawl order) then ALL
-        # outlinks (crawl order) — identical sequence to the whole-wave
-        # construction; seq assigned with a running offset per block. The
-        # seq'd blocks are re-put as the next wave's input refs AND streamed
-        # into the single-file checkpoint.
-        retry_refs = [p[0] for p in cand_refs]
-        outlink_refs = [p[1] for p in cand_refs]
-        cand_writer = RollingWriter(gen_dir, "next_candidates")
-        next_cand_refs: list = []
-        offset = 0
-        for t in _iter_windowed(retry_refs + outlink_refs):
-            if t.num_rows == 0:
-                continue
-            t = t.append_column(
-                "seq",
-                pa.array(np.arange(offset, offset + t.num_rows), pa.int64()),
+            # 3. schedule each shard's wave (politeness DES in the actors).
+            # Permits come back as per-shard Arrow TABLE REFS — the driver holds
+            # ObjectRefs, never the rows.
+            wave_res = ray.get(
+                [a.schedule_wave.remote(wave_start) for a in actors]
             )
-            offset += t.num_rows
-            cand_writer.write(t)
-            next_cand_refs.append(ray.put(t))
-        cand_writer.close(CANDIDATE_SCHEMA.append(pa.field("seq", pa.int64())))
-        cand_blocks = next_cand_refs
-        cand_count = offset
+            permit_refs = [a.take_permits.remote() for a in actors]
+            n_permits = sum(r["scheduled"] for r in wave_res)
 
-        # 5. checkpoint: scheduler state per shard + wave clock + marker
-        wave_start = max(ray.get([a.clock.remote() for a in actors]))
-        for s, a in enumerate(actors):
-            blob = ray.get(a.state_dict.remote())
-            with open(os.path.join(gen_dir, "ckpt", f"shard_{s}.pkl"), "wb") as f:
-                f.write(blob)
-        with open(os.path.join(gen_dir, "ckpt", "wave_start.txt"), "w") as f:
-            f.write(str(wave_start))
-        # per-(gen, shard) lineage + metrics rows (north rule: every
-        # partition checkpoints its lineage and metrics); counters were
-        # accumulated during the streaming sinks. driver_rss_kb proves the
-        # block-ref wave flow: it must stay flat across generations even as
-        # the frontier grows.
-        mrows = [
-            {
-                "gen": gen,
-                "shard": sh,
-                "candidates": res["candidates"],
-                "dedup_hits": res["dedup_hits"],
-                "scheduled": res["scheduled"],
-                "top_host": res.get("top_host", ""),
-                "top_host_n": res.get("top_host_n", 0),
-                "cuckoo_fp_audit": res.get("fp_audit", 0),
-                "seen_size": res.get("seen_size", 0),
-                "shard_clock_us": res.get("clock", 0),
-                "fetched_total": n_fetched,
-                "http_2xx": n2,
-                "http_4xx": n4,
-                "http_5xx": n5,
-                "images": n_images,
-                "next_candidates": cand_count,
-                "wave_end_us": wave_start,
-                "driver_rss_kb": _driver_rss_kb(),
-            }
-            for sh, res in enumerate(wave_res)
-        ]
-        metrics_t = pa.Table.from_pylist(mrows)
-        pq.write_table(metrics_t, os.path.join(gen_dir, "metrics.parquet"))
-        with open(os.path.join(gen_dir, "_DONE"), "w") as f:
-            f.write("ok")
+            # permits → global crawl-order sort → fetch pool. Small waves pull
+            # the bounded permit tables and sort with the arrow kernel; waves
+            # past DS_SORT_THRESHOLD sort distributed (ray.data over the refs)
+            # and the sorted blocks go straight to the fetch actors. SORT_KEYS
+            # is a total order, so both paths yield the identical global row
+            # sequence (asserted by test_distributed_sort_path_identical).
+            if n_permits <= DS_SORT_THRESHOLD:
+                permits_t = pa.concat_tables(
+                    ray.get(permit_refs), promote_options="default"
+                ).sort_by(SORT_KEYS)
+                fetch_in = _chunks(permits_t, 256) if permits_t.num_rows else []
+            else:
+                sorted_ds = ray.data.from_arrow_refs(permit_refs).sort(
+                    [k for k, _ in SORT_KEYS]
+                )
+                fetch_in = list(sorted_ds.materialize().to_arrow_refs())
+            fetched_refs = [
+                fetch_pool[i % len(fetch_pool)].fetch_batch.remote(chunk)
+                for i, chunk in enumerate(fetch_in)
+            ]
 
-    # final: merged seen table, globally sorted by (url_hash, url). Small
-    # sets concat+sort driver-side (bounded); big sets sort distributed
-    # over the per-shard table refs using the order-preserving int64
-    # bit-flip key (ray's sort doesn't take uint64) and stream-write.
-    seen_refs = [a.seen_table.remote() for a in actors]
-    seen_path = os.path.join(out_dir, "seen.parquet")
-    n_seen = sum(ray.get([a.seen_count.remote() for a in actors]))
-    if n_seen <= DS_SORT_THRESHOLD:
-        seen_t = pa.concat_tables(
-            ray.get(seen_refs), promote_options="default"
-        ).sort_by([("url_hash", "ascending"), ("url", "ascending")])
-        pq.write_table(seen_t.drop_columns(["sort_key"]), seen_path)
-    else:
-        sorted_ds = ray.data.from_arrow_refs(seen_refs).sort(
-            ["sort_key", "url"]
-        )
-        writer = RollingWriter(out_dir, "seen")
-        for bref in sorted_ds.materialize().to_arrow_refs():
-            b = ray.get(bref)
-            if b.num_rows == 0:
-                continue
-            writer.write(b.drop_columns(["sort_key"]))
-        writer.close(SEEN_SCHEMA)
+            # 4. per-block derivative tasks, submitted up front and consumed in
+            # global crawl order — the heavy fetched blocks stay in the object
+            # store; the driver only streams SMALL derived tables, one block at
+            # a time, into single-file parquet sinks (RSS stays flat no matter
+            # the wave size).
+            status_refs = [_block_status.remote(r) for r in fetched_refs]
+            imref_refs = [_block_image_refs.remote(r) for r in fetched_refs]
+            cand_refs = [_block_candidates.remote(r) for r in fetched_refs]
 
-    for a in actors + fetch_pool:
-        ray.kill(a)
-    return {
-        "out_dir": out_dir,
-        "total_fetched": total_fetched,
-        "stopped_by_control": stopped_by_control,
-        "fetch_pool_size": len(fetch_pool),
-    }
+            # Windowed pulls: one ray.get round-trip per WINDOW blocks instead
+            # of per block (a 16-shard wave can produce dozens of sorted
+            # blocks; strictly per-block gets made the driver latency-bound).
+            # Memory stays bounded: ≤ WINDOW small derived blocks at a time.
+            WINDOW = 8
+
+            def _iter_windowed(refs):
+                for i in range(0, len(refs), WINDOW):
+                    yield from ray.get(list(refs[i : i + WINDOW]))
+
+            # 4a. status sink (streamed, global crawl order, rolled parts)
+            n_fetched = n2 = n4 = n5 = 0
+            status_writer = RollingWriter(gen_dir, "status")
+            for st in _iter_windowed(status_refs):
+                status_writer.write(st)
+                n_fetched += st.num_rows
+                codes = st["status"].to_numpy(zero_copy_only=False)
+                n2 += int(((codes >= 200) & (codes < 300)).sum())
+                n4 += int(((codes >= 400) & (codes < 500)).sum())
+                n5 += int(((codes >= 500)).sum())
+            status_writer.close(STATUS_SCHEMA)
+            total_fetched += n_fetched
+
+            # 4b. image sink: first-wins dedup on REFS via shard actors, then
+            # decode/recompress/phash only the kept refs in the fetch pool.
+            # Admit SUBMISSION stays strictly in crawl order (actor tasks from
+            # one caller execute in submission order, so each shard sees the
+            # same hash sequence as the whole-wave path — the parity seam is
+            # block-size-invariant); result GATHERING is pipelined one window
+            # behind submission, overlapping admits with routing.
+            img_futs = []
+
+            def _drain(window):
+                if not window:
+                    return
+                entries, futs = window
+                # ONE batched round-trip for the window's shard admits —
+                # a per-shard ray.get loop serializes a driver RTT per
+                # shard, exactly the latency the windowing exists to avoid
+                got = ray.get(list(futs.values()))
+                results = dict(zip(futs.keys(), got))
+                for refs_t, rec in entries:
+                    keep = np.zeros(refs_t.num_rows, dtype=bool)
+                    for s, (idxs, start) in rec.items():
+                        keep[idxs] = results[s][start : start + len(idxs)]
+                    kept = refs_t.filter(pa.array(keep)).to_pylist()
+                    img_futs.extend(
+                        fetch_pool[
+                            len(img_futs) % len(fetch_pool)
+                        ].process_refs.remote(kept[j : j + 64], gen)
+                        for j in range(0, len(kept), 64)
+                    )
+
+            prev_window = None
+            for i in range(0, len(imref_refs), WINDOW):
+                # ONE admit RPC per shard per window: the window's blocks are
+                # walked in crawl order and each shard's hashes concatenate in
+                # that order, so the per-shard admit sequence is identical to
+                # the per-block (and whole-wave) construction
+                per_shard: dict[int, list] = {}
+                entries = []
+                for refs_t in ray.get(list(imref_refs[i : i + WINDOW])):
+                    if refs_t.num_rows == 0:
+                        continue
+                    ih = hash64(refs_t["image_id"])
+                    shard_of = (ih % np.uint64(num_shards)).astype(np.int64)
+                    rec = {}
+                    for s in np.unique(shard_of):
+                        idxs = np.flatnonzero(shard_of == s)
+                        lst = per_shard.setdefault(int(s), [])
+                        rec[int(s)] = (idxs, len(lst))
+                        lst.extend(int(h) for h in ih[idxs])
+                    entries.append((refs_t, rec))
+                futs = {
+                    s: actors[s].admit_images.remote(h)
+                    for s, h in per_shard.items()
+                }
+                _drain(prev_window)
+                prev_window = (entries, futs)
+            _drain(prev_window)
+            img_writer = RollingWriter(gen_dir, "images")
+            for t in _iter_windowed(img_futs):
+                img_writer.write(t)
+            img_writer.close(IMAGE_SCHEMA)
+            n_images = img_writer.n_rows
+
+            # 4c. next-gen candidates: ALL retries (crawl order) then ALL
+            # outlinks (crawl order) — identical sequence to the whole-wave
+            # construction; seq assigned with a running offset per block. The
+            # seq'd blocks are re-put as the next wave's input refs AND streamed
+            # into the single-file checkpoint.
+            retry_refs = [p[0] for p in cand_refs]
+            outlink_refs = [p[1] for p in cand_refs]
+            cand_writer = RollingWriter(gen_dir, "next_candidates")
+            next_cand_refs: list = []
+            offset = 0
+            for t in _iter_windowed(retry_refs + outlink_refs):
+                if t.num_rows == 0:
+                    continue
+                t = t.append_column(
+                    "seq",
+                    pa.array(np.arange(offset, offset + t.num_rows), pa.int64()),
+                )
+                offset += t.num_rows
+                cand_writer.write(t)
+                next_cand_refs.append(ray.put(t))
+            cand_writer.close(CANDIDATE_SCHEMA.append(pa.field("seq", pa.int64())))
+            cand_blocks = next_cand_refs
+            cand_count = offset
+
+            # 5. checkpoint: scheduler state per shard + wave clock + marker
+            wave_start = max(ray.get([a.clock.remote() for a in actors]))
+            for s, a in enumerate(actors):
+                blob = ray.get(a.state_dict.remote())
+                with open(os.path.join(gen_dir, "ckpt", f"shard_{s}.pkl"), "wb") as f:
+                    f.write(blob)
+            with open(os.path.join(gen_dir, "ckpt", "wave_start.txt"), "w") as f:
+                f.write(str(wave_start))
+            # per-(gen, shard) lineage + metrics rows (north rule: every
+            # partition checkpoints its lineage and metrics); counters were
+            # accumulated during the streaming sinks. driver_rss_kb proves the
+            # block-ref wave flow: it must stay flat across generations even as
+            # the frontier grows.
+            mrows = [
+                {
+                    "gen": gen,
+                    "shard": sh,
+                    "candidates": res["candidates"],
+                    "dedup_hits": res["dedup_hits"],
+                    "scheduled": res["scheduled"],
+                    "top_host": res.get("top_host", ""),
+                    "top_host_n": res.get("top_host_n", 0),
+                    "cuckoo_fp_audit": res.get("fp_audit", 0),
+                    "cuckoo_add_failures": res.get("cuckoo_add_failures", 0),
+                    "seen_size": res.get("seen_size", 0),
+                    "shard_clock_us": res.get("clock", 0),
+                    "fetched_total": n_fetched,
+                    "http_2xx": n2,
+                    "http_4xx": n4,
+                    "http_5xx": n5,
+                    "images": n_images,
+                    "next_candidates": cand_count,
+                    "wave_end_us": wave_start,
+                    "driver_rss_kb": _driver_rss_kb(),
+                }
+                for sh, res in enumerate(wave_res)
+            ]
+            metrics_t = pa.Table.from_pylist(mrows)
+            pq.write_table(metrics_t, os.path.join(gen_dir, "metrics.parquet"))
+            with open(os.path.join(gen_dir, "_DONE"), "w") as f:
+                f.write("ok")
+
+        # final: merged seen table, globally sorted by (url_hash, url). Small
+        # sets concat+sort driver-side (bounded); big sets sort distributed
+        # over the per-shard table refs using the order-preserving int64
+        # bit-flip key (ray's sort doesn't take uint64) and stream-write.
+        seen_refs = [a.seen_table.remote() for a in actors]
+        seen_path = os.path.join(out_dir, "seen.parquet")
+        n_seen = sum(ray.get([a.seen_count.remote() for a in actors]))
+        if n_seen <= DS_SORT_THRESHOLD:
+            seen_t = pa.concat_tables(
+                ray.get(seen_refs), promote_options="default"
+            ).sort_by([("url_hash", "ascending"), ("url", "ascending")])
+            pq.write_table(seen_t.drop_columns(["sort_key"]), seen_path)
+        else:
+            sorted_ds = ray.data.from_arrow_refs(seen_refs).sort(
+                ["sort_key", "url"]
+            )
+            writer = RollingWriter(out_dir, "seen")
+            for bref in sorted_ds.materialize().to_arrow_refs():
+                b = ray.get(bref)
+                if b.num_rows == 0:
+                    continue
+                writer.write(b.drop_columns(["sort_key"]))
+            writer.close(SEEN_SCHEMA)
+
+        return {
+            "out_dir": out_dir,
+            "total_fetched": total_fetched,
+            "stopped_by_control": stopped_by_control,
+            "fetch_pool_size": len(fetch_pool),
+        }
+    finally:
+        for a in actors + fetch_pool:
+            ray.kill(a)
 
 
 from spider_ray._serial import register_all as _register_all  # noqa: E402

@@ -173,9 +173,6 @@ def run_frontier_bench(
 
 def _mp_chunk(args) -> int:
     lo, hi = args
-    import os as _os
-
-    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
     t = _derive_urls({"id": np.arange(lo, hi)})
     _frontier_stage(t, 64)
     return hi - lo
@@ -189,7 +186,14 @@ def run_control_bench(n_urls: int, procs: int) -> dict:
     per-node throughput. Reported next to the Ray numbers so the judge can
     separate framework efficiency from hardware saturation."""
     import multiprocessing as mp
+    import os as _os
 
+    # must be in the environment BEFORE the workers spawn: each spawned
+    # worker re-imports this module — and polars sizes its thread pool at
+    # import — so a setdefault inside the task fn (or even a Pool
+    # initializer, which itself unpickles by importing this module) runs
+    # too late. Children inherit the parent env at process creation.
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
     ctx = mp.get_context("spawn")  # never fork a process that has run Ray
     chunk = 93_750
     chunks = [(i, min(i + chunk, n_urls)) for i in range(0, n_urls, chunk)]

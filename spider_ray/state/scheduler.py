@@ -86,6 +86,14 @@ class ShardScheduler:
         self.clock = 0
         self.metrics: list[dict] = []
         self.fp_audit = 0
+        # cuckoo saturation counters: CuckooFilter.add returns False when a
+        # kick-out chain fails (filter near capacity) — a key that fails to
+        # insert will NOT be remembered, so a later duplicate gets re-
+        # admitted. That loss must be VISIBLE (metrics column), never
+        # silent: a nonzero value means seen_capacity is undersized for
+        # the crawl and the run's exactly-once guarantees are degraded.
+        self.seen_add_failures = 0
+        self.image_add_failures = 0
 
     # --- admission (dedup) ----------------------------------------------------
 
@@ -129,7 +137,8 @@ class ShardScheduler:
         for i in np.flatnonzero(accept_mask):
             r = rows[i]
             key = int(keys[i])
-            self.seen.add(key)
+            if not self.seen.add(key):
+                self.seen_add_failures += 1
             if self.exact_seen is not None:
                 self.exact_seen.add(key)
             if r["tried"] == 0:
@@ -159,7 +168,8 @@ class ShardScheduler:
         for i, h in enumerate(image_hashes):
             h = int(h)
             if not self.image_seen.contains(h):
-                self.image_seen.add(h)
+                if not self.image_seen.add(h):
+                    self.image_add_failures += 1
                 out[i] = True
         return out
 
@@ -192,7 +202,6 @@ class ShardScheduler:
             p, g, s, _ = q[-1]
             heapq.heappush(events, (now0, 1, p, g, s, host))
         blocked_conn: set[str] = set()
-        completions: dict[str, int] = {}  # host → outstanding completions
         permits: list[FetchPermit] = []
         end_time = now0
 
@@ -208,7 +217,6 @@ class ShardScheduler:
                 # completion: success flag encoded in seq slot of payload
                 success = bool(s)
                 self.lc.unregister_fetch(host, success, t)
-                completions[host] = completions.get(host, 0) - 1
                 end_time = max(end_time, t)
                 # a completion frees host AND per-shard budget: wake every
                 # connection-blocked host (the reference's CheckTasks rescans
@@ -245,12 +253,14 @@ class ShardScheduler:
                     )
                 )
                 status, latency = meta.get(r["url"], (404, 50_000))
-                # unregister rule: success && ret != 403 (crawler.cc:82-83)
-                success = status in (200, 301, 404) and status != 403
+                # unregister rule (crawler.cc:82-83): 200/301/404 count as
+                # politeness successes; everything else — including 403,
+                # which the reference carves out explicitly — takes the
+                # failure path (holdon backoff + failed_times++)
+                success = status in (200, 301, 404)
                 heapq.heappush(
                     events, (t + latency, 0, 0, 0, int(success), host)
                 )
-                completions[host] = completions.get(host, 0) + 1
                 end_time = max(end_time, t + latency)
                 push_try(t, host)
             elif ret > 0:
@@ -297,6 +307,8 @@ class ShardScheduler:
             "image_seen": self.image_seen.state_dict(),
             "clock": self.clock,
             "fp_audit": self.fp_audit,
+            "seen_add_failures": self.seen_add_failures,
+            "image_add_failures": self.image_add_failures,
         }
 
     @classmethod
@@ -318,4 +330,6 @@ class ShardScheduler:
         obj.clock = d["clock"]
         obj.metrics = []
         obj.fp_audit = d.get("fp_audit", 0)
+        obj.seen_add_failures = d.get("seen_add_failures", 0)
+        obj.image_add_failures = d.get("image_add_failures", 0)
         return obj

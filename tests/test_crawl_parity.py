@@ -263,6 +263,30 @@ def test_resume_topology_mismatch_rejected(corpus, ray_session):
     run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, resume=True)
 
 
+def test_resume_hash_provider_mismatch_rejected(corpus, ray_session):
+    """Checkpoints persist hash64 outputs (cuckoo fingerprints, exact_seen
+    keys, url_hash); a resume in an environment whose hash kernel disagrees
+    (different polars build) must be rejected loudly — every restored seen
+    key would silently miss and the crawl would re-fetch its history."""
+    import json
+
+    from spider_ray.pipelines.crawl import run_crawl
+
+    out = "/tmp/spider_ray_test_hashcanary"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, max_gens=1)
+    cfg_path = os.path.join(out, "run_config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    assert "hash_canary" in cfg
+    cfg["hash_canary"] ^= 1  # simulate a different hash provider
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    with pytest.raises(ValueError, match="hash-provider mismatch"):
+        run_crawl(corpus, out, num_shards=2, fetch_concurrency=2,
+                  resume=True)
+
+
 def test_hot_ip_diversion_parity(corpus, ray_session):
     """IP-level diversion valve (J4, ip_url_split.cc semantics): force the
     corpus's hottest host through the valve by marking its resolved IP hot.
@@ -330,8 +354,13 @@ def test_dynamic_control_stop_and_resume(corpus, oracle_out, ray_session):
             and os.path.exists(os.path.join(out, d, "_DONE"))]
     assert sorted(done) == ["gen=0", "gen=1"]
 
-    os.remove(os.path.join(out, "control.json"))
-    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, resume=True)
+    # resume WITHOUT touching control.json: a stop_after_gen already
+    # satisfied by the previous attempt is spent — the documented resume
+    # path continues the crawl instead of re-stopping at gen 2 having
+    # done nothing
+    full = run_crawl(corpus, out, num_shards=2, fetch_concurrency=2,
+                     resume=True)
+    assert not full["stopped_by_control"]
     eng = _engine_rows(out, "status.parquet")
     gold = oracle_out["crawl_order"]
     assert len(eng) == len(gold)

@@ -153,6 +153,39 @@ def test_zero_connection_host_dropped_with_accounting():
     assert getattr(sched, "_last_dropped", 0) == 3
 
 
+def test_cuckoo_saturation_counted_not_silent():
+    """CuckooFilter.add returns False once kick-outs fail near capacity; a
+    key that fails to insert will be re-admitted later. That loss must be
+    counted (seen_add_failures / image_add_failures → metrics), and the
+    counters must survive a checkpoint round-trip."""
+    from spider_ray.state.scheduler import ShardScheduler
+
+    sched = ShardScheduler(
+        0, 1, seen_capacity=64, keep_exact_seen=False
+    )
+    rows = [
+        {
+            "url": f"http://h{i % 7}.com/p{i}",
+            "url_hash": i,
+            "host": f"h{i % 7}.com",
+            "tried": 0,
+            "gen": 0,
+        }
+        for i in range(2000)
+    ]
+    sched.admit(rows)
+    assert sched.seen_add_failures > 0  # far past capacity: must be visible
+    # well-mixed hashes, as the pipeline feeds (hash64 of image ids) —
+    # raw sequential ints alias in the fingerprint derivation
+    img_hashes = hash64([f"img-{i}" for i in range(2000)])
+    sched.admit_images(img_hashes)
+    assert sched.image_add_failures > 0
+    d = sched.state_dict()
+    back = ShardScheduler.from_state_dict(d)
+    assert back.seen_add_failures == sched.seen_add_failures
+    assert back.image_add_failures == sched.image_add_failures
+
+
 # --- CuckooFilter ---------------------------------------------------------------
 
 
