@@ -105,11 +105,36 @@ def _bench_queries() -> dict[str, float]:
 
 
 def _bench_crawl() -> dict:
-    from spider_ray.pipelines.crawl import run_crawl
-    from spider_ray.sources.webgen import generate
+    import inspect
 
-    if not os.path.exists(os.path.join(BENCH_CORPUS, "web_graph.parquet")):
-        generate(BENCH_CORPUS, n_pages=2000, n_hosts=24, seed=42)
+    from spider_ray.pipelines.crawl import run_crawl
+    from spider_ray.sources import webgen
+
+    # cache keyed on params + the generator SOURCE, not bare existence: a
+    # webgen change between rounds would otherwise silently reuse the old
+    # /tmp corpus and attribute its crawl numbers to the new code
+    import hashlib
+
+    params = {"n_pages": 2000, "n_hosts": 24, "seed": 42}
+    src_sha = hashlib.sha1(
+        inspect.getsource(webgen).encode()
+    ).hexdigest()[:16]
+    stamp = dict(params, gen_src=src_sha)
+    stamp_path = os.path.join(BENCH_CORPUS, "_stamp.json")
+    current = None
+    if os.path.exists(stamp_path):
+        try:
+            with open(stamp_path) as f:
+                current = json.load(f)
+        except (OSError, ValueError):
+            current = None
+    if current != stamp or not os.path.exists(
+        os.path.join(BENCH_CORPUS, "web_graph.parquet")
+    ):
+        shutil.rmtree(BENCH_CORPUS, ignore_errors=True)
+        webgen.generate(BENCH_CORPUS, **params)
+        with open(stamp_path, "w") as f:
+            json.dump(stamp, f)
     # min of 3 full runs (queries stay min-of-2): the crawl is bound by
     # actor IPC, a noise dimension that swings 4x independently of the
     # compute windows (2026-08-17 samples on identical code/input ranged

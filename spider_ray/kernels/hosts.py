@@ -30,7 +30,12 @@ def split_host(host: str) -> tuple[str, str, str]:
         if cand in _PSL:
             suffix_len = take
             break
-    if suffix_len == 0 or suffix_len == len(labels):
+    if suffix_len == len(labels) and suffix_len > 0:
+        # the host IS a public suffix ('co.uk', 'com'): PSL semantics give
+        # it no registered domain — reporting one under a shorter suffix
+        # would bucket suffix-only hosts as real domains in M6 consumers
+        return (host, "", "")
+    if suffix_len == 0:
         # unknown suffix: treat last label as suffix (tld.dat fallback)
         suffix_len = 1 if len(labels) > 1 else 0
     suffix = ".".join(labels[-suffix_len:]) if suffix_len else ""

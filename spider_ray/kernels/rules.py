@@ -50,7 +50,9 @@ _NEED_LOGIN_HOSTS = frozenset(
     {"qzone.qq.com", "weixin.qq.com", "weibo.com", "login.example.com"}
 )
 _TEL_QQ_SUFFIX = re.compile(r"\s*(TEL|QQ)[:：][\d\- ]+$", re.IGNORECASE)
-_GOOGLE_REDIR = re.compile(r"^[a-z]+://www\.google\.com/url\?")
+_GOOGLE_REDIR = re.compile(
+    r"^[a-z]+://www\.google\.com/url\?", re.IGNORECASE
+)  # seeds arrive pre-canonicalization: scheme/host case is still raw
 _IP_HOST = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
 
 

@@ -39,10 +39,38 @@ def partial_final_agg(
         out = partial_exprs(pl.from_arrow(batch).lazy()).collect()
         return out.to_arrow()
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow")
-    tables = ray.get(partials.materialize().to_arrow_refs())
+    mat = ds.map_batches(_partial, batch_format="pyarrow").materialize()
+    tables = ray.get(mat.to_arrow_refs())
     chunks = [pl.from_arrow(t) for t in tables if t.num_rows > 0]
-    merged = pl.concat(chunks) if chunks else pl.from_arrow(tables[0])
+    if chunks:
+        merged = pl.concat(chunks)
+    else:
+        # empty input: a zero-block materialization (tables == []) or
+        # schemaless empty blocks would crash final_exprs' group_by — build
+        # an empty frame with the PARTIAL output schema instead so the
+        # result is an empty table with the aggregate columns
+        base = next((t for t in tables if t.num_columns), None)
+        if base is None:
+            sch = mat.schema()
+            if sch is not None:
+                base = pa.table(
+                    {n: pa.array([], type=t)
+                     for n, t in zip(sch.names, sch.types)}
+                )
+            else:
+                # zero blocks, no output schema either — derive it by
+                # running the partial on an empty INPUT-schema table
+                in_sch = ds.schema()
+                if in_sch is None:
+                    raise ValueError(
+                        "partial_final_agg over an empty dataset with no "
+                        "recoverable schema"
+                    )
+                base = _partial(pa.table(
+                    {n: pa.array([], type=t)
+                     for n, t in zip(in_sch.names, in_sch.types)}
+                ))
+        merged = pl.from_arrow(base)
     out = final_exprs(merged.lazy()).collect().to_arrow()
     return unsigned_to_int64(out)
 

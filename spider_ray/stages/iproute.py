@@ -27,7 +27,14 @@ HOT_IP_FACTOR = 1.5
 
 
 def hot_ips_of(counts: pa.Table, factor: float = HOT_IP_FACTOR) -> set[str]:
-    """IPs whose URL count exceeds ``factor ×`` the mean count."""
+    """IPs whose URL count exceeds ``factor ×`` the mean count.
+
+    Rows with a null ip (unresolved hosts) are EXCLUDED before the mean and
+    the hot set: null is not an IP — the diverted unit is a shared server —
+    and a large unresolved population would otherwise (a) skew the cutoff
+    and (b) divert every unrelated DNS-miss host to the proxy partition as
+    one pseudo-group (it also made ``sorted({None, '1.1.1.1'})`` raise)."""
+    counts = counts.filter(pc.is_valid(counts["ip"]))
     if counts.num_rows == 0:
         return set()
     cnt = counts["n"].to_numpy(zero_copy_only=False)
@@ -63,7 +70,11 @@ def ip_url_split(
 
     def tag(batch: pa.Table) -> pa.Table:
         hot_arr = ray.get(hot_ref)
-        is_hot = pc.is_in(batch["ip"], value_set=hot_arr)
+        # fill_null: an unresolved (null-ip) row routes 'direct', never a
+        # null route — nulls are excluded from the hot set by contract
+        is_hot = pc.fill_null(
+            pc.is_in(batch["ip"], value_set=hot_arr), False
+        )
         route = pc.if_else(is_hot, "proxy", "direct")
         return batch.append_column("route", route.cast(pa.string()))
 

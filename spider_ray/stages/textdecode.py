@@ -81,12 +81,17 @@ def decode_html(body: bytes, content_type: str | None = None):
     best = None  # (skip_ratio, codec, text)
     for codec in candidates:
         text = body.decode(codec, errors="replace")
-        # count DECODE FAILURES, not U+FFFD occurrences: the replace/ignore
-        # length difference is exactly the number of undecodable units, so
-        # legitimate replacement chars in the source never count against
-        # the gate. Denominator is content bytes, as in the reference
-        # (skipped bytes > 10% of content fails the page).
-        skipped = len(text) - len(body.decode(codec, errors="ignore"))
+        # count skipped BYTES, not U+FFFD occurrences: the reference gate
+        # is byte-denominated (skipped bytes > 10% of content fails the
+        # page), and one multi-byte undecodable sequence yields a single
+        # replacement char — counting chars over a byte denominator
+        # undercounts corruption and passes pages the reference drops.
+        # Successfully-decoded chars re-encode to exactly the bytes they
+        # came from in these codecs, so good-byte count = len(re-encoded
+        # ignore-decode); legitimate U+FFFD in the source still never
+        # counts against the gate.
+        good = body.decode(codec, errors="ignore")
+        skipped = len(body) - len(good.encode(codec, errors="ignore"))
         ratio = skipped / len(body)
         if ratio <= MAX_SKIP_RATIO:
             return text, codec, ratio, True

@@ -508,3 +508,46 @@ def test_fresh_run_refuses_dirty_out_dir(corpus, ray_session):
     run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, max_gens=1)
     with pytest.raises(ValueError, match="resume=True"):
         run_crawl(corpus, out, num_shards=2, fetch_concurrency=2)
+
+
+def test_ip_valve_unresolved_hosts_route_direct(ray_session):
+    """Unresolved (null-ip) rows are excluded from the hot-IP mean and
+    never diverted: null is not an IP and DNS-miss hosts share no server.
+    Previously {None, ip} crashed sorted() and a large unresolved
+    population was diverted to the proxy partition as one pseudo-group."""
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.stages.iproute import hot_ips_of, ip_url_split
+
+    # one resolved host with many URLs (hot) + many unresolved singletons
+    rows = [{"url": f"http://big.example.com/p{i}"} for i in range(12)]
+    rows += [{"url": f"http://miss{i}.example.com/x"} for i in range(12)]
+    rows += [{"url": f"http://tiny{i}.example.com/y"} for i in range(2)]
+    host_ips = {"big.example.com": ["1.1.1.1"]}
+    for i in range(2):
+        host_ips[f"tiny{i}.example.com"] = [f"2.2.2.{i}"]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = pa.concat_tables(
+        _ray_get_refs(ip_url_split(ds, host_ips))
+    ).to_pylist()
+    assert len(out) == 26
+    for r in out:
+        if r["url"].startswith("http://big."):
+            assert r["route"] == "proxy" and r["ip"] == "1.1.1.1"
+        elif r["url"].startswith("http://miss"):
+            assert r["route"] == "direct" and r["ip"] is None
+        else:
+            assert r["route"] == "direct"
+    # the counts-level kernel on a mixed null/str table must not raise
+    counts = pa.table(
+        {"ip": pa.array([None, "1.1.1.1", "2.2.2.0"], pa.string()),
+         "n": pa.array([12, 12, 1], pa.int64())}
+    )
+    assert hot_ips_of(counts) == {"1.1.1.1"}
+
+
+def _ray_get_refs(ds):
+    import ray
+
+    return ray.get(ds.materialize().to_arrow_refs())

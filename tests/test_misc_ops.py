@@ -17,6 +17,10 @@ def test_split_host():
     assert split_host("weird.unknowntld") == ("unknowntld", "weird.unknowntld", "")
     assert split_host("") == ("", "", "")
     assert registered_domain("x.y.site.com.cn") == "site.com.cn"
+    # a host that IS a public suffix has no registered domain (PSL rule)
+    assert split_host("co.uk") == ("co.uk", "", "")
+    assert split_host("com") == ("com", "", "")
+    assert registered_domain("co.uk") == ""
 
 
 def test_greedy_binpack_balance():
@@ -296,3 +300,25 @@ def test_audio_wav_real_decode(ray_session):
         AudioFeatureExtractor(fake=False)(
             pa.Table.from_pylist([{"clip_id": "x", "bytes": b"\xffmp3junk"}])
         )
+
+
+def test_partial_final_agg_empty_input(ray_session):
+    """An empty input dataset yields an empty table with the aggregate
+    schema — not an IndexError / ColumnNotFound from a schemaless block."""
+    import polars as pl
+    import pyarrow as pa
+    import ray
+
+    from spider_ray.stages.agg import partial_final_agg
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()),
+                  "v": pa.array([], pa.float64())})
+    )
+    out = partial_final_agg(
+        ds,
+        lambda lf: lf.group_by("k").agg(s=pl.col("v").sum()),
+        lambda lf: lf.group_by("k").agg(s=pl.col("s").sum()),
+    )
+    assert out.num_rows == 0
+    assert out.schema.names == ["k", "s"]

@@ -46,6 +46,11 @@ def test_clean_seed_url():
         == "http://t.com/p"
     )
     assert clean_seed_url("http://www.google.com/url?sa=x") is None
+    # seeds are raw (pre-canonicalization): redirect match is case-blind
+    assert (
+        clean_seed_url("HTTP://WWW.Google.COM/url?url=http://t.com/p")
+        == "http://t.com/p"
+    )
     assert clean_seed_url("http://normal.com/ok") == "http://normal.com/ok"
 
 

@@ -96,3 +96,20 @@ def test_decode_batch_schema_and_raw_dropped():
     assert out["text"][0].as_py() == CJK
     assert out["decode_ok"].to_pylist() == [True, False]
     assert out["text"][1].as_py() is None
+
+
+def test_skip_gate_counts_bytes_not_chars():
+    """Regression: the gate is byte-denominated (reference: skipped bytes
+    > 10% of content fails the page). A 2-byte undecodable sequence must
+    count 2 skipped bytes, not 1 replacement char — char-counting passed
+    pages with 15% corrupt bytes."""
+    from spider_ray.stages.textdecode import decode_html
+
+    body = b"a" * 850 + b"\xe0\xa0" * 75  # 150/1000 bytes undecodable
+    text, _cs, ratio, ok = decode_html(body, "text/html; charset=utf-8")
+    assert not ok and text is None
+    assert abs(ratio - 0.15) < 1e-9
+    # just-under-the-gate page still passes, ratio exact in bytes
+    body2 = b"a" * 950 + b"\xe0\xa0" * 25  # 50/1000 bytes
+    text2, _cs2, ratio2, ok2 = decode_html(body2, "text/html; charset=utf-8")
+    assert ok2 and abs(ratio2 - 0.05) < 1e-9 and text2.count("�") == 25
