@@ -249,10 +249,20 @@ def _bucket_cogroup_pairs(
     """
 
     def to_part(batch: pa.Table) -> pa.Table:
+        # hash the bucket before the modulo: raw bucket values can carry
+        # structure in their low bits (embedding-LSH buckets are
+        # code(3 bits) | table<<32 — a raw %32 would land on only 8 of the
+        # 32 partitions and stack all tables' same-code buckets on one
+        # worker); hashing spreads the pair-expansion stage over the full
+        # configured fan-out
+        from spider_ray.kernels.hashing import SEED as _seed
+
         return (
             pl.from_arrow(batch)
             .with_columns(
-                part=(pl.col("bucket") % COGROUP_PARTITIONS).cast(pl.Int32)
+                part=(
+                    pl.col("bucket").hash(seed=_seed) % COGROUP_PARTITIONS
+                ).cast(pl.Int32)
             )
             .to_arrow()
         )
@@ -356,6 +366,14 @@ def _attach_pair_values(
     cand = cand.materialize()
     n = cand.count()
     id_t = cand_schema.field("a_id").type
+    if n == 0:
+        # zero candidate pairs: the attach is definitionally empty — skip
+        # the corpus-sized side prep and both distributed joins entirely
+        return ray.data.from_arrow(
+            cand_schema.append(pa.field(f"{val_col}_a", val_type))
+            .append(pa.field(f"{val_col}_b", val_type))
+            .empty_table()
+        )
     semi = 0 < n and 2 * n <= SEMI_FILTER_MAX_IDS
     side_use = None
     if semi:
@@ -668,7 +686,17 @@ def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
     def band_rows(batch: pa.Table) -> pa.Table:
         # fully vectorized: batched minhash over the flat shingle values
         # (np.minimum.reduceat per doc) + batched band keys — no per-doc
-        # Python loop (bit-identical to the scalar kernels, pinned by test)
+        # Python loop (bit-identical to the scalar kernels, pinned by test).
+        # Zero-shingle docs are dropped FIRST: they'd all share the
+        # identical all-max signature and band keys, piling every empty doc
+        # into the same buckets and expanding O(m²) candidate pairs that
+        # the Jaccard verify then discards at 0/0 — their true similarity
+        # is undefined, and the exhaustive oracle emits no pairs for them
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.greater(pc.list_value_length(batch["shingles"]), 0)
+        )
         arr = batch["shingles"].combine_chunks()
         off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(

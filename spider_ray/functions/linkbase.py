@@ -50,6 +50,14 @@ _KEEP_LATEST_KEYS = ["timestamp", "score", "update_fail_cnt", "url"]
 _KEEP_LATEST_DESC = [True, True, False, False]
 
 
+def _merge_hash_group(df: pl.DataFrame) -> pl.DataFrame:
+    """Reducer body for one url_hash group: sub-group by the url itself —
+    a url_hash group can hold >1 url on a 64-bit hash collision (expected
+    at billions of urls), and D/R commands must never cross-apply between
+    colliding urls nor drop the other url's record."""
+    return df.group_by("url", maintain_order=True).map_groups(_merge_group)
+
+
 def _merge_group(df: pl.DataFrame) -> pl.DataFrame:
     recs = df.filter(pl.col("cmd") == "").sort(
         _KEEP_LATEST_KEYS, descending=_KEEP_LATEST_DESC
@@ -80,20 +88,21 @@ def linkbase_merge(
 
     def partial(batch: pa.Table) -> pa.Table:
         # map-side partial: keep latest record per key within the block,
-        # but pass ALL commands through (they must reach the reducer)
+        # but pass ALL commands through (they must reach the reducer).
+        # Grouped by url, NOT url_hash: two urls colliding on the 64-bit
+        # hash (expected at billions of urls) must both survive the combine
         df = pl.from_arrow(batch)
         recs = (
             df.filter(pl.col("cmd") == "")
             .sort(_KEEP_LATEST_KEYS, descending=_KEEP_LATEST_DESC)
-            .group_by("url_hash", maintain_order=True)
+            .group_by("url", maintain_order=True)
             .first()
         )
         cmds = df.filter(pl.col("cmd") != "").select(recs.columns)
         return pl.concat([recs, cmds]).to_arrow()
 
     def merge(group: pa.Table) -> pa.Table:
-        out = _merge_group(pl.from_arrow(group))
-        return out.to_arrow()
+        return _merge_hash_group(pl.from_arrow(group)).to_arrow()
 
     return (
         u.map_batches(add_key, batch_format="pyarrow")

@@ -50,7 +50,16 @@ def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     # adds are lost (all-black thumbnails for RGB input)
     np.add.at(sums.reshape(out_h * out_w, ch), idx, src.reshape(h * w, ch))
     np.add.at(cnts.reshape(out_h * out_w, 1), idx, 1.0)
-    out = (sums / np.maximum(cnts, 1.0)).round().clip(0, 255).astype(np.uint8)
+    out_f = sums / np.maximum(cnts, 1.0)
+    # upscaling (out > in on an axis) leaves cells no source pixel mapped
+    # into — fill them by nearest-source gather instead of emitting black;
+    # downscale cells always have ≥1 contributor, so this never fires there
+    zero = cnts[:, :, 0] == 0
+    if zero.any():
+        ys = (np.arange(out_h) * h // max(out_h, 1)).clip(0, max(h - 1, 0))
+        xs = (np.arange(out_w) * w // max(out_w, 1)).clip(0, max(w - 1, 0))
+        out_f[zero] = src[ys][:, xs][zero]
+    out = out_f.round().clip(0, 255).astype(np.uint8)
     return out[:, :, 0] if img.ndim == 2 else out
 
 
@@ -91,14 +100,17 @@ AUDIO_FEATURE_SCHEMA = pa.schema(
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """REAL PCM WAV decode on the stdlib ``wave`` module (no external
-    codec needed) → (float64 samples in [-1, 1], sample_rate). Raises
-    ``wave.Error`` on non-WAV bytes."""
+    codec needed) → (float64 MONO samples in [-1, 1], sample_rate).
+    Multi-channel input is averaged to mono so ``len(x)/rate`` is the
+    clip duration (interleaved samples would report duration × nchannels).
+    Raises ``wave.Error`` on non-WAV bytes."""
     import io
     import wave as _wave
 
     with _wave.open(io.BytesIO(data), "rb") as w:
         rate = w.getframerate()
         width = w.getsampwidth()
+        nch = w.getnchannels()
         raw = w.readframes(w.getnframes())
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
@@ -108,6 +120,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     else:
         raise NotImplementedError(f"WAV sample width {width} unsupported")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
     return x, rate
 
 
@@ -143,11 +157,11 @@ class AudioFeatureExtractor:
                         "this container; run with fake=True for plumbing "
                         "tests"
                     )
-                # deterministic pseudo-features from the raw bytes
+                # deterministic pseudo-features from the raw bytes (fixed
+                # 4 KiB prefix: two clips with equal prefixes get equal
+                # pseudo-energy regardless of total length)
                 h = int(hash64([data.hex() or "0"])[0])
-                arr = np.frombuffer(
-                    data[: 4096 - len(data) % 8 or None], dtype=np.uint8
-                )
+                arr = np.frombuffer(data[:4096], dtype=np.uint8)
                 duration = len(data) / 32000.0
                 energy = (
                     float(arr.astype(np.float64).std()) if arr.size else 0.0
@@ -249,9 +263,15 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     ds = read_images(images_path, columns=["image_id", "phash"])
 
     def norm(batch: pa.Table) -> pa.Table:
+        # DROP null-phash rows (schema allows them): a fill_null(0) would
+        # alias every null image to signature 0 and emit all m(m-1)/2 of
+        # them as hamming-0 "duplicates"; the SQL oracle's NULL-xor WHERE
+        # drops them too, so semantics stay aligned
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch["phash"]))
         ph = (
             batch["phash"].combine_chunks()
-            .fill_null(0)
             .to_numpy(zero_copy_only=False)
             .astype(np.int64, copy=False)
             .view(np.uint64)

@@ -143,9 +143,10 @@ def _local_topk(bq_ids, bQ, V, vids, mask_fn) -> pa.Table:
         mask = mask_fn(qi)
         if not mask.any():
             continue
-        c6 = np.round(bQ[qi] @ V[mask].T, 6)
+        full = mask.all()  # skip the fancy-index copy for all-true masks
+        c6 = np.round(bQ[qi] @ (V if full else V[mask]).T, 6)
         k = min(TOP_K, c6.size)
-        mvids = vids[mask]
+        mvids = vids if full else vids[mask]
         # lexsort's LAST key is primary: c6 desc, then vec_id asc
         idx = np.lexsort((mvids, -c6))[:k]
         rows_q.extend([bq_ids[qi]] * k)
@@ -195,26 +196,12 @@ def q_knn_bruteforce(sf_dir: str) -> pa.Table:
             )
         ids = _ids64(batch["vec_id"])
         M = _normalize(_vec_matrix(batch["embedding"]))
-        # round BEFORE the per-batch cut and break ties by vec_id asc —
-        # the frozen (rounded-cosine desc, vec_id asc) order _local_topk /
-        # _topk_merge use. Cutting on raw cosines can drop a row that ties
-        # at 6 dp with the kept one but has the smaller vec_id, making the
-        # result diverge from the oracle depending on block splits.
-        C6 = np.round(bQ @ M.T, 6)  # (nq, batch)
-        k = min(TOP_K, C6.shape[1])
-        rows_q, rows_v, rows_c = [], [], []
-        for qi in range(C6.shape[0]):
-            idx = np.lexsort((ids, -C6[qi]))[:k]
-            rows_q.extend([bq_ids[qi]] * k)
-            rows_v.extend(ids[idx].tolist())
-            rows_c.extend(C6[qi, idx].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(rows_q, pa.int64()),
-                "vec_id": pa.array(rows_v, pa.int64()),
-                "cosine": pa.array(rows_c, pa.float64()),
-            }
-        )
+        # delegate to _local_topk — the ONE frozen (rounded-cosine desc,
+        # vec_id asc) per-batch cut shared with the IVF/LSH probes, so a
+        # tie-break or rounding change can never diverge the brute-force
+        # ground truth from the probe paths
+        full = np.ones(len(ids), dtype=bool)
+        return _local_topk(bq_ids, bQ, M, ids, lambda qi: full)
 
     cands = _concat(ds.map_batches(batch_topk, batch_format="pyarrow"))
     return _topk_merge(cands)

@@ -166,9 +166,20 @@ def q_heavy_hitters(sf_dir: str) -> pa.Table:
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
     parts = ds.map_batches(summarize, batch_format="pyarrow")
-    tables = ray.get(parts.materialize().to_arrow_refs())
-    merged = pa.concat_tables([t for t in tables if t.num_rows],
-                              promote_options="default")
+    tables = [t for t in ray.get(parts.materialize().to_arrow_refs())
+              if t.num_rows]
+    uid_type = ds.schema().base_schema.field("user_id").type
+
+    def _empty_result() -> pa.Table:
+        return pa.table({"user_id": pa.array([], uid_type),
+                         "n_events": pa.array([], pa.int64())})
+
+    if not tables:
+        # every block summary was empty (all counts ≤ block_n/K): there is
+        # provably no key with total ≥ n/200 — the correct result is empty,
+        # not a concat_tables([]) crash
+        return _empty_result()
+    merged = pa.concat_tables(tables, promote_options="default")
     import polars as pl
 
     m = pl.from_arrow(merged)
@@ -189,10 +200,12 @@ def q_heavy_hitters(sf_dir: str) -> pa.Table:
         return out.to_arrow()
 
     parts2 = ds.map_batches(exact_count, batch_format="pyarrow")
-    t2 = pa.concat_tables(
-        [t for t in ray.get(parts2.materialize().to_arrow_refs()) if t.num_rows],
-        promote_options="default",
-    )
+    t2_parts = [
+        t for t in ray.get(parts2.materialize().to_arrow_refs()) if t.num_rows
+    ]
+    if not t2_parts:  # candidates never matched (possible only if empty)
+        return _empty_result()
+    t2 = pa.concat_tables(t2_parts, promote_options="default")
     final = (
         pl.from_arrow(t2)
         .group_by("user_id")
