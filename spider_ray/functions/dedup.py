@@ -27,7 +27,7 @@ import polars as pl
 import pyarrow as pa
 import ray
 
-from spider_ray.kernels.hashing import hash64
+from spider_ray.kernels.hashing import SEED, hash64
 from spider_ray.kernels import tokens as tk
 from spider_ray.sources.tables import read_table
 from spider_ray.pipelines.relational import _concat, _sorted
@@ -254,8 +254,11 @@ def _bucket_cogroup_pairs(
         # code(3 bits) | table<<32 — a raw %32 would land on only 8 of the
         # 32 partitions and stack all tables' same-code buckets on one
         # worker); hashing spreads the pair-expansion stage over the full
-        # configured fan-out
-        from spider_ray.kernels.hashing import SEED as _seed
+        # configured fan-out. SEED is bound at module import: an inline
+        # import here would execute on the WORKER at call time and crash
+        # any driver whose workers can't import spider_ray by name
+        # (tests/test_worker_import.py).
+        _seed = SEED
 
         return (
             pl.from_arrow(batch)
