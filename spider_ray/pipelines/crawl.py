@@ -476,6 +476,25 @@ def read_sink(dir_: str, base: str) -> pa.Table:
 
 
 @ray.remote
+def _apply_result_handler(handler, block: pa.Table) -> pa.Table:
+    """User extension seam — the CrawlTaskHandler analog (reference
+    crawler.h:29-35, wired in crawler_main.cc:65-75): a pluggable callable
+    applied to every fetched block BEFORE the status/image/candidate
+    derivations, running distributed (one remote task per block; the handler
+    is ``ray.put`` once and dereferenced per task, never re-shipped per
+    batch). The handler may filter rows, rewrite values, or append columns
+    (appended columns flow into the status sink); it must preserve the
+    FetchWorker output columns the downstream derivations read."""
+    out = handler(block)
+    missing = [c for c in block.column_names if c not in out.column_names]
+    if missing:
+        raise ValueError(
+            f"result_handler dropped required fetched-block columns {missing}"
+        )
+    return out
+
+
+@ray.remote
 def _block_status(block: pa.Table) -> pa.Table:
     return block.drop_columns(["outlinks", "images"])
 
@@ -538,9 +557,19 @@ def run_crawl(
     hot_hosts: tuple[str, ...] = (),
     host_ips: dict[str, list[str]] | None = None,
     hot_ips: tuple[str, ...] = (),
+    result_handler=None,
 ) -> dict:
     """Run (or resume) the crawl; writes per-gen parquet sinks under
     ``out_dir`` and returns summary paths + counters.
+
+    ``result_handler`` is the user-extension seam (§2.10; reference
+    ``CrawlTaskHandler``, crawler.h:29-35): an optional picklable callable
+    ``pa.Table -> pa.Table`` applied to every fetched block, distributed,
+    before the status / image / candidate derivations (see
+    ``_apply_result_handler``). ``None`` (default) keeps the engine's exact
+    oracle-parity behavior; a handler that filters rows or rewrites
+    outlink/retry columns deliberately changes the downstream crawl — that
+    is the point of the hook, and it is the caller's contract.
 
     ``hot_ips`` is the IP-level diversion valve (J4,
     ip_url_split.cc:21,85-97): every host whose resolved IP (per
@@ -625,6 +654,8 @@ def run_crawl(
             json.dump(cfg, f)
     c = load_corpus_control(corpus_dir)
     robots_ref = ray.put(c["robots"])
+    # put the user handler once; every per-block task derefs the same object
+    handler_ref = ray.put(result_handler) if result_handler is not None else None
     options_dict = (options or LoadOptions()).__dict__
 
     # size the per-shard cuckoo to the expected URL population: checkpoint
@@ -812,6 +843,11 @@ def run_crawl(
                 fetch_pool[i % len(fetch_pool)].fetch_batch.remote(chunk)
                 for i, chunk in enumerate(fetch_in)
             ]
+            if result_handler is not None:
+                fetched_refs = [
+                    _apply_result_handler.remote(handler_ref, r)
+                    for r in fetched_refs
+                ]
 
             # 4. per-block derivative tasks, submitted up front and consumed in
             # global crawl order — the heavy fetched blocks stay in the object
