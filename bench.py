@@ -194,6 +194,15 @@ def main() -> None:
         + crawl["crawl_wall_s"]
         + frontier["frontier_wall_s"]
     )
+    ray.shutdown()
+    # window-health stamp (BASELINE.md §3): the no-Ray multiprocessing
+    # control running the identical frontier UDF at 8 and 32 procs. A
+    # speedup < ~2.8/4 marks this sample as taken in a degraded host
+    # window — compare engine numbers across rounds only window-to-window.
+    from spider_ray.pipelines.frontier_bench import run_control_bench
+
+    ctl8 = run_control_bench(12_000_000, 8)["urls_per_s"]
+    ctl32 = run_control_bench(12_000_000, 32)["urls_per_s"]
     out = {
         "metric": "headline pipelines wall time (queries sf0.1 min-of-2 + crawl + frontier)",
         "value": round(total, 2),
@@ -205,9 +214,14 @@ def main() -> None:
         "frontier": frontier,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "window_control": {
+            "ctl8_urls_per_s": round(ctl8, 0),
+            "ctl32_urls_per_s": round(ctl32, 0),
+            "speedup_of_4": round(ctl32 / ctl8, 2),
+            "healthy_bar": 2.8,
+        },
     }
     print(json.dumps(out))
-    ray.shutdown()
 
 
 # 96M (was 8M): the fused-canonicalizer UDF (2026-08-18) runs ~3x faster
