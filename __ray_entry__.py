@@ -18,6 +18,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spider_ray.functions import binpack as B  # noqa: E402
+from spider_ray.functions import curation as C  # noqa: E402
 from spider_ray.functions import linkbase as L  # noqa: E402
 from spider_ray.functions import sketch as K  # noqa: E402
 from spider_ray.functions import dedup as D  # noqa: E402
@@ -235,14 +236,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregations (SURVEY §2.5)
         "pricing_summary": R.q_pricing_summary,
         "per_key_count": R.q_per_key_count,
-        "topk_spenders": R.q_topk_spenders,
-        "minmax_stats": R.q_minmax_stats,
         "conditional_agg": R.q_conditional_agg,
         # joins (SURVEY §2.4)
         "broadcast_join": R.q_broadcast_join,
         "cogroup_join": R.q_cogroup_join,
         "anti_join": R.q_anti_join,
-        "region_revenue": R.q_region_revenue,
         "latest_record": R.q_latest_record,
         "asof_join": R.q_asof_join,
         "range_join": R.q_range_join,
@@ -264,6 +262,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": S.q_embedding_neardup_lsh,
         "dup_clusters": D.q_dup_clusters,
         "corpus_curate": D.q_corpus_curate,
+        # curation stages (training-data ops): PII scrub, benchmark
+        # decontamination, Gopher-style repetition gate — all SQL-oracled
+        # (RE2 shared by pyarrow+DuckDB; shingle-string semi-join;
+        # integer-exact repetition thresholds)
+        "pii_redact": C.q_pii_redact,
+        "decontaminate": C.q_decontaminate,
+        "repetition_filter": C.q_repetition_filter,
         # text analysis
         "token_stats": T.q_token_stats,
         "bpe_token_count": T.q_bpe_token_count,
@@ -312,6 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-oracled AND double-covered by tools/oracle_strict.py, so the
         # driver window is spent on the rows-only / sketch / crawl entries
         # that have no other recorded check.
+        "topk_spenders": R.q_topk_spenders,
+        "minmax_stats": R.q_minmax_stats,
+        "region_revenue": R.q_region_revenue,
         "sample_mod": R.q_sample_mod,
         "window_hourly": R.q_window_hourly,
         "sliding_window": R.q_sliding_window,
@@ -821,6 +829,75 @@ def oracle_sql() -> dict[str, str]:
               AND q.n_tokens >= 30 AND q.punct_ratio <= 0.05
             ORDER BY q.doc_id
         """.replace("{_NGRAM}", _NGRAM_PAIRS_SQL),
+        # PII scrub: same augmentation expression, same RE2 patterns (both
+        # engines run RE2), counts before redaction, global replace
+        "pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or call +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                            || '.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                           AS a
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(a,
+                       '@EMAIL@', '<EMAIL>', 'g'),
+                       '@PHONE@', '<PHONE>', 'g'),
+                       '@IP@', '<IP>', 'g') AS clean_text,
+                   len(regexp_extract_all(a, '@EMAIL@'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(a, '@PHONE@'))::BIGINT AS n_phones,
+                   len(regexp_extract_all(a, '@IP@'))::BIGINT AS n_ips
+            FROM aug ORDER BY doc_id
+        """.replace("@EMAIL@", C.EMAIL_PAT)
+           .replace("@PHONE@", C.PHONE_PAT)
+           .replace("@IP@", C.IP_PAT),
+        # decontamination: k-word shingle strings (k=4), DISTINCT per doc,
+        # semi-join train shingles against the benchmark set (doc_id%97==0)
+        "decontaminate": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') ws
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                       CASE WHEN len(ws) < 4
+                            THEN [array_to_string(ws, ' ')]
+                            ELSE [array_to_string(ws[i:i+3], ' ')
+                                  for i in range(1, len(ws) - 2)]
+                       END shs
+                   FROM w WHERE len(ws) >= 1),
+            e AS (SELECT DISTINCT doc_id, sh
+                  FROM (SELECT doc_id, unnest(shs) sh FROM sh)),
+            bench AS (SELECT DISTINCT sh FROM e WHERE doc_id % 97 = 0)
+            SELECT e.doc_id, count(*)::BIGINT AS n_shared
+            FROM e JOIN bench USING (sh)
+            WHERE e.doc_id % 97 <> 0
+            GROUP BY e.doc_id ORDER BY e.doc_id
+        """,
+        # repetition gate: integer counts; flagged via integer
+        # cross-multiplication (top bigram > 20% of bigrams OR distinct
+        # words < 50% of words)
+        "repetition_filter": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') ws
+                       FROM documents),
+            base AS (SELECT doc_id, len(ws)::BIGINT n_words,
+                            len(list_distinct(ws))::BIGINT n_distinct_words
+                     FROM w),
+            bg AS (SELECT doc_id,
+                          unnest([ws[i] || ' ' || ws[i+1]
+                                  for i in range(1, len(ws))]) b
+                   FROM w),
+            bt AS (SELECT doc_id, max(c)::BIGINT top_bigram_n
+                   FROM (SELECT doc_id, b, count(*) c FROM bg
+                         GROUP BY doc_id, b)
+                   GROUP BY doc_id)
+            SELECT base.doc_id, n_words, n_distinct_words,
+                   coalesce(top_bigram_n, 0)::BIGINT AS top_bigram_n,
+                   greatest(n_words - 1, 0)::BIGINT AS n_bigrams,
+                   (coalesce(top_bigram_n, 0) * 5 > greatest(n_words - 1, 0)
+                    OR n_distinct_words * 2 < n_words) AS flagged
+            FROM base LEFT JOIN bt USING (doc_id)
+            ORDER BY doc_id
+        """,
         "token_stats": r"""
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(regexp_extract_all(text, '\S+')))
