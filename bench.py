@@ -266,7 +266,17 @@ def _scaling_child(num_cpus: int) -> None:
 
 def scaling() -> None:
     results = {}
-    for n in (8, 32):
+    for i, n in enumerate((8, 32)):
+        if i:
+            # settle between children: the 8-cpu child ends with two 96M-URL
+            # control burns, so without a pause the 32-cpu ENGINE leg always
+            # starts on a hot (frequency/membw-throttled) box while the
+            # 8-cpu leg always starts fresh — a systematic bias against the
+            # ratio (2026-08-18: in-protocol 32-leg 8.4 M urls/s, standalone
+            # re-runs 10.5-11.2 M in the same probe-healthy window). The
+            # pause equalizes the two legs' thermal phase; it does not touch
+            # what is measured.
+            time.sleep(75)
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(n)
         p = subprocess.run(

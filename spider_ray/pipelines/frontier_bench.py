@@ -103,15 +103,17 @@ def scaling_parallelism(n_urls: int) -> int:
 
 def run_scaling_leg(n_urls: int) -> dict:
     """One scaling leg: untimed warm-up (spawns the worker pool), then
-    best-of-2 timed runs of the fixed ``SCALING_CHUNK``-granularity job.
-    Best-of-2 because one noise dip in ONE leg otherwise corrupts the
-    cross-leg RATIO (BASELINE.md run L). Shared by ``bench.py --scaling``
-    and ``tools/scaling_curve.py`` — the identical-job invariant lives
-    here, not in the callers."""
+    best-of-3 timed runs of the fixed ``SCALING_CHUNK``-granularity job.
+    Best-of-N because one noise dip in ONE leg otherwise corrupts the
+    cross-leg RATIO (BASELINE.md run L; raised 2→3 after the 2026-08-18
+    post-curation run where a best-of-2 32-leg still dipped 30% below a
+    standalone re-run minutes later in the same healthy-control window).
+    Shared by ``bench.py --scaling`` and ``tools/scaling_curve.py`` — the
+    identical-job invariant lives here, not in the callers."""
     run_frontier_bench(6_000_000, parallelism=scaling_parallelism(6_000_000))
     par = scaling_parallelism(n_urls)
     return max(
-        (run_frontier_bench(n_urls, parallelism=par) for _ in range(2)),
+        (run_frontier_bench(n_urls, parallelism=par) for _ in range(3)),
         key=lambda x: x["urls_per_s"],
     )
 
