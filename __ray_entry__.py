@@ -244,8 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_record": R.q_latest_record,
         "asof_join": R.q_asof_join,
         "range_join": R.q_range_join,
-        # filters / bands / unions (§2.2, §2.6, §2.7)
-        "filter_revenue": R.q_filter_revenue,
+        # filters / bands / unions (§2.2, §2.6, §2.7) — filter_revenue is
+        # double-covered by tools/oracle_strict.py and lives in the tail
         "priority_bands": R.q_priority_bands,
         "union_dedup": R.q_union_dedup,
         # dedup suite (SURVEY §2.7 + training-data ops)
@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": C.q_pii_redact,
         "decontaminate": C.q_decontaminate,
         "repetition_filter": C.q_repetition_filter,
+        # CLIP-score image<->caption alignment gate (LAION-style curation):
+        # per-pair cosine via hash co-partition on pair_id + one einsum per
+        # group — single-partner join shape, not the all-pairs neardup
+        "clip_align": M.q_clip_align,
         # text analysis
         "token_stats": T.q_token_stats,
         "bpe_token_count": T.q_bpe_token_count,
@@ -320,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_spenders": R.q_topk_spenders,
         "minmax_stats": R.q_minmax_stats,
         "region_revenue": R.q_region_revenue,
+        "filter_revenue": R.q_filter_revenue,
         "sample_mod": R.q_sample_mod,
         "window_hourly": R.q_window_hourly,
         "sliding_window": R.q_sliding_window,
@@ -897,6 +902,20 @@ def oracle_sql() -> dict[str, str]:
                     OR n_distinct_words * 2 < n_words) AS flagged
             FROM base LEFT JOIN bt USING (doc_id)
             ORDER BY doc_id
+        """,
+        # even vec_id = image side, vec_id+1 its caption; threshold 0.3 is
+        # >=9e-4 from every pair cosine at all three SFs, so the int flag is
+        # float-library-stable (multimodal.ALIGN_TAU)
+        "clip_align": """
+            SELECT pair_id, cosine,
+                   CAST(cosine >= 0.3 AS INTEGER) AS aligned FROM (
+                SELECT a.vec_id // 2 AS pair_id,
+                       list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]) AS cosine
+                FROM embeddings a JOIN embeddings b
+                  ON b.vec_id = a.vec_id + 1
+                WHERE a.vec_id % 2 = 0)
+            ORDER BY pair_id
         """,
         "token_stats": r"""
             SELECT lang, count(*) AS n_docs,

@@ -40,6 +40,7 @@ QUERY_NAMES = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "knn_bruteforce",
+    "clip_align",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

@@ -430,3 +430,75 @@ def q_video_frames(sf_dir: str) -> pa.Table:
         _concat(out.map_batches(project, batch_format="pyarrow")),
         ["video_id", "frame_idx"],
     )
+
+
+# --- CLIP-style image<->caption alignment gate -----------------------------
+
+# Alignment threshold for the gate flag. 0.3 sits >=9e-4 away from every
+# adjacent-pair cosine in the deterministic sf0.001/0.01/0.1 embeddings, so
+# the int flag is stable under any float library's last-ulp differences.
+ALIGN_TAU = 0.3
+_N_ALIGN_PARTS = 32
+
+
+def q_clip_align(sf_dir: str) -> pa.Table:
+    """CLIP-score alignment of (image, caption) embedding pairs — the
+    LAION-style curation gate: score every pair with the cosine of its two
+    embeddings and flag which pass the alignment threshold (downstream
+    filters consume the flag; emitting the score keeps the gate auditable).
+
+    Pairing convention over the ``embeddings`` table: even ``vec_id`` is the
+    image-side vector, ``vec_id + 1`` its caption; ``pair_id = vec_id >> 1``.
+    This is a DIFFERENT shape from ``q_embedding_neardup`` (all-pairs): here
+    each row joins exactly one partner, so the distributed form is a hash
+    co-partition on ``pair_id`` (both sides of a pair land in the same
+    partition by construction) followed by one vectorized einsum per group
+    — no N x N matrix anywhere, partition cardinality bounded by the part
+    count, never by the corpus. At 100 TB the same two-stage shape holds:
+    the shuffle moves (pair_id, embedding) once, the score is a per-row
+    kernel. Unpartnered rows (odd total) drop, matching the SQL inner join.
+    """
+    from spider_ray.functions.similarity import _ids64, _vec_matrix
+    from spider_ray.pipelines.relational import _concat, _sorted
+    from spider_ray.sources.tables import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        pair = _ids64(batch["vec_id"]) >> 1
+        return batch.append_column(
+            "pair_id", pa.array(pair, pa.int64())
+        ).append_column(
+            "part", pa.array(pair % _N_ALIGN_PARTS, pa.int32())
+        )
+
+    def gate(group: pa.Table) -> pa.Table:
+        ids = _ids64(group["vec_id"])
+        pair = _ids64(group["pair_id"])
+        M = _vec_matrix(group["embedding"])
+        a_idx = np.nonzero(ids % 2 == 0)[0]
+        b_idx = np.nonzero(ids % 2 == 1)[0]
+        common, ia, ib = np.intersect1d(
+            pair[a_idx], pair[b_idx], return_indices=True
+        )
+        A = M[a_idx[ia]]
+        B = M[b_idx[ib]]
+        cos = np.einsum("ij,ij->i", A, B) / np.maximum(
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-12
+        )
+        return pa.table(
+            {
+                "pair_id": pa.array(common, pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+                "aligned": pa.array(
+                    (cos >= ALIGN_TAU).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    out = (
+        emb.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gate, batch_format="pyarrow")
+    )
+    return _sorted(_concat(out), "pair_id")
