@@ -275,8 +275,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_align": M.q_clip_align,
         # text analysis
         "token_stats": T.q_token_stats,
-        "bpe_token_count": T.q_bpe_token_count,
         "quality_scores": T.q_quality_scores,
+        # vocab fit -> broadcast -> OOV transform (two-pass training-data
+        # op; bpe_token_count, same text-analysis class, moved to the
+        # double-covered tail to keep this inside the driver window)
+        "vocab_oov": T.q_vocab_oov,
         "charset_decode": T.q_charset_decode,
         "main_content": T.q_main_content,
         "langid": T.q_langid,
@@ -336,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": R.q_stratified_sample,
         "quantiles": R.q_quantiles,
         "url_parts": U.q_url_parts,
+        "bpe_token_count": T.q_bpe_token_count,
     }
     return q
 
@@ -916,6 +920,25 @@ def oracle_sql() -> dict[str, str]:
                   ON b.vec_id = a.vec_id + 1
                 WHERE a.vec_id % 2 = 0)
             ORDER BY pair_id
+        """,
+        # vocab = top-VOCAB_SIZE words by (count DESC, word ASC) — the
+        # deterministic tie-break both sides apply; docs with zero tokens
+        # survive via the LEFT JOIN from documents (text.VOCAB_SIZE = 64)
+        "vocab_oov": r"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+')) AS word
+                       FROM documents),
+            cnt AS (SELECT word, count(*) n FROM w GROUP BY word),
+            vocab AS (SELECT word FROM cnt ORDER BY n DESC, word LIMIT 64),
+            per AS (SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+                           sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0
+                               END)::BIGINT AS n_oov
+                    FROM w LEFT JOIN vocab v USING (word)
+                    GROUP BY w.doc_id)
+            SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(p.n_oov, 0)::BIGINT AS n_oov
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "token_stats": r"""
             SELECT lang, count(*) AS n_docs,

@@ -369,3 +369,72 @@ def q_main_content(sf_dir: str) -> pa.Table:
 
     return _sorted(_concat(ds.map_batches(run, batch_format="pyarrow")),
                    "doc_id")
+
+
+# --- tokenizer-vocab build + OOV rate (fit -> broadcast -> transform) ------
+
+VOCAB_SIZE = 64  # bounded by construction: the broadcast is O(VOCAB_SIZE)
+
+
+def q_vocab_oov(sf_dir: str) -> pa.Table:
+    """Tokenizer-vocab construction + per-doc OOV rate — the canonical
+    two-pass fit→transform of a training-data pipeline (build the vocab on
+    the corpus, then score every document against it).
+
+    Fit: per-block partial word counts (map-side combine) → NATIVE
+    distributed ``groupby(word)`` sum — vocabulary cardinality is unbounded
+    at corpus scale, so the merge must be a shuffle, never a driver-side
+    dict. Top-N selection is a distributed sort + ``limit``: only
+    ``VOCAB_SIZE`` rows ever reach the driver, with the deterministic
+    (count DESC, word ASC) tie-break reproduced verbatim in the oracle.
+    Transform: the vocab broadcasts once via ``ray.put`` and every block
+    scores vectorized (polars ``extract_all`` + ``list.eval(is_in)``).
+    Output stays integer (n_tokens, n_oov) so the check is hash-exact.
+    """
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(word=pl.col("text").str.extract_all(tk.NONWS_PAT))
+            .explode("word")
+            .drop_nulls()
+            .group_by("word")
+            .agg(n=pl.len().cast(pl.Int64))
+            .to_arrow()
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n"))
+    )
+    vocab_rows = (
+        counts.sort(["sum(n)", "word"], descending=[True, False])
+        .limit(VOCAB_SIZE)
+        .take_all()  # bounded: exactly VOCAB_SIZE rows
+    )
+    vocab_ref = ray.put([r["word"] for r in vocab_rows])
+
+    def oov(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        df = pl.from_arrow(batch).with_columns(
+            ws=pl.col("text").str.extract_all(tk.NONWS_PAT)
+        )
+        df = df.with_columns(
+            n_tokens=pl.col("ws").list.len().cast(pl.Int64),
+            n_oov=(
+                pl.col("ws").list.len()
+                - pl.col("ws")
+                .list.eval(pl.element().is_in(vocab))
+                .list.sum()
+            ).cast(pl.Int64),
+        )
+        return df.select("doc_id", "n_tokens", "n_oov").to_arrow()
+
+    out = ds.map_batches(oov, batch_format="pyarrow")
+    return _sorted(_concat(out), "doc_id")

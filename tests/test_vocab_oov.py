@@ -1,0 +1,104 @@
+"""Unit tests for the vocab-build + OOV-rate op (q_vocab_oov) on a crafted
+corpus exercising the tie-break at the vocab boundary and zero-token docs —
+SQL-oracle equivalence at both test SFs is swept by tools/oracle_strict.py."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import spider_ray.functions.text as text_mod
+from spider_ray.functions.text import q_vocab_oov
+
+DIR = "/tmp/spider_ray_test_vocab_oov"
+
+
+@pytest.fixture(scope="module")
+def corpus_dir():
+    shutil.rmtree(DIR, ignore_errors=True)
+    os.makedirs(DIR)
+    # vocab boundary tie: with VOCAB_SIZE patched to 3, words b/c tie at
+    # count 2 — (count DESC, word ASC) must pick b, drop c
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a a a b c",
+            "a b c d",
+            "",  # zero tokens: must still emit (0, 0)
+            "  \t \n ",  # whitespace only: also zero tokens
+            "e f g a",
+        ],
+    }
+    pq.write_table(
+        pa.table(rows), os.path.join(DIR, "documents.parquet"), row_group_size=2
+    )
+    yield DIR
+    shutil.rmtree(DIR, ignore_errors=True)
+
+
+def test_vocab_oov_tiebreak_and_empty_docs(corpus_dir, ray_session, monkeypatch):
+    monkeypatch.setattr(text_mod, "VOCAB_SIZE", 3)
+    t = q_vocab_oov(corpus_dir)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"]) for r in t.to_pylist()
+    }
+    # counts: a=5, b=2, c=2, d=1, e=1, f=1, g=1 → vocab {a, b, c}? No:
+    # top-3 by (count DESC, word ASC) = a(5), b(2), c(2) — b before c by
+    # word ASC but BOTH fit in 3 slots. OOV = everything not in {a, b, c}.
+    assert got == {
+        1: (5, 0),  # a a a b c — all in vocab
+        2: (4, 1),  # a b c d — d is OOV
+        3: (0, 0),
+        4: (0, 0),
+        5: (4, 3),  # e f g a — e, f, g OOV
+    }
+
+
+def test_vocab_oov_boundary_tie_is_deterministic(ray_session, monkeypatch):
+    # VOCAB_SIZE=2: slots for a + ONE of the count-2 tie {b, c} → word ASC
+    # keeps b, drops c. The oracle applies the same ORDER BY n DESC, word.
+    shutil.rmtree(DIR + "_tie", ignore_errors=True)
+    os.makedirs(DIR + "_tie")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["a a b c", "a b c"]}),
+        os.path.join(DIR + "_tie", "documents.parquet"),
+    )
+    monkeypatch.setattr(text_mod, "VOCAB_SIZE", 2)
+    try:
+        t = q_vocab_oov(DIR + "_tie")
+        got = {r["doc_id"]: (r["n_tokens"], r["n_oov"]) for r in t.to_pylist()}
+        assert got == {1: (4, 1), 2: (3, 1)}  # c is OOV in both docs
+    finally:
+        shutil.rmtree(DIR + "_tie", ignore_errors=True)
+
+
+def test_vocab_oov_testdata_vs_duckdb(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = q_vocab_oov(sf)
+    orc = duckdb.sql(
+        rf"""
+        WITH w AS (SELECT doc_id,
+                          unnest(regexp_extract_all(text, '\S+')) AS word
+                   FROM read_parquet('{sf}/documents.parquet')),
+        cnt AS (SELECT word, count(*) n FROM w GROUP BY word),
+        vocab AS (SELECT word FROM cnt
+                  ORDER BY n DESC, word LIMIT {text_mod.VOCAB_SIZE}),
+        per AS (SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+                       sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0
+                           END)::BIGINT AS n_oov
+                FROM w LEFT JOIN vocab v USING (word) GROUP BY w.doc_id)
+        SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(p.n_oov, 0)::BIGINT AS n_oov
+        FROM read_parquet('{sf}/documents.parquet') d
+        LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id
+        """
+    ).arrow()
+    for c in ("doc_id", "n_tokens", "n_oov"):
+        np.testing.assert_array_equal(
+            out[c].to_numpy(), orc[c].to_numpy(), err_msg=c
+        )
