@@ -8,9 +8,11 @@ every width while both bend at the same point, the bend is hardware.
 
 Both sides use the same sampling discipline: the Ray leg is
 ``run_scaling_leg`` (warm-up + best-of-2 of the fixed ``SCALING_CHUNK``
-job — the identical recipe ``bench.py --scaling`` runs), and the control
-leg is best-of-2 as well. Legs are interleaved Ray-then-control per width
-so each ratio is measured back-to-back, not curve-after-curve.
+job — the identical recipe ``bench.py --scaling`` runs, now best-of-3),
+and the control leg is best-of-2. Legs are interleaved Ray-then-control
+per width so each ratio is measured back-to-back, not curve-after-curve,
+with a 75 s settle between widths (same thermal-phase hygiene as
+``bench.py --scaling``).
 
 Run as a FILE, never piped to stdin: the control uses spawn
 multiprocessing, and a stdin ``__main__`` cannot be re-imported by spawn
@@ -27,6 +29,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 WIDTHS = (4, 8, 16, 32)
 
@@ -73,7 +76,14 @@ def main() -> None:
 
     ray_legs: dict[int, float] = {}
     ctl_legs: dict[int, float] = {}
-    for c in WIDTHS:
+    for i, c in enumerate(WIDTHS):
+        if i:
+            # settle between widths: each width ends with two control
+            # burns, so without a pause every Ray leg after the first
+            # starts on a hot (membw/frequency-throttled) box — the same
+            # systematic bias bench.py::scaling fixed (BASELINE.md,
+            # 2026-08-18); equalize the thermal phase, measure the same job
+            time.sleep(75)
         ray_legs[c] = _ray_leg(repo, c, n_urls)
         ctl_legs[c] = max(
             run_control_bench(n_urls, c)["urls_per_s"] for _ in range(2)
@@ -82,7 +92,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "paired scaling curve (frontier vs no-Ray control)",
         "n_urls": n_urls,
-        "runs_per_leg": 2,
+        "ray_runs_per_leg": 3,
+        "control_runs_per_leg": 2,
         "ray_urls_per_s": {str(c): round(v) for c, v in ray_legs.items()},
         "control_urls_per_s": {str(c): round(v) for c, v in ctl_legs.items()},
         "ray_over_control": {
