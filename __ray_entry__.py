@@ -238,7 +238,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_key_count": R.q_per_key_count,
         "conditional_agg": R.q_conditional_agg,
         # joins (SURVEY §2.4)
-        "broadcast_join": R.q_broadcast_join,
         "cogroup_join": R.q_cogroup_join,
         "anti_join": R.q_anti_join,
         "latest_record": R.q_latest_record,
@@ -250,6 +249,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_dedup": R.q_union_dedup,
         # dedup suite (SURVEY §2.7 + training-data ops)
         "exact_dedup": D.q_exact_dedup,
+        # span-level exact-substring dedup (Lee et al. 2022 shape):
+        # per-doc counts of W-word spans duplicated corpus-wide
+        # (broadcast_join, join class double-covered, moved to the tail)
+        "dup_spans": D.q_dup_spans,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,
         "simhash_pairs": D.q_simhash_pairs,
@@ -340,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles": R.q_quantiles,
         "url_parts": U.q_url_parts,
         "bpe_token_count": T.q_bpe_token_count,
+        "broadcast_join": R.q_broadcast_join,
     }
     return q
 
@@ -705,6 +709,22 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # stride-1 8-word spans (dedup.SPAN_W); a span is "duplicated" when
+        # its exact string occurs >1 time corpus-wide; docs with zero
+        # duplicated spans drop (inner semantics, matching the engine)
+        "dup_spans": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') ws
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest([array_to_string(list_slice(ws, i, i + 7),
+                                                  ' ')
+                                  for i in range(1, len(ws) - 6)]) AS sh
+                   FROM w),
+            cnt AS (SELECT sh, count(*) n FROM sh GROUP BY sh)
+            SELECT s.doc_id, count(*)::BIGINT AS n_dup
+            FROM sh s JOIN cnt USING (sh) WHERE n > 1
+            GROUP BY s.doc_id ORDER BY s.doc_id
         """,
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
         "minhash_lsh_pairs": _NGRAM_PAIRS_SQL,

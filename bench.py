@@ -41,6 +41,7 @@ QUERY_NAMES = [
     "minhash_lsh_pairs",
     "knn_bruteforce",
     "clip_align",
+    "vocab_oov",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

@@ -942,3 +942,79 @@ def q_corpus_curate(sf_dir: str) -> pa.Table:
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+# --- corpus-wide duplicated-span marking (exact-substring dedup shape) ------
+
+SPAN_W = 8  # words per span; spans are exact strings, stride 1
+_N_SPAN_PARTS = 64
+
+
+def q_dup_spans(sf_dir: str) -> pa.Table:
+    """Per-doc count of W-word spans that occur MORE THAN ONCE corpus-wide —
+    the span-level exact-substring dedup of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (2022), in its
+    shuffle-friendly shingle form (a distributed suffix array is the
+    letter-exact variant; stride-1 W-shingles mark the same repeated spans
+    at W-grain).
+
+    Shape: shingling is vectorized per block (polars shifted-window
+    ``concat_str`` over exploded tokens — a doc's tokens never cross a
+    block, each doc is one input row); span occurrences then hash-partition
+    by span and EACH partition resolves its own duplicate counts in one
+    ``map_groups`` (count per span, count per (span, doc), keep spans with
+    corpus count > 1) — span cardinality is unbounded, so no driver-side or
+    broadcast count table ever exists. The final per-doc sum is a NATIVE
+    distributed groupby. Docs with zero duplicated spans drop (matching the
+    SQL). At 100 TB you shuffle ``polyhash64(span)`` (8 bytes/occurrence,
+    2^-64 collisions; the simhash oracle shows the hash itself is
+    SQL-replayable) — here the spans ship verbatim so the oracle stays a
+    plain string groupby.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch)
+            .with_columns(ws=pl.col("text").str.extract_all(tk.NONWS_PAT))
+            .select("doc_id", "ws")
+            .explode("ws")
+            .drop_nulls("ws")
+        )
+        parts = [pl.col("ws")] + [
+            pl.col("ws").shift(-k).over("doc_id") for k in range(1, SPAN_W)
+        ]
+        df = (
+            df.with_columns(sh=pl.concat_str(parts, separator=" "))
+            .drop_nulls("sh")  # last W-1 positions of each doc
+            .select("doc_id", "sh")
+        )
+        h = hash64(df["sh"].to_arrow()).view(np.int64)
+        return df.with_columns(
+            part=pl.Series(h % _N_SPAN_PARTS, dtype=pl.Int32)
+        ).to_arrow()
+
+    def resolve(group: pa.Table) -> pa.Table:
+        g = pl.from_arrow(group)
+        cnt = g.group_by("sh").agg(n=pl.len())
+        per = g.group_by("sh", "doc_id").agg(c=pl.len().cast(pl.Int64))
+        out = (
+            per.join(cnt, on="sh")
+            .filter(pl.col("n") > 1)
+            .group_by("doc_id")
+            .agg(dup=pl.col("c").sum())
+        )
+        return out.to_arrow()
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(shingle, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("dup"))
+    )
+    t = _concat(out)
+    t = t.select(["doc_id", "sum(dup)"]).rename_columns(["doc_id", "n_dup"])
+    return _sorted(t, "doc_id")
