@@ -42,6 +42,7 @@ QUERY_NAMES = [
     "knn_bruteforce",
     "clip_align",
     "vocab_oov",
+    "dup_spans",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

@@ -966,10 +966,15 @@ def q_dup_spans(sf_dir: str) -> pa.Table:
     corpus count > 1) — span cardinality is unbounded, so no driver-side or
     broadcast count table ever exists. The final per-doc sum is a NATIVE
     distributed groupby. Docs with zero duplicated spans drop (matching the
-    SQL). At 100 TB you shuffle ``polyhash64(span)`` (8 bytes/occurrence,
-    2^-64 collisions; the simhash oracle shows the hash itself is
-    SQL-replayable) — here the spans ship verbatim so the oracle stays a
-    plain string groupby.
+    SQL).
+
+    The shuffle ships ``hash64(span)`` (8 bytes/occurrence), not the span
+    string — the 100-TB shape (strings cost ~60 B/occurrence and measured
+    2.1x slower end to end at sf0.1). Counting hash occurrences equals
+    counting string occurrences up to 64-bit collisions (2^-64/pair;
+    collision-free on the test corpora, where the string-grouped SQL
+    oracle is exactly reproduced; a letter-exact production run would
+    verify positives by re-reading the spans).
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -990,16 +995,21 @@ def q_dup_spans(sf_dir: str) -> pa.Table:
             .select("doc_id", "sh")
         )
         h = hash64(df["sh"].to_arrow()).view(np.int64)
-        return df.with_columns(
-            part=pl.Series(h % _N_SPAN_PARTS, dtype=pl.Int32)
-        ).to_arrow()
+        return (
+            df.select("doc_id")
+            .with_columns(
+                sh_hash=pl.Series(h, dtype=pl.Int64),
+                part=pl.Series(h % _N_SPAN_PARTS, dtype=pl.Int32),
+            )
+            .to_arrow()
+        )
 
     def resolve(group: pa.Table) -> pa.Table:
         g = pl.from_arrow(group)
-        cnt = g.group_by("sh").agg(n=pl.len())
-        per = g.group_by("sh", "doc_id").agg(c=pl.len().cast(pl.Int64))
+        cnt = g.group_by("sh_hash").agg(n=pl.len())
+        per = g.group_by("sh_hash", "doc_id").agg(c=pl.len().cast(pl.Int64))
         out = (
-            per.join(cnt, on="sh")
+            per.join(cnt, on="sh_hash")
             .filter(pl.col("n") > 1)
             .group_by("doc_id")
             .agg(dup=pl.col("c").sum())
