@@ -22,6 +22,7 @@ from spider_ray.functions import curation as C  # noqa: E402
 from spider_ray.functions import linkbase as L  # noqa: E402
 from spider_ray.functions import sketch as K  # noqa: E402
 from spider_ray.functions import dedup as D  # noqa: E402
+from spider_ray.functions import imagecurate as IC  # noqa: E402
 from spider_ray.functions import urls as U  # noqa: E402
 from spider_ray.functions import multimodal as M  # noqa: E402
 from spider_ray.functions import similarity as S  # noqa: E402
@@ -203,6 +204,40 @@ def _phash_neardup_query(sf_dir: str) -> Any:
     return phash_neardup(resolve_images(os.path.join(corpus, "images")))
 
 
+def _images_store(sf_dir: str) -> str:
+    """Resolved path of the deterministic demo image+caption store (the
+    input_hint schema) used by the image-curation suite — the same
+    2000-page corpus phash_neardup reads, big enough that every gate and
+    the phash pair graph have real selectivity."""
+    from spider_ray.sources.lance_io import resolve_images
+    from spider_ray.sources.webgen import generate
+
+    corpus = _build_once(
+        "/tmp/spider_ray_phash_corpus", "_DONE",
+        lambda d: generate(d, n_pages=2000, n_hosts=24, seed=42),
+    )
+    return resolve_images(os.path.join(corpus, "images"))
+
+
+def _image_filter_query(sf_dir: str) -> Any:
+    """LAION-style metadata/caption/payload gate with per-reason reject
+    bitmask over the input_hint image table (SQL-oracled bit-exact)."""
+    return IC.q_image_filter(_images_store(sf_dir))
+
+
+def _phash_clusters_query(sf_dir: str) -> Any:
+    """phash duplicate-cluster resolution: connected components over the
+    Hamming-verified pair graph, best-resolution representative per
+    cluster (SQL-oracled via recursive CTE + window row_number)."""
+    return IC.q_phash_clusters(_images_store(sf_dir))
+
+
+def _image_curate_query(sf_dir: str) -> Any:
+    """Composed image-corpus curation: every gate passes AND the image is
+    its cluster's best-resolution gate-passing representative."""
+    return IC.q_image_curate(_images_store(sf_dir))
+
+
 def entry() -> Any:
     """Flagship: the crawl loop end-to-end on a small deterministic corpus —
     returns the politeness-ordered crawl log (stable schema, ≥ 1 row)."""
@@ -237,15 +272,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": R.q_pricing_summary,
         "per_key_count": R.q_per_key_count,
         "conditional_agg": R.q_conditional_agg,
-        # joins (SURVEY §2.4)
+        # joins (SURVEY §2.4) — latest_record / range_join /
+        # priority_bands are double-covered by tools/oracle_strict.py and
+        # moved to the tail to keep the image-curation suite inside the
+        # driver's 50-row window
         "cogroup_join": R.q_cogroup_join,
         "anti_join": R.q_anti_join,
-        "latest_record": R.q_latest_record,
         "asof_join": R.q_asof_join,
-        "range_join": R.q_range_join,
-        # filters / bands / unions (§2.2, §2.6, §2.7) — filter_revenue is
-        # double-covered by tools/oracle_strict.py and lives in the tail
-        "priority_bands": R.q_priority_bands,
+        # filters / bands / unions (§2.2, §2.6, §2.7)
         "union_dedup": R.q_union_dedup,
         # dedup suite (SURVEY §2.7 + training-data ops)
         "exact_dedup": D.q_exact_dedup,
@@ -276,6 +310,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-pair cosine via hash co-partition on pair_id + one einsum per
         # group — single-partner join shape, not the all-pairs neardup
         "clip_align": M.q_clip_align,
+        # image-corpus curation over the input_hint image+caption table
+        # (LAION-style gates + phash cluster resolve + composed curate) —
+        # all three SQL-oracled bit-exact
+        "image_filter": _image_filter_query,
+        "phash_clusters": _phash_clusters_query,
+        "image_curate": _image_curate_query,
         # text analysis
         "token_stats": T.q_token_stats,
         "quality_scores": T.q_quality_scores,
@@ -328,6 +368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver window is spent on the rows-only / sketch / crawl entries
         # that have no other recorded check.
         "topk_spenders": R.q_topk_spenders,
+        "latest_record": R.q_latest_record,
+        "range_join": R.q_range_join,
+        "priority_bands": R.q_priority_bands,
         "minmax_stats": R.q_minmax_stats,
         "region_revenue": R.q_region_revenue,
         "filter_revenue": R.q_filter_revenue,
@@ -360,6 +403,26 @@ def oracle_sql() -> dict[str, str]:
     )
     phash_images = os.path.join(phash_corpus, "images.parquet")
     golden = _crawl_golden()
+
+    # shared by the image-curation oracles: the exact phash pair graph
+    # (same tau as functions/imagecurate.PHASH_TAU) and the gate input
+    # columns (same integer arithmetic as imagecurate._gate_columns —
+    # caption words are non-space runs, the aspect bound a cross-multiply)
+    phash_pairs = f"""
+        SELECT a.image_id AS a_id, b.image_id AS b_id
+        FROM (SELECT image_id, phash FROM '{phash_images}') a
+        JOIN (SELECT image_id, phash FROM '{phash_images}') b
+          ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """
+    image_gates = f"""
+        SELECT image_id,
+               CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h, fmt, caption,
+               CAST(length(regexp_extract_all(caption, '[^ ]+')) AS BIGINT)
+                   AS n_caption_words,
+               CAST(octet_length(bytes) AS BIGINT) AS byte_len
+        FROM '{phash_images}'
+    """
 
     def _ws(sql: str) -> str:
         """Rewrite every whitespace regex to the engine's frozen class
@@ -411,6 +474,98 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 6
             ORDER BY a_id, b_id
+        """,
+        "image_filter": f"""
+            -- LAION-style gates, integer-only arithmetic (bit-exact with
+            -- imagecurate._gate_columns): reject_mask bits 1=dim 2=aspect
+            -- 4=caption 8=bytes
+            WITH g AS ({image_gates}),
+            m AS (
+                SELECT *,
+                       CAST(CASE WHEN w < 24 OR h < 24 THEN 1 ELSE 0 END
+                          + CASE WHEN w > 2 * h OR h > 2 * w
+                                 THEN 2 ELSE 0 END
+                          + CASE WHEN n_caption_words < 5 THEN 4 ELSE 0 END
+                          + CASE WHEN byte_len < 1200 THEN 8 ELSE 0 END
+                          AS BIGINT) AS reject_mask
+                FROM g)
+            SELECT image_id, w, h, fmt, n_caption_words, byte_len,
+                   reject_mask,
+                   CAST(CASE WHEN reject_mask = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS kept
+            FROM m ORDER BY image_id
+        """,
+        "phash_clusters": f"""
+            -- connected components over the phash pair graph (recursive
+            -- CTE transitive closure; comp id = min member), cluster rep
+            -- = max-pixel member, ties to smallest image_id
+            WITH RECURSIVE p AS ({phash_pairs}),
+            edges AS (
+                SELECT a_id AS u, b_id AS v FROM p
+                UNION ALL SELECT b_id, a_id FROM p),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE r.u != e.v),
+            comp AS (SELECT u, least(u, min(v)) AS comp
+                     FROM reach GROUP BY u),
+            members AS (
+                SELECT c.u AS image_id, c.comp,
+                       CAST(i.w AS BIGINT) * i.h AS px
+                FROM comp c JOIN '{phash_images}' i ON i.image_id = c.u),
+            reps AS (
+                SELECT comp, image_id AS rep,
+                       row_number() OVER (
+                           PARTITION BY comp ORDER BY px DESC, image_id
+                       ) AS rn
+                FROM members)
+            SELECT i.image_id,
+                   coalesce(r.rep, i.image_id) AS cluster_rep,
+                   CAST(CASE WHEN coalesce(r.rep, i.image_id) = i.image_id
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_rep
+            FROM '{phash_images}' i
+            LEFT JOIN comp c ON c.u = i.image_id
+            LEFT JOIN (SELECT comp, rep FROM reps WHERE rn = 1) r
+                   ON r.comp = c.comp
+            ORDER BY image_id
+        """,
+        "image_curate": f"""
+            -- composed curation: survive iff every gate passes AND the
+            -- image is its cluster's best-resolution GATE-PASSING rep
+            -- (gate-passing singletons survive; all-failing clusters
+            -- contribute nothing)
+            WITH RECURSIVE g AS ({image_gates}),
+            passed AS (
+                SELECT image_id, w, h, fmt, caption
+                FROM g
+                WHERE w >= 24 AND h >= 24 AND w <= 2 * h AND h <= 2 * w
+                  AND n_caption_words >= 5 AND byte_len >= 1200),
+            p AS ({phash_pairs}),
+            edges AS (
+                SELECT a_id AS u, b_id AS v FROM p
+                UNION ALL SELECT b_id, a_id FROM p),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE r.u != e.v),
+            comp AS (SELECT u, least(u, min(v)) AS comp
+                     FROM reach GROUP BY u),
+            reps AS (
+                SELECT c.comp, m.image_id AS rep,
+                       row_number() OVER (
+                           PARTITION BY c.comp
+                           ORDER BY m.w * m.h DESC, m.image_id
+                       ) AS rn
+                FROM comp c JOIN passed m ON m.image_id = c.u)
+            SELECT m.image_id, m.w, m.h, m.fmt, m.caption
+            FROM passed m
+            LEFT JOIN comp c ON c.u = m.image_id
+            LEFT JOIN (SELECT comp, rep FROM reps WHERE rn = 1) r
+                   ON r.comp = c.comp
+            WHERE c.u IS NULL OR r.rep = m.image_id
+            ORDER BY m.image_id
         """,
         "pricing_summary": """
             -- exact integer-cent arithmetic so engine and oracle agree

@@ -43,6 +43,7 @@ QUERY_NAMES = [
     "clip_align",
     "vocab_oov",
     "dup_spans",
+    "image_curate",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

@@ -1,0 +1,299 @@
+"""Image-corpus curation over the input_hint image+caption table — the
+LAION-style gates a web-crawled image/caption dataset passes before
+training (Schuhmann et al. 2021, arXiv:2111.02114 §2.2: resolution /
+aspect-ratio / caption-length filters, then perceptual-hash dedup):
+
+* :func:`q_image_filter` — vectorized metadata + caption gates with an
+  auditable per-reason reject bitmask (one streamed ``map_batches`` pass,
+  no shuffle; the only column that moves is what the gate reads).
+* :func:`q_phash_clusters` — connected components over the verified
+  phash-Hamming pair graph (``multimodal.phash_neardup``), each image
+  labeled with its cluster's BEST-RESOLUTION representative (max ``w*h``,
+  ties → lexicographically-smallest ``image_id``) — the "which copy do we
+  keep" rule an image pipeline actually uses, vs. the min-id rule of the
+  text-side ``dedup.q_dup_clusters``.
+* :func:`q_image_curate` — the composed pipeline: keep exactly the images
+  that pass every gate AND are their cluster's best representative among
+  gate-passing members.
+
+All three are SQL-oracled bit-exact (integer-only gate arithmetic — the
+aspect bound is a cross-multiply, never a float ratio; components replay
+as a recursive CTE; rep selection as a window ``row_number``).
+
+Scale shape: the pair graph is sparse (near-dup graphs are), so
+union-find runs driver-side over pairs only and the comp/rep maps
+broadcast via ``ray.put`` into streamed labeling passes — the same
+small-side-broadcast discipline as J1/`dup_clusters`. Everything touching
+the corpus is a ``map_batches`` stream; the bytes column is read only by
+the byte-length gate and never shuffled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from spider_ray.pipelines.relational import _concat, _sorted
+from spider_ray.sources.lance_io import read_images
+
+# Gate constants — shared verbatim by the engine and the SQL oracle
+# (see __ray_entry__.oracle_sql). Chosen for real selectivity on the
+# deterministic demo corpus (each gate both passes and rejects images).
+MIN_DIM = 24  # min width AND height, px
+ASPECT_MAX = 2  # max(w/h, h/w) <= 2, enforced as w<=2h AND h<=2w
+MIN_CAPTION_WORDS = 5  # single-space-token count
+MIN_BYTES = 1200  # encoded payload floor (thumbnails/truncations)
+PHASH_TAU = 6  # Hamming radius for the near-dup pair graph
+
+# reject_mask bits (0 == kept)
+R_DIM = 1  # too small
+R_ASPECT = 2  # too elongated
+R_CAPTION = 4  # caption too short
+R_BYTES = 8  # payload too small
+
+# RE2-compatible on both engines; captions are single-space joined by
+# construction so non-space runs == words
+_WORD_PAT = "[^ ]+"
+
+
+def _gate_columns(batch: pa.Table) -> tuple[np.ndarray, ...]:
+    """Vectorized gate inputs for one Arrow batch: (w, h, n_caption_words,
+    byte_len, reject_mask), all int64 numpy arrays."""
+    w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ncap = (
+        pc.count_substring_regex(batch["caption"], _WORD_PAT)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    blen = (
+        pc.binary_length(batch["bytes"])
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    mask = np.zeros(len(w), dtype=np.int64)
+    mask |= np.where((w < MIN_DIM) | (h < MIN_DIM), R_DIM, 0)
+    mask |= np.where((w > ASPECT_MAX * h) | (h > ASPECT_MAX * w), R_ASPECT, 0)
+    mask |= np.where(ncap < MIN_CAPTION_WORDS, R_CAPTION, 0)
+    mask |= np.where(blen < MIN_BYTES, R_BYTES, 0)
+    return w, h, ncap, blen, mask
+
+
+_GATE_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption"]
+
+
+def q_image_filter(images_path: str) -> pa.Table:
+    """LAION-style image+caption quality gate: per-image metadata /
+    caption / payload checks with an auditable reject bitmask. One
+    embarrassingly-parallel streamed pass; downstream stages consume
+    ``kept`` (or an individual reason bit) without re-deriving anything."""
+    ds = read_images(images_path, columns=_GATE_COLS)
+
+    def gates(batch: pa.Table) -> pa.Table:
+        w, h, ncap, blen, mask = _gate_columns(batch)
+        return pa.table(
+            {
+                "image_id": batch["image_id"].cast(pa.string()),
+                "w": pa.array(w, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "fmt": batch["fmt"].cast(pa.string()),
+                "n_caption_words": pa.array(ncap, pa.int64()),
+                "byte_len": pa.array(blen, pa.int64()),
+                "reject_mask": pa.array(mask, pa.int64()),
+                "kept": pa.array((mask == 0).astype(np.int32), pa.int32()),
+            }
+        )
+
+    return _sorted(
+        _concat(ds.map_batches(gates, batch_format="pyarrow")), "image_id"
+    )
+
+
+def _components(pairs: pa.Table) -> dict[str, str]:
+    """Union-find over the (sparse) verified pair graph → node → component
+    id, where the component id is its lexicographically-smallest member
+    (matches the oracle's ``least(u, min(v))``). Every pair-graph node
+    appears in the map; corpus singletons (no pair) are implicitly their
+    own component."""
+    parent: dict[str, str] = {}
+    nodes: set[str] = set()
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["a_id"].to_pylist(), pairs["b_id"].to_pylist()):
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # every pair-graph node — including each component's root (the min-id
+    # member, which never receives a parent entry) — must appear in the
+    # map, or roots would be skipped by the member-stats pass and wrongly
+    # labeled/rep-eligible downstream
+    return {x: find(x) for x in nodes}
+
+
+def _member_stats(
+    images_path: str, comp_ref: "ray.ObjectRef", with_gates: bool
+) -> pa.Table:
+    """Sparse per-member stats for component nodes only: (image_id, comp,
+    px[, passed]). Streams the corpus once; output is bounded by the pair
+    graph's node count, never the corpus."""
+    cols = _GATE_COLS if with_gates else ["image_id", "w", "h"]
+    ds = read_images(images_path, columns=cols)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        m = ray.get(comp_ref)
+        ids = batch["image_id"].to_pylist()
+        sel = np.fromiter((i in m for i in ids), dtype=bool, count=len(ids))
+        sub = batch.filter(pa.array(sel))
+        sub_ids = sub["image_id"].to_pylist()
+        w = sub["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = sub["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "image_id": pa.array(sub_ids, pa.string()),
+            "comp": pa.array([m[i] for i in sub_ids], pa.string()),
+            "px": pa.array(w * h, pa.int64()),
+        }
+        if with_gates:
+            mask = _gate_columns(sub)[4]
+            out["passed"] = pa.array((mask == 0).astype(np.int32), pa.int32())
+        return pa.table(out)
+
+    schema = pa.schema(
+        [("image_id", pa.string()), ("comp", pa.string()), ("px", pa.int64())]
+        + ([("passed", pa.int32())] if with_gates else [])
+    )
+    return _concat(ds.map_batches(stats, batch_format="pyarrow"), schema=schema)
+
+
+def _pick_reps(stats: pa.Table, require_passed: bool) -> dict[str, str]:
+    """comp → representative: max px, ties to smallest image_id (the SQL
+    window ``ORDER BY px DESC, image_id``). Optionally only gate-passing
+    members are eligible (components with none get no rep)."""
+    best: dict[str, tuple[int, str]] = {}
+    passed = (
+        stats["passed"].to_pylist() if require_passed else [1] * stats.num_rows
+    )
+    for iid, comp, px, ok in zip(
+        stats["image_id"].to_pylist(),
+        stats["comp"].to_pylist(),
+        stats["px"].to_pylist(),
+        passed,
+    ):
+        if not ok:
+            continue
+        key = (-int(px), iid)
+        if comp not in best or key < best[comp]:
+            best[comp] = key
+    return {comp: key[1] for comp, key in best.items()}
+
+
+def q_phash_clusters(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
+    """Perceptual-hash duplicate-cluster resolution for images: connected
+    components over the Hamming-verified pair graph, every image labeled
+    with its cluster's best-resolution representative (singletons label
+    themselves). Distributed candidate/verify via ``phash_neardup``;
+    driver touches only the sparse pair graph and the comp/rep maps."""
+    from spider_ray.functions.multimodal import phash_neardup
+
+    comp = _components(phash_neardup(images_path, tau=tau))
+    comp_ref = ray.put(comp)
+    reps = _pick_reps(
+        _member_stats(images_path, comp_ref, with_gates=False),
+        require_passed=False,
+    )
+    rep_ref = ray.put(reps)
+
+    ds = read_images(images_path, columns=["image_id"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(comp_ref)
+        r = ray.get(rep_ref)
+        ids = batch["image_id"].to_pylist()
+        rep = [r[m[i]] if i in m else i for i in ids]
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "cluster_rep": pa.array(rep, pa.string()),
+                "is_rep": pa.array(
+                    np.fromiter(
+                        (a == b for a, b in zip(ids, rep)),
+                        dtype=np.int32,
+                        count=len(ids),
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    return _sorted(
+        _concat(ds.map_batches(label, batch_format="pyarrow")), "image_id"
+    )
+
+
+def q_image_curate(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
+    """Composed image-corpus curation (the LAION flow end to end): an
+    image survives iff it passes every :func:`q_image_filter` gate AND is
+    its phash-cluster's best-resolution representative among gate-passing
+    members (clusters whose members all fail contribute nothing;
+    gate-passing singletons survive). Returns the curated
+    (image_id, w, h, fmt, caption) table."""
+    from spider_ray.functions.multimodal import phash_neardup
+
+    comp = _components(phash_neardup(images_path, tau=tau))
+    comp_ref = ray.put(comp)
+    reps = _pick_reps(
+        _member_stats(images_path, comp_ref, with_gates=True),
+        require_passed=True,
+    )
+    rep_ref = ray.put(reps)
+
+    ds = read_images(images_path, columns=_GATE_COLS)
+
+    def curate(batch: pa.Table) -> pa.Table:
+        m = ray.get(comp_ref)
+        r = ray.get(rep_ref)
+        ids = batch["image_id"].to_pylist()
+        w, h, _ncap, _blen, mask = _gate_columns(batch)
+        keep = np.fromiter(
+            (
+                mask[i] == 0
+                and (ids[i] not in m or r.get(m[ids[i]]) == ids[i])
+                for i in range(len(ids))
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        kept = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "image_id": kept["image_id"].cast(pa.string()),
+                "w": kept["w"].cast(pa.int64()),
+                "h": kept["h"].cast(pa.int64()),
+                "fmt": kept["fmt"].cast(pa.string()),
+                "caption": kept["caption"].cast(pa.string()),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("w", pa.int64()),
+            ("h", pa.int64()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+        ]
+    )
+    return _sorted(
+        _concat(ds.map_batches(curate, batch_format="pyarrow"), schema=schema),
+        "image_id",
+    )

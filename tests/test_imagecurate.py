@@ -1,0 +1,150 @@
+"""Image-curation suite (functions/imagecurate.py): gate bitmask
+semantics, union-find component correctness (incl. the root-in-map
+property), best-resolution rep selection, and composed-curate parity
+against an independent brute-force reference on a controlled corpus.
+The SQL-oracle bit-exactness of all three queries is separately enforced
+by tools/oracle_strict.py / the driver."""
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from spider_ray.functions.imagecurate import (
+    MIN_BYTES,
+    MIN_CAPTION_WORDS,
+    MIN_DIM,
+    R_ASPECT,
+    R_BYTES,
+    R_CAPTION,
+    R_DIM,
+    _components,
+    q_image_curate,
+    q_image_filter,
+    q_phash_clusters,
+)
+from spider_ray.sources.lance_io import conform_images, write_images
+
+OK_CAPTION = "a plain five word caption"
+OK_BYTES = b"x" * MIN_BYTES
+
+
+def _store(tmp_path, rows):
+    tbl = conform_images(
+        pa.table(
+            {
+                "image_id": [r[0] for r in rows],
+                "bytes": [r[5] for r in rows],
+                "w": [r[1] for r in rows],
+                "h": [r[2] for r in rows],
+                "fmt": ["png"] * len(rows),
+                "caption": [r[4] for r in rows],
+                "phash": [r[3] for r in rows],
+            }
+        )
+    )
+    return write_images(tbl, str(tmp_path / "images"))
+
+
+# (id, w, h, phash, caption, bytes) — a controlled corpus exercising every
+# gate and cluster case:
+#   cluster {a1,a2,a3}: identical phash; a2 has the most pixels but fails
+#     the caption gate, so the CURATE rep falls to a3 (next px) while the
+#     pure CLUSTER rep is a2 — distinguishing the two rep rules
+#   cluster {b1,b2}: both fail gates → curate drops the whole cluster
+#   cluster {t1,t2}: equal px → tie breaks to the smaller id (t1)
+#   singletons: s_ok passes all gates, s_dim/s_asp/s_cap/s_byt each trip
+#     exactly one gate bit
+ROWS = [
+    # phash values are pairwise Hamming >= 31 across DIFFERENT clusters
+    # (identical within a cluster) so only the intended pairs band
+    ("a1", 100, 100, 0x0000000000000000, OK_CAPTION, OK_BYTES),
+    ("a2", 300, 300, 0x0000000000000000, "too short", OK_BYTES),
+    ("a3", 200, 200, 0x0000000000000000, OK_CAPTION, OK_BYTES),
+    ("b1", 10, 10, 0x7FFFFFFFFFFFFFFF, OK_CAPTION, OK_BYTES),
+    ("b2", 12, 12, 0x7FFFFFFFFFFFFFFF, OK_CAPTION, OK_BYTES),
+    ("t1", 50, 60, 0x00000000FFFFFFFF, OK_CAPTION, OK_BYTES),
+    ("t2", 60, 50, 0x00000000FFFFFFFF, OK_CAPTION, OK_BYTES),
+    ("s_ok", 64, 64, 0x0F0F0F0F0F0F0F0F, OK_CAPTION, OK_BYTES),
+    ("s_dim", 30, 20, 0x3333333333333333, OK_CAPTION, OK_BYTES),
+    ("s_asp", 90, 30, 0x5555555555555555, OK_CAPTION, OK_BYTES),
+    ("s_cap", 64, 64, 0x00FF00FF00FF00FF, "four words only here", OK_BYTES),
+    ("s_byt", 64, 64, 0x6666666666666666, OK_CAPTION, b"y" * (MIN_BYTES - 1)),
+]
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    return _store(tmp_path_factory.mktemp("imgcurate"), ROWS)
+
+
+def test_gate_bitmask(store):
+    t = q_image_filter(store)
+    m = dict(zip(t["image_id"].to_pylist(), t["reject_mask"].to_pylist()))
+    kept = dict(zip(t["image_id"].to_pylist(), t["kept"].to_pylist()))
+    assert m["s_ok"] == 0 and kept["s_ok"] == 1
+    assert m["s_dim"] == R_DIM
+    assert m["s_asp"] == R_ASPECT
+    assert m["s_cap"] == R_CAPTION
+    assert m["s_byt"] == R_BYTES
+    # b1 is both too small AND (10 <= 2*10) not elongated -> dim only
+    assert m["b1"] == R_DIM
+    assert m["a2"] == R_CAPTION
+    assert all(k == (v == 0) for k, v in zip(kept.values(), m.values()))
+    # gate constants really are the module constants (guards drift
+    # between engine and the SQL oracle's inlined literals)
+    assert (MIN_DIM, MIN_CAPTION_WORDS, MIN_BYTES) == (24, 5, 1200)
+
+
+def test_components_include_roots_and_match_bruteforce():
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)}
+    )
+    pairs = pa.table(
+        {
+            "a_id": [a for a, _ in edges],
+            "b_id": [b for _, b in edges],
+        }
+    )
+    got = _components(pairs)
+    # brute force: repeated relabel to the min neighbour
+    lab = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(lab[a], lab[b])
+            for x in (a, b):
+                if lab[x] != m:
+                    lab[x] = m
+                    changed = True
+    touched = {x for e in edges for x in e}
+    assert set(got) == touched  # every pair-graph node, ROOTS INCLUDED
+    assert got == {n: lab[n] for n in touched}
+
+
+def test_phash_clusters_best_px_rep(store):
+    t = q_phash_clusters(store)
+    rep = dict(zip(t["image_id"].to_pylist(), t["cluster_rep"].to_pylist()))
+    is_rep = dict(zip(t["image_id"].to_pylist(), t["is_rep"].to_pylist()))
+    # cluster rep rule ignores gates: a2 (300x300) wins its cluster even
+    # though its caption fails — and the ROOT member a1 is labeled with
+    # it, not with itself (the root-in-map regression)
+    assert rep["a1"] == rep["a2"] == rep["a3"] == "a2"
+    assert rep["b1"] == rep["b2"] == "b2"  # 12x12 > 10x10
+    assert rep["t1"] == rep["t2"] == "t1"  # equal px -> smaller id
+    assert rep["s_ok"] == "s_ok" and is_rep["s_ok"] == 1
+    assert [i for i, r in is_rep.items() if r] == sorted(set(rep.values()))
+
+
+def test_image_curate_composed(store):
+    t = q_image_curate(store)
+    kept = t["image_id"].to_pylist()
+    # a-cluster: a2 (best px) fails caption -> rep among PASSING is a3;
+    # b-cluster all fail -> nothing; tie cluster -> t1; passing singleton
+    # s_ok survives; every gate-failing singleton is gone
+    assert kept == ["a3", "s_ok", "t1"]
+    assert t.column_names == ["image_id", "w", "h", "fmt", "caption"]
+    assert t["w"].to_pylist() == [200, 64, 50]
