@@ -23,6 +23,7 @@ from spider_ray.functions import linkbase as L  # noqa: E402
 from spider_ray.functions import sketch as K  # noqa: E402
 from spider_ray.functions import dedup as D  # noqa: E402
 from spider_ray.functions import imagecurate as IC  # noqa: E402
+from spider_ray.functions import imageshard as IS  # noqa: E402
 from spider_ray.functions import urls as U  # noqa: E402
 from spider_ray.functions import multimodal as M  # noqa: E402
 from spider_ray.functions import similarity as S  # noqa: E402
@@ -238,6 +239,19 @@ def _image_curate_query(sf_dir: str) -> Any:
     return IC.q_image_curate(_images_store(sf_dir))
 
 
+def _aspect_buckets_query(sf_dir: str) -> Any:
+    """SDXL-style aspect-ratio bucketing: integer-exact cross-multiplied
+    argmin over the fixed prototype set (SQL-oracled bit-exact)."""
+    return IS.q_aspect_buckets(_images_store(sf_dir))
+
+
+def _image_shard_pack_query(sf_dir: str) -> Any:
+    """WebDataset-style byte-budget shard layout: per-range distributed
+    greedy pack + O(ranges) offset cumsum (SQL-oracled via lockstep
+    recursive CTE)."""
+    return IS.q_image_shard_pack(_images_store(sf_dir))
+
+
 def entry() -> Any:
     """Flagship: the crawl loop end-to-end on a small deterministic corpus —
     returns the politeness-ordered crawl log (stable schema, ≥ 1 row)."""
@@ -316,6 +330,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_filter": _image_filter_query,
         "phash_clusters": _phash_clusters_query,
         "image_curate": _image_curate_query,
+        # training-layout ops for the image corpus (aspect bucketing +
+        # WebDataset shard packing) — SQL-oracled bit-exact; the text ops
+        # charset_decode / main_content move to the tail (both carry
+        # golden-fixture pytest suites AND strict double-coverage)
+        "aspect_buckets": _aspect_buckets_query,
+        "image_shard_pack": _image_shard_pack_query,
         # text analysis
         "token_stats": T.q_token_stats,
         "quality_scores": T.q_quality_scores,
@@ -323,8 +343,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # op; bpe_token_count, same text-analysis class, moved to the
         # double-covered tail to keep this inside the driver window)
         "vocab_oov": T.q_vocab_oov,
-        "charset_decode": T.q_charset_decode,
-        "main_content": T.q_main_content,
         "langid": T.q_langid,
         "fingerprints": T.q_fingerprints,
         "mixture_sample": T.q_mixture_sample,
@@ -368,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver window is spent on the rows-only / sketch / crawl entries
         # that have no other recorded check.
         "topk_spenders": R.q_topk_spenders,
+        "charset_decode": T.q_charset_decode,
+        "main_content": T.q_main_content,
         "latest_record": R.q_latest_record,
         "range_join": R.q_range_join,
         "priority_bands": R.q_priority_bands,
@@ -566,6 +586,78 @@ def oracle_sql() -> dict[str, str]:
                    ON r.comp = c.comp
             WHERE c.u IS NULL OR r.rep = m.image_id
             ORDER BY m.image_id
+        """,
+        "aspect_buckets": f"""
+            -- SDXL-style aspect bucketing: integer-exact cross-multiplied
+            -- argmin over the prototype set (bw,bh,mult) shared verbatim
+            -- with functions/imageshard.ASPECT_BUCKETS (mult = LCM/bh);
+            -- first-minimum tie-break == lowest bucket_id
+            WITH proto(bucket_id, bw, bh, mult) AS (
+                VALUES (0, 1, 2, 3), (1, 2, 3, 2), (2, 1, 1, 6),
+                       (3, 3, 2, 3), (4, 2, 1, 6)),
+            scored AS (
+                SELECT i.image_id,
+                       CAST(i.w AS BIGINT) AS w, CAST(i.h AS BIGINT) AS h,
+                       CAST(p.bucket_id AS BIGINT) AS bucket_id,
+                       CAST(p.bw AS BIGINT) AS bucket_w,
+                       CAST(p.bh AS BIGINT) AS bucket_h,
+                       abs(CAST(i.w AS BIGINT) * p.bh
+                           - CAST(i.h AS BIGINT) * p.bw) * p.mult AS score
+                FROM '{phash_images}' i CROSS JOIN proto p),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY image_id
+                           ORDER BY score, bucket_id) AS rn
+                FROM scored)
+            SELECT image_id, w, h, bucket_id, bucket_w, bucket_h
+            FROM ranked WHERE rn = 1 ORDER BY image_id
+        """,
+        "image_shard_pack": f"""
+            -- WebDataset-style greedy shard pack, reproduced as a lockstep
+            -- recursive CTE (one row per range per step) + window cumsum
+            -- of per-range shard counts — bit-exact with
+            -- functions/imageshard.q_image_shard_pack (budget 16384,
+            -- range 128, seq = trailing digits of image_id)
+            WITH RECURSIVE s AS (
+                SELECT image_id,
+                       CAST(regexp_extract(image_id, '(\\d+)$', 1)
+                            AS BIGINT) AS seq,
+                       CAST(octet_length(bytes) AS BIGINT) AS n_bytes
+                FROM '{phash_images}'),
+            r AS (
+                SELECT *, seq // 128 AS range_id,
+                       row_number() OVER (
+                           PARTITION BY seq // 128 ORDER BY seq) AS rn
+                FROM s),
+            walk(range_id, rn, image_id, seq, n_bytes, fill,
+                 local_shard) AS (
+                SELECT range_id, rn, image_id, seq, n_bytes, n_bytes,
+                       CAST(0 AS BIGINT)
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.range_id, r.rn, r.image_id, r.seq, r.n_bytes,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + r.n_bytes > 16384
+                            THEN r.n_bytes ELSE w.fill + r.n_bytes END,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + r.n_bytes > 16384
+                            THEN w.local_shard + 1 ELSE w.local_shard END
+                FROM walk w
+                JOIN r ON r.range_id = w.range_id AND r.rn = w.rn + 1),
+            counts AS (
+                SELECT range_id, max(local_shard) + 1 AS n_shards
+                FROM walk GROUP BY range_id),
+            offs AS (
+                SELECT range_id,
+                       CAST(coalesce(sum(n_shards) OVER (
+                           ORDER BY range_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS base
+                FROM counts)
+            SELECT w.image_id, w.seq, w.n_bytes,
+                   o.base + w.local_shard AS shard
+            FROM walk w JOIN offs o ON o.range_id = w.range_id
+            ORDER BY w.seq
         """,
         "pricing_summary": """
             -- exact integer-cent arithmetic so engine and oracle agree

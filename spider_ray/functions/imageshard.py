@@ -1,0 +1,170 @@
+"""Training-layout operators for the input_hint image+caption table —
+how a curated image corpus is physically arranged for a dataloader:
+
+* :func:`q_aspect_buckets` — SDXL-style aspect-ratio bucketing (Podell
+  et al. 2023, arXiv:2307.01952 App. I): every image is assigned the
+  closest of a fixed set of aspect-ratio prototypes so batches can be
+  formed from same-shape images without destructive center-crops. The
+  argmin is INTEGER-exact: |w/h - bw/bh| comparisons are cross-multiplied
+  (score = |w*bh - h*bw| * (L/bh), L = lcm of the prototype denominators)
+  so engine and SQL oracle agree bit-for-bit — no float ratios anywhere.
+* :func:`q_image_shard_pack` — WebDataset-style shard layout (Aizman et
+  al. 2019 "High Performance I/O For Large Scale Deep Learning": training
+  corpora ship as fixed-size sequential shards, not per-sample files):
+  greedily pack images, in corpus order, into shards of ≤ SHARD_BUDGET
+  payload bytes. Distributed as the same per-range pack + O(ranges)
+  offset-cumsum shape as ``text.q_sequence_pack`` / O2 bin-pack: ranges
+  of SHARD_RANGE consecutive images pack independently inside a
+  ``groupby(range).map_groups``, a tiny (range → shard count) table
+  prefix-sums driver-side, and a second streamed pass adds each range's
+  base — shards never span a range boundary (defined semantics: at most
+  one underfull shard per SHARD_RANGE images), shard ids stay globally
+  contiguous, and a failed run resumes per range.
+
+Both are SQL-oracled bit-exact (bucket argmin as a window ``row_number``
+over the cross-multiplied scores; the greedy walk as a lockstep recursive
+CTE, one row per range per step).
+
+Scale shape: bucketing is one embarrassingly-parallel streamed pass over
+(image_id, w, h) — the bytes column never moves. Shard packing reads only
+(image_id, byte length); the driver holds the O(ranges) offset map and
+nothing proportional to the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from spider_ray.pipelines.relational import _concat, _sorted
+from spider_ray.sources.lance_io import read_images
+
+# Aspect-ratio prototypes (bw : bh), portrait → landscape. Shared
+# verbatim by the SQL oracle (__ray_entry__.oracle_sql). The corpus dims
+# span 16-48 px → ratios in [1/3, 3], so every prototype wins somewhere.
+ASPECT_BUCKETS = [(1, 2), (2, 3), (1, 1), (3, 2), (2, 1)]
+_LCM_BH = math.lcm(*(bh for _, bh in ASPECT_BUCKETS))
+
+SHARD_BUDGET = 16_384  # payload bytes per shard
+SHARD_RANGE = 128  # images per independent pack range
+
+
+def q_aspect_buckets(images_path: str) -> pa.Table:
+    """Assign every image the closest aspect-ratio prototype from
+    ASPECT_BUCKETS (integer-exact cross-multiplied argmin; ties break to
+    the lowest bucket index, i.e. the more-portrait prototype). One
+    streamed pass over pruned (image_id, w, h)."""
+    ds = read_images(images_path, columns=["image_id", "w", "h"])
+    # (n_buckets, ) integer constants, hoisted once
+    bw = np.array([b for b, _ in ASPECT_BUCKETS], dtype=np.int64)
+    bh = np.array([b for _, b in ASPECT_BUCKETS], dtype=np.int64)
+    mult = _LCM_BH // bh
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # scores[i,k] = |w/h - bw_k/bh_k| * (h * LCM), integer-exact
+        scores = np.abs(np.outer(w, bh) - np.outer(h, bw)) * mult
+        k = np.argmin(scores, axis=1)  # first minimum == lowest index
+        return pa.table(
+            {
+                "image_id": batch["image_id"].cast(pa.string()),
+                "w": pa.array(w, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "bucket_id": pa.array(k.astype(np.int64), pa.int64()),
+                "bucket_w": pa.array(bw[k], pa.int64()),
+                "bucket_h": pa.array(bh[k], pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(ds.map_batches(assign, batch_format="pyarrow")), "image_id"
+    )
+
+
+_SEQ_PAT = r"(\d+)$"  # corpus ids carry a trailing per-corpus sequence
+
+
+def q_image_shard_pack(images_path: str) -> pa.Table:
+    """Greedy WebDataset-style shard assignment: walk images in corpus
+    (seq) order, open a new shard whenever the next payload would push
+    the current one past SHARD_BUDGET bytes (an oversized single image
+    gets a shard of its own). Per-range distributed pack + O(ranges)
+    driver cumsum; shard ids globally contiguous."""
+    import polars as pl
+
+    ds = read_images(images_path, columns=["image_id", "bytes"])
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        lf = pl.from_arrow(
+            pa.table(
+                {
+                    "image_id": batch["image_id"].cast(pa.string()),
+                    "n_bytes": pc.binary_length(batch["bytes"]).cast(
+                        pa.int64()
+                    ),
+                }
+            )
+        ).with_columns(
+            seq=pl.col("image_id").str.extract(_SEQ_PAT, 1).cast(pl.Int64)
+        )
+        return (
+            lf.with_columns(range_id=pl.col("seq") // SHARD_RANGE)
+            .select("image_id", "seq", "n_bytes", "range_id")
+            .to_arrow()
+        )
+
+    def pack_range(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("seq")
+        shards, fill, s = [], 0, 0
+        for n in df["n_bytes"].to_list():
+            if fill > 0 and fill + n > SHARD_BUDGET:
+                s += 1
+                fill = 0
+            fill += n
+            shards.append(s)
+        return df.with_columns(
+            local_shard=pl.Series(shards, dtype=pl.Int64)
+        ).to_arrow()
+
+    from ray.data.aggregate import Max
+
+    packed = (
+        ds.map_batches(sizes, batch_format="pyarrow")
+        .groupby("range_id")
+        .map_groups(pack_range, batch_format="pyarrow")
+        .materialize()
+    )
+    counts = packed.groupby("range_id").aggregate(Max("local_shard")).to_pandas()
+    counts = counts.sort_values("range_id", ignore_index=True)
+    n_shards = counts["max(local_shard)"].to_numpy() + 1
+    offsets = dict(
+        zip(
+            counts["range_id"].tolist(),
+            np.concatenate([[0], np.cumsum(n_shards)[:-1]]).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def add_offset(batch: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        rid = batch["range_id"].to_pylist()
+        base = np.array([off[r] for r in rid], dtype=np.int64)
+        local = batch["local_shard"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "seq": batch["seq"],
+                "n_bytes": batch["n_bytes"],
+                "shard": pa.array(base + local, pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(packed.map_batches(add_offset, batch_format="pyarrow")),
+        "seq",
+    )

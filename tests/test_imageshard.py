@@ -1,0 +1,150 @@
+"""Training-layout ops (functions/imageshard.py): aspect-ratio bucket
+argmin semantics (integer-exact, first-minimum tie-break) against a
+Fraction-arithmetic reference, and WebDataset shard packing against a
+single-process greedy reference — budget, oversize-singleton, range
+independence and global shard-id contiguity invariants. SQL-oracle
+bit-exactness of both queries is separately enforced by
+tools/oracle_strict.py / the driver."""
+
+import random
+from fractions import Fraction
+
+import pyarrow as pa
+import pytest
+
+from spider_ray.functions.imageshard import (
+    ASPECT_BUCKETS,
+    SHARD_BUDGET,
+    SHARD_RANGE,
+    q_aspect_buckets,
+    q_image_shard_pack,
+)
+from spider_ray.sources.lance_io import conform_images, write_images
+
+N = 300  # spans 3 pack ranges (SHARD_RANGE=128)
+
+
+def _sizes(rng):
+    """Payload sizes exercising every pack case: mostly small, some that
+    exactly hit the budget boundary, and a few oversize singletons."""
+    out = []
+    for i in range(N):
+        r = rng.random()
+        if r < 0.02:
+            out.append(SHARD_BUDGET + rng.randrange(1, 5000))  # oversize
+        elif r < 0.06:
+            out.append(SHARD_BUDGET)  # exact fit
+        else:
+            out.append(rng.randrange(200, 7000))
+    return out
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    rng = random.Random(20240819)
+    sizes = _sizes(rng)
+    tbl = conform_images(
+        pa.table(
+            {
+                "image_id": [f"img{i:05d}" for i in range(N)],
+                "bytes": [b"x" * n for n in sizes],
+                "w": [rng.randrange(16, 49) for _ in range(N)],
+                "h": [rng.randrange(16, 49) for _ in range(N)],
+                "fmt": ["png"] * N,
+                "caption": ["a plain five word caption"] * N,
+                "phash": [rng.getrandbits(63) for _ in range(N)],
+            }
+        )
+    )
+    return write_images(tbl, str(tmp_path_factory.mktemp("shard") / "images"))
+
+
+def test_aspect_buckets_match_fraction_reference(store):
+    t = q_aspect_buckets(store)
+    assert t.column_names == [
+        "image_id", "w", "h", "bucket_id", "bucket_w", "bucket_h",
+    ]
+    got = {
+        r["image_id"]: (r["bucket_id"], r["bucket_w"], r["bucket_h"])
+        for r in t.to_pylist()
+    }
+    assert len(got) == N
+    for r in t.to_pylist():
+        ratio = Fraction(r["w"], r["h"])
+        dists = [abs(ratio - Fraction(bw, bh)) for bw, bh in ASPECT_BUCKETS]
+        k = dists.index(min(dists))  # first minimum == lowest bucket index
+        assert got[r["image_id"]] == (k, *ASPECT_BUCKETS[k]), r
+
+
+def test_aspect_buckets_tie_breaks_low_index(ray_session, tmp_path):
+    # 7/12 is exactly halfway between prototypes 1/2 and 2/3 -> the
+    # integer argmin must break to the lower bucket_id (more portrait)
+    tbl = conform_images(
+        pa.table(
+            {
+                "image_id": ["tie0"],
+                "bytes": [b"x" * 2000],
+                "w": [7],
+                "h": [12],
+                "fmt": ["png"],
+                "caption": ["a plain five word caption"],
+                "phash": [0],
+            }
+        )
+    )
+    path = write_images(tbl, str(tmp_path / "images"))
+    t = q_aspect_buckets(path)
+    assert t["bucket_id"].to_pylist() == [0]
+    assert t["bucket_w"].to_pylist() == [1]
+    assert t["bucket_h"].to_pylist() == [2]
+
+
+def _greedy_reference(sizes):
+    """Single-process per-range greedy pack + offset cumsum."""
+    shard_of = [0] * len(sizes)
+    base = 0
+    for start in range(0, len(sizes), SHARD_RANGE):
+        fill, local = 0, 0
+        for i in range(start, min(start + SHARD_RANGE, len(sizes))):
+            n = sizes[i]
+            if fill > 0 and fill + n > SHARD_BUDGET:
+                local += 1
+                fill = 0
+            fill += n
+            shard_of[i] = base + local
+        base += local + 1
+    return shard_of
+
+
+def test_shard_pack_matches_greedy_reference(store):
+    t = q_image_shard_pack(store)
+    assert t.column_names == ["image_id", "seq", "n_bytes", "shard"]
+    rows = sorted(t.to_pylist(), key=lambda r: r["seq"])
+    assert [r["seq"] for r in rows] == list(range(N))
+    sizes = [r["n_bytes"] for r in rows]
+    assert [r["shard"] for r in rows] == _greedy_reference(sizes)
+
+
+def test_shard_pack_invariants(store):
+    rows = sorted(q_image_shard_pack(store).to_pylist(), key=lambda r: r["seq"])
+    fills = {}
+    for r in rows:
+        fills.setdefault(r["shard"], []).append(r["n_bytes"])
+    # shard ids globally contiguous from 0
+    assert sorted(fills) == list(range(len(fills)))
+    for members in fills.values():
+        # budget respected, except an oversize image alone in its shard
+        assert sum(members) <= SHARD_BUDGET or len(members) == 1
+    # shards never span a range boundary; each range's ids are a
+    # contiguous interval disjoint from every other range's
+    by_range = {}
+    for r in rows:
+        by_range.setdefault(r["seq"] // SHARD_RANGE, set()).add(r["shard"])
+    spans = sorted(
+        (min(s), max(s)) for s in by_range.values()
+    )
+    for (lo, hi), (lo2, _) in zip(spans, spans[1:]):
+        assert hi < lo2
+    # monotone: shard ids never decrease in seq order
+    shard_seq = [r["shard"] for r in rows]
+    assert shard_seq == sorted(shard_seq)
