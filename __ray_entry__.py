@@ -252,6 +252,14 @@ def _image_shard_pack_query(sf_dir: str) -> Any:
     return IS.q_image_shard_pack(_images_store(sf_dir))
 
 
+def _shard_manifest_query(sf_dir: str) -> Any:
+    """Per-shard lineage/integrity manifest over the shard-pack layout:
+    pack range (resume unit), counts, byte totals, seq interval, and an
+    order-free mix64 xor checksum — per-batch combiner + hash-partitioned
+    merge (SQL-oracled bit-exact including the checksum)."""
+    return IS.q_shard_manifest(_images_store(sf_dir))
+
+
 def entry() -> Any:
     """Flagship: the crawl loop end-to-end on a small deterministic corpus —
     returns the politeness-ordered crawl log (stable schema, ≥ 1 row)."""
@@ -407,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parts": U.q_url_parts,
         "bpe_token_count": T.q_bpe_token_count,
         "broadcast_join": R.q_broadcast_join,
+        "shard_manifest": _shard_manifest_query,
     }
     return q
 
@@ -658,6 +667,69 @@ def oracle_sql() -> dict[str, str]:
                    o.base + w.local_shard AS shard
             FROM walk w JOIN offs o ON o.range_id = w.range_id
             ORDER BY w.seq
+        """,
+        "shard_manifest": f"""
+            -- per-shard lineage/integrity manifest: the image_shard_pack
+            -- recursive-CTE walk re-derives the assignment, then a
+            -- GROUP BY shard rolls up counts/bytes/seq-interval plus the
+            -- engine's xor checksum of mix64_int(seq, seed=n_bytes),
+            -- replayed with HUGEINT modular arithmetic
+            -- (functions/imageshard.q_shard_manifest)
+            WITH RECURSIVE s AS (
+                SELECT image_id,
+                       CAST(regexp_extract(image_id, '(\\d+)$', 1)
+                            AS BIGINT) AS seq,
+                       CAST(octet_length(bytes) AS BIGINT) AS n_bytes
+                FROM '{phash_images}'),
+            r AS (
+                SELECT *, seq // 128 AS range_id,
+                       row_number() OVER (
+                           PARTITION BY seq // 128 ORDER BY seq) AS rn
+                FROM s),
+            walk(range_id, rn, seq, n_bytes, fill, local_shard) AS (
+                SELECT range_id, rn, seq, n_bytes, n_bytes,
+                       CAST(0 AS BIGINT)
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.range_id, r.rn, r.seq, r.n_bytes,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + r.n_bytes > 16384
+                            THEN r.n_bytes ELSE w.fill + r.n_bytes END,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + r.n_bytes > 16384
+                            THEN w.local_shard + 1 ELSE w.local_shard END
+                FROM walk w
+                JOIN r ON r.range_id = w.range_id AND r.rn = w.rn + 1),
+            counts AS (
+                SELECT range_id, max(local_shard) + 1 AS n_shards
+                FROM walk GROUP BY range_id),
+            offs AS (
+                SELECT range_id,
+                       CAST(coalesce(sum(n_shards) OVER (
+                           ORDER BY range_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS base
+                FROM counts),
+            pack AS (
+                SELECT w.range_id, w.seq, w.n_bytes,
+                       o.base + w.local_shard AS shard
+                FROM walk w JOIN offs o ON o.range_id = w.range_id),
+            k1 AS (
+                SELECT *, CAST((CAST(seq AS HUGEINT) * 2654435761 + n_bytes)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                FROM pack),
+            k2 AS (SELECT * REPLACE (xor(u, u >> 29) AS u) FROM k1),
+            k3 AS (SELECT * REPLACE (
+                       CAST((CAST(u AS HUGEINT) * 2246822519)
+                            % 18446744073709551616 AS UBIGINT) AS u)
+                   FROM k2),
+            k4 AS (SELECT * REPLACE (xor(u, u >> 32) AS u) FROM k3)
+            SELECT shard, min(range_id) AS range_id,
+                   count(*) AS n_images,
+                   CAST(sum(n_bytes) AS BIGINT) AS payload_bytes,
+                   min(seq) AS first_seq, max(seq) AS last_seq,
+                   bit_xor(u) AS checksum
+            FROM k4 GROUP BY shard ORDER BY shard
         """,
         "pricing_summary": """
             -- exact integer-cent arithmetic so engine and oracle agree

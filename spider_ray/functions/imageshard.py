@@ -89,12 +89,13 @@ def q_aspect_buckets(images_path: str) -> pa.Table:
 _SEQ_PAT = r"(\d+)$"  # corpus ids carry a trailing per-corpus sequence
 
 
-def q_image_shard_pack(images_path: str) -> pa.Table:
-    """Greedy WebDataset-style shard assignment: walk images in corpus
-    (seq) order, open a new shard whenever the next payload would push
-    the current one past SHARD_BUDGET bytes (an oversized single image
-    gets a shard of its own). Per-range distributed pack + O(ranges)
-    driver cumsum; shard ids globally contiguous."""
+def _shard_assignments(images_path: str) -> "ray.data.Dataset":
+    """The distributed greedy pack as a streaming Dataset of
+    (image_id, seq, n_bytes, range_id, shard) — shared by
+    :func:`q_image_shard_pack` (the per-image assignment view) and
+    :func:`q_shard_manifest` (the per-shard lineage/integrity view).
+    Per-range independent pack inside ``groupby(range).map_groups`` +
+    O(ranges) driver offset cumsum; see module docstring."""
     import polars as pl
 
     ds = read_images(images_path, columns=["image_id", "bytes"])
@@ -160,11 +161,108 @@ def q_image_shard_pack(images_path: str) -> pa.Table:
                 "image_id": batch["image_id"],
                 "seq": batch["seq"],
                 "n_bytes": batch["n_bytes"],
+                "range_id": batch["range_id"],
                 "shard": pa.array(base + local, pa.int64()),
             }
         )
 
-    return _sorted(
-        _concat(packed.map_batches(add_offset, batch_format="pyarrow")),
-        "seq",
+    return packed.map_batches(add_offset, batch_format="pyarrow")
+
+
+def q_image_shard_pack(images_path: str) -> pa.Table:
+    """Greedy WebDataset-style shard assignment: walk images in corpus
+    (seq) order, open a new shard whenever the next payload would push
+    the current one past SHARD_BUDGET bytes (an oversized single image
+    gets a shard of its own). Per-range distributed pack + O(ranges)
+    driver cumsum; shard ids globally contiguous."""
+    ds = _shard_assignments(images_path).select_columns(
+        ["image_id", "seq", "n_bytes", "shard"]
     )
+    return _sorted(_concat(ds), "seq")
+
+
+def q_shard_manifest(images_path: str) -> pa.Table:
+    """Per-shard lineage/integrity manifest over the shard-pack layout —
+    the "per-partition lineage + metrics" record a resumable writer
+    checkpoints next to each shard: which pack range produced it
+    (``range_id`` — the resume unit), how many images and payload bytes
+    it holds, its seq interval, and a content checksum
+    (xor of ``mix64_int(seq, seed=n_bytes)`` over members — mergeable,
+    order-free, and SQL-replayable with HUGEINT modular arithmetic).
+
+    Scale shape: a per-batch combiner collapses each Arrow batch to one
+    partial row per shard touched, then a hash-partitioned
+    ``groupby(shard).map_groups`` merges partials — the driver never sees
+    per-image rows, only the O(shards) manifest."""
+    def _rows(shard, range_id, n_images, payload, first, last, xs):
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int64()),
+                "range_id": pa.array(range_id, pa.int64()),
+                "n_images": pa.array(n_images, pa.int64()),
+                "payload_bytes": pa.array(payload, pa.int64()),
+                "first_seq": pa.array(first, pa.int64()),
+                "last_seq": pa.array(last, pa.int64()),
+                "checksum": pa.array(xs, pa.uint64()),
+            }
+        )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        shard = batch["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = batch["range_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # member key = mix64_int(seq, seed=n_bytes), vectorized with a
+        # per-row seed (seed enters the mixer additively; n_bytes < 2^32
+        # keeps the (seq, n_bytes) -> key map collision-free)
+        with np.errstate(over="ignore"):
+            u = seq.astype(np.uint64) * np.uint64(2654435761) + nb.astype(
+                np.uint64
+            )
+            u = u ^ (u >> np.uint64(29))
+            u = u * np.uint64(2246822519)
+            member = u ^ (u >> np.uint64(32))
+        order = np.argsort(shard, kind="stable")
+        shard, rid, seq, nb, member = (
+            shard[order],
+            rid[order],
+            seq[order],
+            nb[order],
+            member[order],
+        )
+        # group boundaries over the shard-sorted batch, then one
+        # reduceat per aggregate — no Python loop over rows
+        starts = np.flatnonzero(
+            np.concatenate([[True], shard[1:] != shard[:-1]])
+        )
+        counts = np.diff(np.concatenate([starts, [len(shard)]]))
+        return _rows(
+            shard[starts],
+            np.minimum.reduceat(rid, starts),
+            counts.astype(np.int64),
+            np.add.reduceat(nb, starts),
+            np.minimum.reduceat(seq, starts),
+            np.maximum.reduceat(seq, starts),
+            np.bitwise_xor.reduceat(member, starts),
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        # one shard's partial rows -> one manifest row
+        xs = group["checksum"].to_numpy(zero_copy_only=False)
+        return _rows(
+            [group["shard"][0].as_py()],
+            [pc.min(group["range_id"]).as_py()],
+            [pc.sum(group["n_images"]).as_py()],
+            [pc.sum(group["payload_bytes"]).as_py()],
+            [pc.min(group["first_seq"]).as_py()],
+            [pc.max(group["last_seq"]).as_py()],
+            np.bitwise_xor.reduce(xs.astype(np.uint64), keepdims=True),
+        )
+
+    ds = (
+        _shard_assignments(images_path)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return _sorted(_concat(ds), "shard")

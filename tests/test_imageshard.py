@@ -148,3 +148,45 @@ def test_shard_pack_invariants(store):
     # monotone: shard ids never decrease in seq order
     shard_seq = [r["shard"] for r in rows]
     assert shard_seq == sorted(shard_seq)
+
+
+def _mix64(x: int, seed: int) -> int:
+    m = (1 << 64) - 1
+    u = (x * 2654435761 + seed) & m
+    u ^= u >> 29
+    u = (u * 2246822519) & m
+    u ^= u >> 32
+    return u
+
+
+def test_shard_manifest_matches_assignment_rollup(store):
+    from spider_ray.functions.imageshard import q_shard_manifest
+
+    pack = sorted(q_image_shard_pack(store).to_pylist(), key=lambda r: r["seq"])
+    want = {}
+    for r in pack:
+        m = want.setdefault(
+            r["shard"],
+            {
+                "shard": r["shard"],
+                "range_id": r["seq"] // SHARD_RANGE,
+                "n_images": 0,
+                "payload_bytes": 0,
+                "first_seq": r["seq"],
+                "last_seq": r["seq"],
+                "checksum": 0,
+            },
+        )
+        m["n_images"] += 1
+        m["payload_bytes"] += r["n_bytes"]
+        m["first_seq"] = min(m["first_seq"], r["seq"])
+        m["last_seq"] = max(m["last_seq"], r["seq"])
+        m["checksum"] ^= _mix64(r["seq"], r["n_bytes"])
+
+    got = q_shard_manifest(store).to_pylist()
+    assert got == [want[s] for s in sorted(want)]
+    # every image is accounted for exactly once
+    assert sum(m["n_images"] for m in got) == N
+    assert sum(m["payload_bytes"] for m in got) == sum(
+        r["n_bytes"] for r in pack
+    )
