@@ -260,6 +260,28 @@ def _shard_manifest_query(sf_dir: str) -> Any:
     return IS.q_shard_manifest(_images_store(sf_dir))
 
 
+def _shard_write_audit_query(sf_dir: str) -> Any:
+    """Resumable shard-writer round trip (rows-only: a sink, not SQL):
+    physically write the corpus into the planned shard layout under a
+    fresh /tmp dir, stream the files back, and audit every shard against
+    the oracled manifest — raises on any divergence, returns the
+    per-range write summary."""
+    import shutil
+    import tempfile
+
+    from spider_ray.stages.shardsink import verify_shards, write_shards
+
+    out = tempfile.mkdtemp(prefix="spider_shardsink_")
+    try:
+        summary = write_shards(_images_store(sf_dir), out)
+        rep = verify_shards(out)
+        if rep["mismatches"]:
+            raise RuntimeError(f"shard audit failed: {rep['mismatches'][:5]}")
+        return summary
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def entry() -> Any:
     """Flagship: the crawl loop end-to-end on a small deterministic corpus —
     returns the politeness-ordered crawl log (stable schema, ≥ 1 row)."""
@@ -416,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": T.q_bpe_token_count,
         "broadcast_join": R.q_broadcast_join,
         "shard_manifest": _shard_manifest_query,
+        "shard_write_audit": _shard_write_audit_query,
     }
     return q
 

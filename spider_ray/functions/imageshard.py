@@ -89,13 +89,26 @@ def q_aspect_buckets(images_path: str) -> pa.Table:
 _SEQ_PAT = r"(\d+)$"  # corpus ids carry a trailing per-corpus sequence
 
 
-def _shard_assignments(images_path: str) -> "ray.data.Dataset":
-    """The distributed greedy pack as a streaming Dataset of
-    (image_id, seq, n_bytes, range_id, shard) — shared by
-    :func:`q_image_shard_pack` (the per-image assignment view) and
-    :func:`q_shard_manifest` (the per-shard lineage/integrity view).
-    Per-range independent pack inside ``groupby(range).map_groups`` +
-    O(ranges) driver offset cumsum; see module docstring."""
+def greedy_local_shards(sizes) -> list[int]:
+    """The frozen greedy walk over one pack range's payload sizes (seq
+    order): open a new shard when the next payload would cross
+    SHARD_BUDGET; an oversized payload gets a shard of its own. Shared by
+    the assignment query and the shard writer so the written layout can
+    never drift from the oracled plan."""
+    shards, fill, s = [], 0, 0
+    for n in sizes:
+        if fill > 0 and fill + n > SHARD_BUDGET:
+            s += 1
+            fill = 0
+        fill += n
+        shards.append(s)
+    return shards
+
+
+def _packed_local(images_path: str) -> "ray.data.Dataset":
+    """Materialized Dataset of (image_id, seq, n_bytes, range_id,
+    local_shard): the per-range independent pack, before global shard ids.
+    Reads only (image_id, byte length) — the payload never moves."""
     import polars as pl
 
     ds = read_images(images_path, columns=["image_id", "bytes"])
@@ -121,35 +134,47 @@ def _shard_assignments(images_path: str) -> "ray.data.Dataset":
 
     def pack_range(group: pa.Table) -> pa.Table:
         df = pl.from_arrow(group).sort("seq")
-        shards, fill, s = [], 0, 0
-        for n in df["n_bytes"].to_list():
-            if fill > 0 and fill + n > SHARD_BUDGET:
-                s += 1
-                fill = 0
-            fill += n
-            shards.append(s)
         return df.with_columns(
-            local_shard=pl.Series(shards, dtype=pl.Int64)
+            local_shard=pl.Series(
+                greedy_local_shards(df["n_bytes"].to_list()), dtype=pl.Int64
+            )
         ).to_arrow()
 
-    from ray.data.aggregate import Max
-
-    packed = (
+    return (
         ds.map_batches(sizes, batch_format="pyarrow")
         .groupby("range_id")
         .map_groups(pack_range, batch_format="pyarrow")
         .materialize()
     )
-    counts = packed.groupby("range_id").aggregate(Max("local_shard")).to_pandas()
+
+
+def _offsets_of(packed: "ray.data.Dataset") -> dict[int, int]:
+    """O(ranges) global-shard-id base per pack range: cumsum of per-range
+    shard counts in range order. The only state the driver ever holds."""
+    from ray.data.aggregate import Max
+
+    counts = (
+        packed.groupby("range_id").aggregate(Max("local_shard")).to_pandas()
+    )
     counts = counts.sort_values("range_id", ignore_index=True)
     n_shards = counts["max(local_shard)"].to_numpy() + 1
-    offsets = dict(
+    return dict(
         zip(
             counts["range_id"].tolist(),
             np.concatenate([[0], np.cumsum(n_shards)[:-1]]).tolist(),
         )
     )
-    off_ref = ray.put(offsets)
+
+
+def _shard_assignments(images_path: str) -> "ray.data.Dataset":
+    """The distributed greedy pack as a streaming Dataset of
+    (image_id, seq, n_bytes, range_id, shard) — shared by
+    :func:`q_image_shard_pack` (the per-image assignment view) and
+    :func:`q_shard_manifest` (the per-shard lineage/integrity view).
+    Per-range independent pack inside ``groupby(range).map_groups`` +
+    O(ranges) driver offset cumsum; see module docstring."""
+    packed = _packed_local(images_path)
+    off_ref = ray.put(_offsets_of(packed))
 
     def add_offset(batch: pa.Table) -> pa.Table:
         off = ray.get(off_ref)

@@ -1,0 +1,363 @@
+"""Resumable WebDataset-style shard WRITER for the image+caption store —
+the sink half of the training-layout story (`functions/imageshard.py`
+plans the layout; this module materializes it on disk and can prove the
+files match the plan):
+
+* :func:`write_shards` — physically re-layout the corpus into the
+  `q_image_shard_pack` plan: one parquet file per global shard, grouped
+  in one directory per pack range (`range=%06d/`), members in seq order
+  with the exact input_hint schema. RESUMABLE at range granularity, the
+  pack's independence unit: each range directory is staged in a hidden
+  tmp dir (its `_DONE` marker and `_MANIFEST.json` lineage record written
+  first), then atomically renamed into place — a crashed run leaves only
+  tmp dirs, which the next run wipes; finished ranges are pruned from the
+  stream BEFORE the payload shuffle, so resume re-ships only unfinished
+  bytes. S2 donelist semantics (`crawl/time_split_saver.h:16-57`,
+  `fetcher_worker_main.cc:140-144`) applied to the training-layout sink.
+* :func:`verify_shards` — integrity audit: re-reads every written shard
+  file, recomputes each shard's manifest row (counts, byte totals, seq
+  interval, xor-of-mix64 checksum) from the actual bytes on disk, and
+  compares against the `manifest.parquet` the writer left at the root
+  (which itself is the independently SQL-oracled `q_shard_manifest`).
+
+Scale shape: the only all-to-all is the payload `groupby(range_id)` —
+inherent to a physical re-layout (every byte must reach its writer), and
+bounded per worker by one range's payload (SHARD_RANGE images). The plan
+passes read only (image_id, byte length); the driver holds the O(ranges)
+offset map and the O(ranges) summary, never payload. Verification
+streams the written files back through the same partial/merge combiner
+as `q_shard_manifest` and joins the two O(shards) tables driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from spider_ray.functions.imageshard import (
+    SHARD_RANGE,
+    _offsets_of,
+    _packed_local,
+    greedy_local_shards,
+)
+from spider_ray.pipelines.relational import _concat, _sorted
+from spider_ray.sources.lance_io import IMAGE_HINT_SCHEMA, read_images
+
+_SEQ_NAMED = r"(?P<seq>\d+)$"  # RE2 spelling of imageshard._SEQ_PAT
+# (RE2 requires named groups in extract_regex; the polars sites keep _SEQ_PAT)
+_RANGE_FMT = "range=%06d"
+_SHARD_FMT = "shard-%08d.parquet"
+
+_SUMMARY_SCHEMA = pa.schema(
+    [
+        ("range_id", pa.int64()),
+        ("base_shard", pa.int64()),
+        ("n_shards", pa.int64()),
+        ("n_images", pa.int64()),
+        ("payload_bytes", pa.int64()),
+        ("skipped", pa.bool_()),
+    ]
+)
+
+
+def _mix64_seq_bytes(seq: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """mix64_int(seq, seed=n_bytes) vectorized with per-row seeds — the
+    member key of `q_shard_manifest`'s checksum (frozen constants)."""
+    with np.errstate(over="ignore"):
+        u = seq.astype(np.uint64) * np.uint64(2654435761) + nb.astype(
+            np.uint64
+        )
+        u = u ^ (u >> np.uint64(29))
+        u = u * np.uint64(2246822519)
+        return u ^ (u >> np.uint64(32))
+
+
+def _scan_done(out_dir: str) -> set[int]:
+    """Donelist scan: wipe tmp staging dirs and markerless range dirs (a
+    crashed attempt's partials — the retry owns the whole range), return
+    the ids of ranges already committed."""
+    done: set[int] = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for d in os.listdir(out_dir):
+        p = os.path.join(out_dir, d)
+        if d.startswith(".tmp-") and os.path.isdir(p):
+            shutil.rmtree(p)
+        elif d.startswith("range=") and os.path.isdir(p):
+            if os.path.exists(os.path.join(p, "_DONE")):
+                done.add(int(d.split("=", 1)[1]))
+            else:
+                shutil.rmtree(p)
+    return done
+
+
+def write_shards(images_path: str, out_dir: str) -> pa.Table:
+    """Write the corpus as the planned shard layout under ``out_dir``;
+    returns the per-range summary (written + skipped rows). Re-running
+    after a crash or deletion rewrites exactly the missing ranges."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = _scan_done(out_dir)
+
+    offsets = _offsets_of(_packed_local(images_path))
+    off_ref = ray.put(offsets)
+    done_ref = ray.put(done)
+
+    data_cols = [f.name for f in IMAGE_HINT_SCHEMA]
+    ds = read_images(images_path)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # seq + range, then prune finished ranges BEFORE the shuffle
+        seq = pc.struct_field(
+            pc.extract_regex(batch["image_id"].cast(pa.string()), _SEQ_NAMED),
+            "seq",
+        ).cast(pa.int64())
+        rid = pc.divide(seq, SHARD_RANGE)
+        out = batch.append_column("seq", seq).append_column("range_id", rid)
+        skip = ray.get(done_ref)
+        if skip:
+            keep = np.isin(
+                rid.to_numpy(zero_copy_only=False),
+                np.fromiter(skip, dtype=np.int64),
+                invert=True,
+            )
+            out = out.filter(pa.array(keep))
+        return out
+
+    def write_range(group: pa.Table) -> pa.Table:
+        rid = group["range_id"][0].as_py()
+        base = ray.get(off_ref)[rid]
+        order = pc.sort_indices(group["seq"])
+        group = group.take(order)
+        nb = pc.binary_length(group["bytes"]).to_numpy(zero_copy_only=False)
+        local = np.asarray(
+            greedy_local_shards(nb.tolist()), dtype=np.int64
+        )
+        seq = group["seq"].to_numpy(zero_copy_only=False)
+        keys = _mix64_seq_bytes(seq.astype(np.int64), nb.astype(np.int64))
+
+        tmp = os.path.join(
+            out_dir, f".tmp-{_RANGE_FMT % rid}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(tmp)
+        manifest = []
+        for s in range(int(local.max()) + 1 if len(local) else 0):
+            mask = local == s
+            sid = base + s
+            members = group.filter(pa.array(mask)).select(data_cols)
+            pq.write_table(
+                members, os.path.join(tmp, _SHARD_FMT % sid)
+            )
+            manifest.append(
+                {
+                    "shard": int(sid),
+                    "n_images": int(mask.sum()),
+                    "payload_bytes": int(nb[mask].sum()),
+                    "first_seq": int(seq[mask].min()),
+                    "last_seq": int(seq[mask].max()),
+                    "checksum": int(np.bitwise_xor.reduce(keys[mask])),
+                }
+            )
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump({"range_id": rid, "shards": manifest}, f)
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("")
+        # commit: marker + lineage travel WITH the atomic rename
+        os.rename(tmp, os.path.join(out_dir, _RANGE_FMT % rid))
+        return pa.table(
+            {
+                "range_id": pa.array([rid], pa.int64()),
+                "base_shard": pa.array([base], pa.int64()),
+                "n_shards": pa.array([len(manifest)], pa.int64()),
+                "n_images": pa.array([len(group)], pa.int64()),
+                "payload_bytes": pa.array([int(nb.sum())], pa.int64()),
+                "skipped": pa.array([False], pa.bool_()),
+            }
+        )
+
+    written = _concat(
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("range_id")
+        .map_groups(write_range, batch_format="pyarrow"),
+        schema=_SUMMARY_SCHEMA,
+    )
+
+    # skipped ranges surface in the summary from their on-disk lineage
+    skipped_rows = []
+    for rid in sorted(done):
+        with open(
+            os.path.join(out_dir, _RANGE_FMT % rid, "_MANIFEST.json")
+        ) as f:
+            m = json.load(f)
+        skipped_rows.append(
+            {
+                "range_id": rid,
+                "base_shard": offsets[rid],
+                "n_shards": len(m["shards"]),
+                "n_images": sum(s["n_images"] for s in m["shards"]),
+                "payload_bytes": sum(s["payload_bytes"] for s in m["shards"]),
+                "skipped": True,
+            }
+        )
+    if skipped_rows:
+        written = pa.concat_tables(
+            [written, pa.Table.from_pylist(skipped_rows, _SUMMARY_SCHEMA)]
+        )
+
+    # root-level global manifest: the independently-oracled per-shard
+    # integrity record (recomputed from the SOURCE, size-only passes)
+    from spider_ray.functions.imageshard import q_shard_manifest
+
+    pq.write_table(
+        q_shard_manifest(images_path),
+        os.path.join(out_dir, "manifest.parquet"),
+    )
+    return _sorted(written, "range_id")
+
+
+def verify_shards(out_dir: str) -> dict:
+    """Audit the written layout against ``manifest.parquet``: stream every
+    shard file back, recompute its manifest row from the bytes on disk
+    (same partial/merge combiner as `q_shard_manifest`), and report any
+    divergence. Returns ``{"shards_checked": n, "mismatches": [...]}`` —
+    an empty mismatch list is a clean bill."""
+    want = pq.read_table(os.path.join(out_dir, "manifest.parquet"))
+
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if d.startswith("range=") and os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.startswith("shard-") and f.endswith(".parquet")
+            )
+    if not files:
+        return {
+            "shards_checked": 0,
+            "mismatches": [{"shard": None, "field": "no shard files"}],
+        }
+
+    ds = ray.data.read_parquet(
+        files, columns=["image_id", "bytes"], include_paths=True
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        sid = np.array(
+            [
+                int(os.path.basename(p).split("-")[1].split(".")[0])
+                for p in batch["path"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        seq = (
+            pc.struct_field(
+                pc.extract_regex(
+                    batch["image_id"].cast(pa.string()), _SEQ_NAMED
+                ),
+                "seq",
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        nb = (
+            pc.binary_length(batch["bytes"])
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keys = _mix64_seq_bytes(seq, nb)
+        order = np.argsort(sid, kind="stable")
+        sid, seq, nb, keys = sid[order], seq[order], nb[order], keys[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sid[1:] != sid[:-1]])
+        )
+        counts = np.diff(np.concatenate([starts, [len(sid)]]))
+        return pa.table(
+            {
+                "shard": pa.array(sid[starts], pa.int64()),
+                "n_images": pa.array(counts.astype(np.int64), pa.int64()),
+                "payload_bytes": pa.array(
+                    np.add.reduceat(nb, starts), pa.int64()
+                ),
+                "first_seq": pa.array(
+                    np.minimum.reduceat(seq, starts), pa.int64()
+                ),
+                "last_seq": pa.array(
+                    np.maximum.reduceat(seq, starts), pa.int64()
+                ),
+                "checksum": pa.array(
+                    np.bitwise_xor.reduceat(keys, starts), pa.uint64()
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        xs = group["checksum"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array([group["shard"][0].as_py()], pa.int64()),
+                "n_images": pa.array(
+                    [pc.sum(group["n_images"]).as_py()], pa.int64()
+                ),
+                "payload_bytes": pa.array(
+                    [pc.sum(group["payload_bytes"]).as_py()], pa.int64()
+                ),
+                "first_seq": pa.array(
+                    [pc.min(group["first_seq"]).as_py()], pa.int64()
+                ),
+                "last_seq": pa.array(
+                    [pc.max(group["last_seq"]).as_py()], pa.int64()
+                ),
+                "checksum": pa.array(
+                    np.bitwise_xor.reduce(
+                        xs.astype(np.uint64), keepdims=True
+                    ),
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    got = _sorted(
+        _concat(
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(merge, batch_format="pyarrow")
+        ),
+        "shard",
+    )
+
+    fields = [
+        "n_images",
+        "payload_bytes",
+        "first_seq",
+        "last_seq",
+        "checksum",
+    ]
+    want_rows = {r["shard"]: r for r in want.to_pylist()}
+    got_rows = {r["shard"]: r for r in got.to_pylist()}
+    mismatches = []
+    for sid in sorted(set(want_rows) | set(got_rows)):
+        if sid not in got_rows:
+            mismatches.append({"shard": sid, "field": "missing on disk"})
+            continue
+        if sid not in want_rows:
+            mismatches.append({"shard": sid, "field": "not in manifest"})
+            continue
+        for f in fields:
+            if want_rows[sid][f] != got_rows[sid][f]:
+                mismatches.append(
+                    {
+                        "shard": sid,
+                        "field": f,
+                        "want": want_rows[sid][f],
+                        "got": got_rows[sid][f],
+                    }
+                )
+    return {"shards_checked": len(got_rows), "mismatches": mismatches}

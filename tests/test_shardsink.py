@@ -1,0 +1,153 @@
+"""Resumable shard writer (stages/shardsink.py): written layout equals
+the oracled pack plan, donelist resume semantics (skip committed ranges,
+wipe markerless partials, rewrite exactly what's missing, byte-identical
+result), and the verify audit catching corruption."""
+
+import os
+import random
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spider_ray.functions.imageshard import (
+    SHARD_BUDGET,
+    q_image_shard_pack,
+    q_shard_manifest,
+)
+from spider_ray.sources.lance_io import conform_images, write_images
+from spider_ray.stages.shardsink import verify_shards, write_shards
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    rng = random.Random(20240820)
+    sizes = []
+    for _ in range(N):
+        r = rng.random()
+        if r < 0.02:
+            sizes.append(SHARD_BUDGET + rng.randrange(1, 5000))
+        else:
+            sizes.append(rng.randrange(200, 7000))
+    tbl = conform_images(
+        pa.table(
+            {
+                "image_id": [f"img{i:05d}" for i in range(N)],
+                "bytes": [bytes([i % 251]) * n for i, n in enumerate(sizes)],
+                "w": [rng.randrange(16, 49) for _ in range(N)],
+                "h": [rng.randrange(16, 49) for _ in range(N)],
+                "fmt": ["png"] * N,
+                "caption": [f"caption number {i}" for i in range(N)],
+                "phash": [rng.getrandbits(63) for _ in range(N)],
+            }
+        )
+    )
+    return write_images(tbl, str(tmp_path_factory.mktemp("sink") / "images"))
+
+
+def _read_layout(out_dir):
+    """{shard_id: member table} for every written shard file."""
+    out = {}
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if not (d.startswith("range=") and os.path.isdir(p)):
+            continue
+        assert os.path.exists(os.path.join(p, "_DONE"))
+        assert os.path.exists(os.path.join(p, "_MANIFEST.json"))
+        for f in sorted(os.listdir(p)):
+            if f.startswith("shard-") and f.endswith(".parquet"):
+                sid = int(f.split("-")[1].split(".")[0])
+                out[sid] = pq.read_table(os.path.join(p, f))
+    return out
+
+
+def test_write_matches_plan_and_verifies(store, tmp_path):
+    out = str(tmp_path / "shards")
+    summary = write_shards(store, out)
+    assert not any(summary["skipped"].to_pylist())
+
+    plan = q_image_shard_pack(store).to_pylist()
+    layout = _read_layout(out)
+    # every planned shard exists; members are exactly the planned ones,
+    # in seq order, with the full input_hint schema
+    want = {}
+    for r in plan:
+        want.setdefault(r["shard"], []).append(r["image_id"])
+    assert set(layout) == set(want)
+    for sid, members in want.items():
+        got = layout[sid]["image_id"].to_pylist()
+        assert got == members
+        assert layout[sid].column_names == [
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        ]
+    # root manifest equals the oracled q_shard_manifest
+    root = pq.read_table(os.path.join(out, "manifest.parquet"))
+    assert root.equals(q_shard_manifest(store))
+    # the audit is clean
+    rep = verify_shards(out)
+    assert rep["mismatches"] == []
+    assert rep["shards_checked"] == len(want)
+
+
+def test_resume_rewrites_only_missing_ranges(store, tmp_path):
+    out = str(tmp_path / "shards")
+    write_shards(store, out)
+    first = {
+        sid: t.to_pylist() for sid, t in _read_layout(out).items()
+    }
+
+    # simulate a crash: one range fully deleted, one left as a
+    # markerless partial (crashed attempt), one untouched
+    ranges = sorted(
+        d for d in os.listdir(out) if d.startswith("range=")
+    )
+    assert len(ranges) == 3  # N=300, SHARD_RANGE=128
+    shutil.rmtree(os.path.join(out, ranges[0]))
+    os.remove(os.path.join(out, ranges[1], "_DONE"))
+    untouched = os.path.join(out, ranges[2], "_MANIFEST.json")
+    mtime_before = os.path.getmtime(untouched)
+
+    summary = write_shards(store, out).to_pylist()
+    by_range = {r["range_id"]: r for r in summary}
+    assert [by_range[i]["skipped"] for i in sorted(by_range)] == [
+        False, False, True,
+    ]
+    # untouched range was not rewritten
+    assert os.path.getmtime(untouched) == mtime_before
+    # final layout byte-identical to the first run
+    second = {
+        sid: t.to_pylist() for sid, t in _read_layout(out).items()
+    }
+    assert second == first
+    assert verify_shards(out)["mismatches"] == []
+
+
+def test_verify_catches_corruption(store, tmp_path):
+    out = str(tmp_path / "shards")
+    write_shards(store, out)
+    layout_files = []
+    for d in sorted(os.listdir(out)):
+        p = os.path.join(out, d)
+        if d.startswith("range=") and os.path.isdir(p):
+            layout_files.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.startswith("shard-")
+            )
+    # corrupt one shard: drop its last member row
+    victim = layout_files[3]
+    t = pq.read_table(victim)
+    pq.write_table(t.slice(0, len(t) - 1), victim)
+    rep = verify_shards(out)
+    assert rep["mismatches"] != []
+    bad = {m["shard"] for m in rep["mismatches"]}
+    sid = int(os.path.basename(victim).split("-")[1].split(".")[0])
+    assert bad == {sid}
+    # and a deleted shard file reports as missing
+    os.remove(layout_files[5])
+    rep = verify_shards(out)
+    sid5 = int(os.path.basename(layout_files[5]).split("-")[1].split(".")[0])
+    assert {"shard": sid5, "field": "missing on disk"} in rep["mismatches"]
