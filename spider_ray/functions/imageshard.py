@@ -174,7 +174,16 @@ def _shard_assignments(images_path: str) -> "ray.data.Dataset":
     Per-range independent pack inside ``groupby(range).map_groups`` +
     O(ranges) driver offset cumsum; see module docstring."""
     packed = _packed_local(images_path)
-    off_ref = ray.put(_offsets_of(packed))
+    return _assignments_from(packed, _offsets_of(packed))
+
+
+def _assignments_from(
+    packed: "ray.data.Dataset", offsets: dict[int, int]
+) -> "ray.data.Dataset":
+    """Attach global shard ids (range base + local) to a `_packed_local`
+    Dataset — split out so the shard writer can reuse one pack pass for
+    assignments, staleness checks, and the root manifest."""
+    off_ref = ray.put(offsets)
 
     def add_offset(batch: pa.Table) -> pa.Table:
         off = ray.get(off_ref)
@@ -206,7 +215,9 @@ def q_image_shard_pack(images_path: str) -> pa.Table:
     return _sorted(_concat(ds), "seq")
 
 
-def q_shard_manifest(images_path: str) -> pa.Table:
+def q_shard_manifest(
+    images_path: str, _assignments: "ray.data.Dataset | None" = None
+) -> pa.Table:
     """Per-shard lineage/integrity manifest over the shard-pack layout —
     the "per-partition lineage + metrics" record a resumable writer
     checkpoints next to each shard: which pack range produced it
@@ -284,8 +295,12 @@ def q_shard_manifest(images_path: str) -> pa.Table:
             np.bitwise_xor.reduce(xs.astype(np.uint64), keepdims=True),
         )
 
+    assignments = (
+        _assignments if _assignments is not None
+        else _shard_assignments(images_path)
+    )
     ds = (
-        _shard_assignments(images_path)
+        assignments
         .map_batches(partials, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(merge, batch_format="pyarrow")

@@ -44,9 +44,11 @@ import ray
 
 from spider_ray.functions.imageshard import (
     SHARD_RANGE,
+    _assignments_from,
     _offsets_of,
     _packed_local,
     greedy_local_shards,
+    q_shard_manifest,
 )
 from spider_ray.pipelines.relational import _concat, _sorted
 from spider_ray.sources.lance_io import IMAGE_HINT_SCHEMA, read_images
@@ -102,11 +104,38 @@ def _scan_done(out_dir: str) -> set[int]:
 def write_shards(images_path: str, out_dir: str) -> pa.Table:
     """Write the corpus as the planned shard layout under ``out_dir``;
     returns the per-range summary (written + skipped rows). Re-running
-    after a crash or deletion rewrites exactly the missing ranges."""
+    after a crash or deletion rewrites exactly the missing ranges; if the
+    SOURCE changed since a range was committed (e.g. the corpus grew into
+    the trailing partial range, or an upstream edit shifted global shard
+    ids), the stale range's on-disk `_MANIFEST.json` no longer matches
+    the recomputed plan and it is rewritten too — incremental append is
+    just resume over a grown corpus."""
     os.makedirs(out_dir, exist_ok=True)
     done = _scan_done(out_dir)
 
-    offsets = _offsets_of(_packed_local(images_path))
+    # ONE pack pass (image_id + byte length only) feeds the offsets, the
+    # per-range staleness check, and the root manifest
+    packed = _packed_local(images_path)
+    offsets = _offsets_of(packed)
+    manifest = q_shard_manifest(
+        images_path, _assignments=_assignments_from(packed, offsets)
+    )
+
+    plan_by_range: dict[int, list[dict]] = {}
+    for r in manifest.to_pylist():
+        plan_by_range.setdefault(r.pop("range_id"), []).append(r)
+    for rid in sorted(done):
+        path = os.path.join(out_dir, _RANGE_FMT % rid)
+        with open(os.path.join(path, "_MANIFEST.json")) as f:
+            on_disk = json.load(f)["shards"]
+        if on_disk != plan_by_range.get(rid):
+            done.discard(rid)
+            shutil.rmtree(path)
+    # committed ranges the new plan no longer contains are stale too
+    for rid in sorted(done - set(plan_by_range)):
+        done.discard(rid)
+        shutil.rmtree(os.path.join(out_dir, _RANGE_FMT % rid))
+
     off_ref = ray.put(offsets)
     done_ref = ray.put(done)
 
@@ -212,13 +241,8 @@ def write_shards(images_path: str, out_dir: str) -> pa.Table:
         )
 
     # root-level global manifest: the independently-oracled per-shard
-    # integrity record (recomputed from the SOURCE, size-only passes)
-    from spider_ray.functions.imageshard import q_shard_manifest
-
-    pq.write_table(
-        q_shard_manifest(images_path),
-        os.path.join(out_dir, "manifest.parquet"),
-    )
+    # integrity record (computed above from the same pack pass)
+    pq.write_table(manifest, os.path.join(out_dir, "manifest.parquet"))
     return _sorted(written, "range_id")
 
 

@@ -151,3 +151,58 @@ def test_verify_catches_corruption(store, tmp_path):
     rep = verify_shards(out)
     sid5 = int(os.path.basename(layout_files[5]).split("-")[1].split(".")[0])
     assert {"shard": sid5, "field": "missing on disk"} in rep["mismatches"]
+
+
+def test_append_rewrites_only_stale_and_new_ranges(
+    store, tmp_path, tmp_path_factory
+):
+    """Incremental append = resume over a grown corpus: committed ranges
+    whose plan is unchanged are kept; the trailing partial range (whose
+    membership grew) and brand-new ranges are (re)written; the result is
+    identical to a fresh full write."""
+    from spider_ray.sources.lance_io import read_images_table
+
+    base_tbl = read_images_table(store)
+    rng = random.Random(99)
+    extra = conform_images(
+        pa.table(
+            {
+                "image_id": [f"img{i:05d}" for i in range(N, N + 128)],
+                "bytes": [
+                    bytes([i % 251]) * rng.randrange(200, 7000)
+                    for i in range(N, N + 128)
+                ],
+                "w": [rng.randrange(16, 49) for _ in range(128)],
+                "h": [rng.randrange(16, 49) for _ in range(128)],
+                "fmt": ["png"] * 128,
+                "caption": [f"caption number {i}" for i in range(N, N + 128)],
+                "phash": [rng.getrandbits(63) for _ in range(128)],
+            }
+        )
+    )
+    grown = write_images(
+        pa.concat_tables([base_tbl, extra]),
+        str(tmp_path_factory.mktemp("grown") / "images"),
+    )
+
+    out = str(tmp_path / "shards")
+    write_shards(store, out)
+    mtime_r0 = os.path.getmtime(os.path.join(out, "range=000000"))
+
+    summary = {
+        r["range_id"]: r for r in write_shards(grown, out).to_pylist()
+    }
+    # ranges 0,1 (seq 0..255) unchanged -> skipped; range 2 grew from a
+    # partial (seq 256..299) to full (..383) -> stale, rewritten; range 3
+    # is new (seq 384..427)
+    assert [summary[i]["skipped"] for i in range(4)] == [
+        True, True, False, False,
+    ]
+    assert os.path.getmtime(os.path.join(out, "range=000000")) == mtime_r0
+
+    fresh = str(tmp_path / "fresh")
+    write_shards(grown, fresh)
+    a = {sid: t.to_pylist() for sid, t in _read_layout(out).items()}
+    b = {sid: t.to_pylist() for sid, t in _read_layout(fresh).items()}
+    assert a == b
+    assert verify_shards(out)["mismatches"] == []
