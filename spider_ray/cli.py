@@ -7,6 +7,10 @@ Usage (inside a job or standalone):
     python -m spider_ray.cli crawl --corpus /tmp/corpus --out /tmp/run \
         --shards 8 --fetch-concurrency 8 [--resume]
     python -m spider_ray.cli oracle --corpus /tmp/corpus --out /tmp/golden
+    python -m spider_ray.cli shard-write --images /path/images.parquet \
+        --out /tmp/shards          # resumable + append-safe re-layout
+    python -m spider_ray.cli shard-verify --out /tmp/shards  # exit 1 on
+                                   # any manifest divergence
 
 Owns its Ray session (guarded init) — the only module besides bench.py and
 the test fixture allowed to."""
@@ -47,6 +51,23 @@ def main(argv: list[str] | None = None) -> int:
     o.add_argument("--corpus", required=True)
     o.add_argument("--shards", type=int, default=8)
 
+    w = sub.add_parser(
+        "shard-write",
+        help="(re)write the image store as the WebDataset-style shard "
+             "layout; resumable + append-safe (stale ranges rewritten)",
+    )
+    w.add_argument("--images", required=True,
+                   help="image store path (.lance/.parquet)")
+    w.add_argument("--out", required=True)
+    w.add_argument("--num-cpus", type=int, default=None)
+
+    v = sub.add_parser(
+        "shard-verify",
+        help="audit a written shard layout against its manifest",
+    )
+    v.add_argument("--out", required=True)
+    v.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen-corpus":
@@ -73,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
-    # crawl
+    # the remaining commands own a Ray session
     import ray
 
     if not ray.is_initialized():
@@ -87,6 +108,38 @@ def main(argv: list[str] | None = None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "shard-write":
+        from spider_ray.stages.shardsink import write_shards
+
+        summary = write_shards(args.images, args.out)
+        print(
+            json.dumps(
+                {
+                    "ranges": summary.num_rows,
+                    "written": int(
+                        summary.num_rows
+                        - sum(summary["skipped"].to_pylist())
+                    ),
+                    "skipped": int(sum(summary["skipped"].to_pylist())),
+                    "shards": int(sum(summary["n_shards"].to_pylist())),
+                    "payload_bytes": int(
+                        sum(summary["payload_bytes"].to_pylist())
+                    ),
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "shard-verify":
+        from spider_ray.stages.shardsink import verify_shards
+
+        rep = verify_shards(args.out)
+        print(json.dumps(rep))
+        ray.shutdown()
+        return 0 if not rep["mismatches"] else 1
+
     from spider_ray.pipelines.crawl import run_crawl
 
     res = run_crawl(

@@ -206,3 +206,37 @@ def test_append_rewrites_only_stale_and_new_ranges(
     b = {sid: t.to_pylist() for sid, t in _read_layout(fresh).items()}
     assert a == b
     assert verify_shards(out)["mismatches"] == []
+
+
+def test_cli_shard_write_and_verify(store, tmp_path, capsys):
+    """The ray-job-submit surface: shard-write (fresh then resumed) and
+    shard-verify exit codes + JSON summaries."""
+    import json
+
+    from spider_ray.cli import main
+
+    out = str(tmp_path / "cli_shards")
+    assert main(["shard-write", "--images", store, "--out", out]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["skipped"] == 0 and first["written"] == first["ranges"]
+
+    assert main(["shard-write", "--images", store, "--out", out]) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["written"] == 0 and again["skipped"] == again["ranges"]
+    assert again["shards"] == first["shards"]
+
+    assert main(["shard-verify", "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mismatches"] == []
+
+    # corrupt -> nonzero exit
+    rdir = sorted(
+        d for d in os.listdir(out) if d.startswith("range=")
+    )[0]
+    victims = sorted(
+        f for f in os.listdir(os.path.join(out, rdir))
+        if f.startswith("shard-")
+    )
+    t = pq.read_table(os.path.join(out, rdir, victims[0]))
+    pq.write_table(t.slice(0, len(t) - 1), os.path.join(out, rdir, victims[0]))
+    assert main(["shard-verify", "--out", out]) == 1
