@@ -246,6 +246,71 @@ def write_shards(images_path: str, out_dir: str) -> pa.Table:
     return _sorted(written, "range_id")
 
 
+def _shard_files(out_dir: str) -> dict[int, str]:
+    """{global shard id: file path} for every committed shard on disk."""
+    out: dict[int, str] = {}
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if d.startswith("range=") and os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if f.startswith("shard-") and f.endswith(".parquet"):
+                    out[int(f.split("-")[1].split(".")[0])] = os.path.join(
+                        p, f
+                    )
+    return out
+
+
+def read_shards(
+    out_dir: str,
+    *,
+    columns: list[str] | None = None,
+    shards: list[int] | None = None,
+    seq_range: tuple[int, int] | None = None,
+) -> "ray.data.Dataset":
+    """Dataloader-side read of a written shard layout as a streaming
+    Dataset, pruned at the FILE level before any byte is read: ``shards``
+    selects explicit shard ids, ``seq_range=(lo, hi)`` (inclusive) keeps
+    only shards whose manifest [first_seq, last_seq] interval intersects
+    it — the manifest is the layout's zone map. Column projection pushes
+    into the parquet scan, so a caption-only consumer never moves the
+    payload. Raises if a manifest-listed shard in the selection is
+    missing on disk (run :func:`verify_shards` for the full audit)."""
+    manifest = pq.read_table(
+        os.path.join(out_dir, "manifest.parquet"),
+        columns=["shard", "first_seq", "last_seq"],
+    )
+    keep = manifest
+    if shards is not None:
+        keep = keep.filter(pc.is_in(keep["shard"], pa.array(shards)))
+    if seq_range is not None:
+        lo, hi = seq_range
+        keep = keep.filter(
+            pc.and_(
+                pc.less_equal(keep["first_seq"], hi),
+                pc.greater_equal(keep["last_seq"], lo),
+            )
+        )
+    on_disk = _shard_files(out_dir)
+    wanted = keep["shard"].to_pylist()
+    missing = [s for s in wanted if s not in on_disk]
+    if missing:
+        raise FileNotFoundError(
+            f"manifest lists shards missing on disk: {missing[:10]}"
+        )
+    files = [on_disk[s] for s in wanted]
+    if not files:
+        return ray.data.from_arrow(
+            pa.Table.from_pylist([], IMAGE_HINT_SCHEMA).select(
+                columns or [f.name for f in IMAGE_HINT_SCHEMA]
+            )
+        )
+    # always project explicitly: the range=... directory names would
+    # otherwise be hive-inferred into a spurious partition column
+    return ray.data.read_parquet(
+        files, columns=columns or [f.name for f in IMAGE_HINT_SCHEMA]
+    )
+
+
 def verify_shards(out_dir: str) -> dict:
     """Audit the written layout against ``manifest.parquet``: stream every
     shard file back, recompute its manifest row from the bytes on disk
@@ -254,15 +319,7 @@ def verify_shards(out_dir: str) -> dict:
     an empty mismatch list is a clean bill."""
     want = pq.read_table(os.path.join(out_dir, "manifest.parquet"))
 
-    files = []
-    for d in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, d)
-        if d.startswith("range=") and os.path.isdir(p):
-            files.extend(
-                os.path.join(p, f)
-                for f in sorted(os.listdir(p))
-                if f.startswith("shard-") and f.endswith(".parquet")
-            )
+    files = list(_shard_files(out_dir).values())
     if not files:
         return {
             "shards_checked": 0,

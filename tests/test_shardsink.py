@@ -240,3 +240,49 @@ def test_cli_shard_write_and_verify(store, tmp_path, capsys):
     t = pq.read_table(os.path.join(out, rdir, victims[0]))
     pq.write_table(t.slice(0, len(t) - 1), os.path.join(out, rdir, victims[0]))
     assert main(["shard-verify", "--out", out]) == 1
+
+
+def test_read_shards_roundtrip_and_pruning(store, tmp_path):
+    from spider_ray.sources.lance_io import read_images_table
+    from spider_ray.stages.shardsink import read_shards
+
+    out = str(tmp_path / "shards")
+    write_shards(store, out)
+
+    # full round trip: every corpus row comes back exactly once
+    got = read_shards(out).take_all()
+    src = read_images_table(store).to_pylist()
+    key = lambda r: r["image_id"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(src, key=key)
+
+    # seq_range pruning: only intersecting shards' members, and only
+    # their files are opened (shard count from the manifest zone map)
+    manifest = q_shard_manifest(store).to_pylist()
+    lo, hi = 40, 170
+    want_shards = {
+        m["shard"] for m in manifest
+        if m["first_seq"] <= hi and m["last_seq"] >= lo
+    }
+    ds = read_shards(out, seq_range=(lo, hi), columns=["image_id"])
+    ids = [r["image_id"] for r in ds.take_all()]
+    assert ds.schema().names == ["image_id"]
+    plan = {r["image_id"]: r["shard"] for r in q_image_shard_pack(store).to_pylist()}
+    assert {plan[i] for i in ids} == want_shards
+
+    # explicit shard selection
+    two = sorted(want_shards)[:2]
+    ids2 = {
+        r["image_id"]
+        for r in read_shards(out, shards=two, columns=["image_id"]).take_all()
+    }
+    assert ids2 == {i for i, s in plan.items() if s in two}
+
+    # a manifest-listed shard missing on disk raises
+    files = sorted(
+        os.path.join(out, d, f)
+        for d in os.listdir(out) if d.startswith("range=")
+        for f in os.listdir(os.path.join(out, d)) if f.startswith("shard-")
+    )
+    os.remove(files[0])
+    with pytest.raises(FileNotFoundError):
+        read_shards(out)
