@@ -260,6 +260,14 @@ def _shard_manifest_query(sf_dir: str) -> Any:
     return IS.q_shard_manifest(_images_store(sf_dir))
 
 
+def _bucket_shard_pack_query(sf_dir: str) -> Any:
+    """Aspect-bucketed shard layout (SDXL bucketed-dataloader composition):
+    integer-exact bucket argmin, then the greedy byte-budget pack within
+    each (bucket, range) — shards never mix buckets (SQL-oracled via the
+    same lockstep recursive CTE, partitioned by bucket)."""
+    return IS.q_bucket_shard_pack(_images_store(sf_dir))
+
+
 def _shard_write_audit_query(sf_dir: str) -> Any:
     """Resumable shard-writer round trip (rows-only: a sink, not SQL):
     physically write the corpus into the planned shard layout under a
@@ -438,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": T.q_bpe_token_count,
         "broadcast_join": R.q_broadcast_join,
         "shard_manifest": _shard_manifest_query,
+        "bucket_shard_pack": _bucket_shard_pack_query,
         "shard_write_audit": _shard_write_audit_query,
     }
     return q
@@ -690,6 +699,68 @@ def oracle_sql() -> dict[str, str]:
                    o.base + w.local_shard AS shard
             FROM walk w JOIN offs o ON o.range_id = w.range_id
             ORDER BY w.seq
+        """,
+        "bucket_shard_pack": f"""
+            -- aspect-bucketed greedy shard pack: the aspect_buckets argmin
+            -- feeds the image_shard_pack walk PARTITIONED BY (bucket,
+            -- range); global ids cumsum in (bucket, range) order — shards
+            -- never mix buckets (functions/imageshard.q_bucket_shard_pack)
+            WITH RECURSIVE proto(bucket_id, bw, bh, mult) AS (
+                VALUES (0, 1, 2, 3), (1, 2, 3, 2), (2, 1, 1, 6),
+                       (3, 3, 2, 3), (4, 2, 1, 6)),
+            s AS (
+                SELECT image_id,
+                       CAST(regexp_extract(image_id, '(\\d+)$', 1)
+                            AS BIGINT) AS seq,
+                       CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+                       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+                FROM '{phash_images}'),
+            ranked AS (
+                SELECT s.*, CAST(p.bucket_id AS BIGINT) AS bucket_id,
+                       row_number() OVER (
+                           PARTITION BY image_id
+                           ORDER BY abs(s.w * p.bh - s.h * p.bw) * p.mult,
+                                    p.bucket_id) AS brn
+                FROM s CROSS JOIN proto p),
+            r AS (
+                SELECT image_id, seq, n_bytes, bucket_id,
+                       seq // 128 AS range_id,
+                       row_number() OVER (
+                           PARTITION BY bucket_id, seq // 128
+                           ORDER BY seq) AS rn
+                FROM ranked WHERE brn = 1),
+            walk(bucket_id, range_id, rn, image_id, seq, n_bytes, fill,
+                 local_shard) AS (
+                SELECT bucket_id, range_id, rn, image_id, seq, n_bytes,
+                       n_bytes, CAST(0 AS BIGINT)
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.bucket_id, r.range_id, r.rn, r.image_id, r.seq,
+                       r.n_bytes,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + r.n_bytes > 16384
+                            THEN r.n_bytes ELSE w.fill + r.n_bytes END,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + r.n_bytes > 16384
+                            THEN w.local_shard + 1 ELSE w.local_shard END
+                FROM walk w
+                JOIN r ON r.bucket_id = w.bucket_id
+                      AND r.range_id = w.range_id AND r.rn = w.rn + 1),
+            counts AS (
+                SELECT bucket_id, range_id, max(local_shard) + 1 AS n_shards
+                FROM walk GROUP BY bucket_id, range_id),
+            offs AS (
+                SELECT bucket_id, range_id,
+                       CAST(coalesce(sum(n_shards) OVER (
+                           ORDER BY bucket_id, range_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS base
+                FROM counts)
+            SELECT w.image_id, w.seq, w.n_bytes, w.bucket_id,
+                   o.base + w.local_shard AS shard
+            FROM walk w JOIN offs o ON o.bucket_id = w.bucket_id
+                                   AND o.range_id = w.range_id
+            ORDER BY w.bucket_id, w.seq
         """,
         "shard_manifest": f"""
             -- per-shard lineage/integrity manifest: the image_shard_pack

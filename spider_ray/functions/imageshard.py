@@ -306,3 +306,107 @@ def q_shard_manifest(
         .map_groups(merge, batch_format="pyarrow")
     )
     return _sorted(_concat(ds), "shard")
+
+
+# composite group key: bucket * 2^32 + range — preserves (bucket, range)
+# lexicographic order under int64 sort, so the offset cumsum and the SQL
+# oracle's window ORDER BY agree
+_BUCKET_GRP = 1 << 32
+
+
+def q_bucket_shard_pack(images_path: str) -> pa.Table:
+    """Aspect-bucketed WebDataset shard layout — the composition a
+    bucketed dataloader (SDXL-style, arXiv:2307.01952 App. I) actually
+    consumes: batches must be same-bucket, so shards must be too. Every
+    image gets its ASPECT_BUCKETS argmin (same integer-exact kernel as
+    :func:`q_aspect_buckets`), then images pack greedily in seq order
+    WITHIN each (bucket, pack range): same walk, same budget, shards
+    never mix buckets or span a range. Global shard ids are contiguous
+    in (bucket, range, local) order, so each bucket's shards form one
+    contiguous id interval per range — a per-bucket reader is a range
+    scan, not a scatter.
+
+    Scale shape: identical to :func:`q_image_shard_pack` — a pruned
+    (image_id, w, h, byte-length) pass, a `groupby(grp).map_groups`
+    per-(bucket, range) pack, an O(buckets x ranges) driver cumsum, and
+    one streamed offset pass. The payload never moves."""
+    import polars as pl
+
+    ds = read_images(images_path, columns=["image_id", "bytes", "w", "h"])
+    bw = np.array([b for b, _ in ASPECT_BUCKETS], dtype=np.int64)
+    bh = np.array([b for _, b in ASPECT_BUCKETS], dtype=np.int64)
+    mult = _LCM_BH // bh
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = np.abs(np.outer(w, bh) - np.outer(h, bw)) * mult
+        k = np.argmin(scores, axis=1).astype(np.int64)
+        lf = pl.from_arrow(
+            pa.table(
+                {
+                    "image_id": batch["image_id"].cast(pa.string()),
+                    "n_bytes": pc.binary_length(batch["bytes"]).cast(
+                        pa.int64()
+                    ),
+                    "bucket_id": pa.array(k, pa.int64()),
+                }
+            )
+        ).with_columns(
+            seq=pl.col("image_id").str.extract(_SEQ_PAT, 1).cast(pl.Int64)
+        )
+        return (
+            lf.with_columns(
+                grp=pl.col("bucket_id") * _BUCKET_GRP
+                + pl.col("seq") // SHARD_RANGE
+            )
+            .select("image_id", "seq", "n_bytes", "bucket_id", "grp")
+            .to_arrow()
+        )
+
+    def pack_grp(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("seq")
+        return df.with_columns(
+            local_shard=pl.Series(
+                greedy_local_shards(df["n_bytes"].to_list()), dtype=pl.Int64
+            )
+        ).to_arrow()
+
+    from ray.data.aggregate import Max
+
+    packed = (
+        ds.map_batches(sizes, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(pack_grp, batch_format="pyarrow")
+        .materialize()
+    )
+    counts = packed.groupby("grp").aggregate(Max("local_shard")).to_pandas()
+    counts = counts.sort_values("grp", ignore_index=True)
+    n_shards = counts["max(local_shard)"].to_numpy() + 1
+    offsets = dict(
+        zip(
+            counts["grp"].tolist(),
+            np.concatenate([[0], np.cumsum(n_shards)[:-1]]).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def add_offset(batch: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        grp = batch["grp"].to_pylist()
+        base = np.array([off[g] for g in grp], dtype=np.int64)
+        local = batch["local_shard"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "seq": batch["seq"],
+                "n_bytes": batch["n_bytes"],
+                "bucket_id": batch["bucket_id"],
+                "shard": pa.array(base + local, pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(packed.map_batches(add_offset, batch_format="pyarrow")),
+        ["bucket_id", "seq"],
+    )

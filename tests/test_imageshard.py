@@ -190,3 +190,58 @@ def test_shard_manifest_matches_assignment_rollup(store):
     assert sum(m["payload_bytes"] for m in got) == sum(
         r["n_bytes"] for r in pack
     )
+
+
+def test_bucket_shard_pack_matches_reference(store):
+    from spider_ray.functions.imageshard import q_bucket_shard_pack
+
+    t = q_bucket_shard_pack(store)
+    assert t.column_names == [
+        "image_id", "seq", "n_bytes", "bucket_id", "shard",
+    ]
+    rows = t.to_pylist()
+    # output ordered by (bucket_id, seq); every image present once
+    assert [(r["bucket_id"], r["seq"]) for r in rows] == sorted(
+        (r["bucket_id"], r["seq"]) for r in rows
+    )
+    assert sorted(r["seq"] for r in rows) == list(range(N))
+
+    # bucket assignment must equal q_aspect_buckets' argmin
+    buckets = {
+        r["image_id"]: r["bucket_id"]
+        for r in q_aspect_buckets(store).to_pylist()
+    }
+    for r in rows:
+        assert r["bucket_id"] == buckets[r["image_id"]]
+
+    # single-process reference: per (bucket, seq-range) greedy pack,
+    # global ids cumsum'd in (bucket, range) order
+    groups = {}
+    for r in sorted(rows, key=lambda r: r["seq"]):
+        groups.setdefault(
+            (r["bucket_id"], r["seq"] // SHARD_RANGE), []
+        ).append(r)
+    want = {}
+    base = 0
+    for key in sorted(groups):
+        members = groups[key]
+        fill, local = 0, 0
+        for r in members:
+            n = r["n_bytes"]
+            if fill > 0 and fill + n > SHARD_BUDGET:
+                local += 1
+                fill = 0
+            fill += n
+            want[r["image_id"]] = base + local
+        base += local + 1
+    assert {r["image_id"]: r["shard"] for r in rows} == want
+
+    # shards never mix buckets; budget respected except singletons
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert sorted(by_shard) == list(range(len(by_shard)))
+    for members in by_shard.values():
+        assert len({m["bucket_id"] for m in members}) == 1
+        total = sum(m["n_bytes"] for m in members)
+        assert total <= SHARD_BUDGET or len(members) == 1
