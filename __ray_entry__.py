@@ -268,6 +268,23 @@ def _bucket_shard_pack_query(sf_dir: str) -> Any:
     return IS.q_bucket_shard_pack(_images_store(sf_dir))
 
 
+def _curate_shard_query(sf_dir: str) -> Any:
+    """End-to-end image-axis composition (rows-only: a pipeline with a
+    filesystem sink): curate the corpus, write the curated store, lay it
+    out as shards, audit — returns the per-range write summary; raises on
+    any audit divergence."""
+    import shutil
+    import tempfile
+
+    from spider_ray.pipelines.imagecorpus import curate_and_shard
+
+    out = tempfile.mkdtemp(prefix="spider_curate_shard_")
+    try:
+        return curate_and_shard(_images_store(sf_dir), out)["summary"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _shard_write_audit_query(sf_dir: str) -> Any:
     """Resumable shard-writer round trip (rows-only: a sink, not SQL):
     physically write the corpus into the planned shard layout under a
@@ -448,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_manifest": _shard_manifest_query,
         "bucket_shard_pack": _bucket_shard_pack_query,
         "shard_write_audit": _shard_write_audit_query,
+        "curate_shard_pipeline": _curate_shard_query,
     }
     return q
 

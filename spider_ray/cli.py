@@ -68,6 +68,15 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--out", required=True)
     v.add_argument("--num-cpus", type=int, default=None)
 
+    cs = sub.add_parser(
+        "curate-shard",
+        help="end-to-end image pipeline: LAION-style curate -> curated "
+             "store -> resumable shard layout -> audit",
+    )
+    cs.add_argument("--images", required=True)
+    cs.add_argument("--out", required=True)
+    cs.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen-corpus":
@@ -139,6 +148,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(rep))
         ray.shutdown()
         return 0 if not rep["mismatches"] else 1
+
+    if args.cmd == "curate-shard":
+        from spider_ray.pipelines.imagecorpus import curate_and_shard
+
+        res = curate_and_shard(args.images, args.out)
+        print(
+            json.dumps(
+                {
+                    "total": res["total"],
+                    "kept": res["kept"],
+                    "shards": res["shards"],
+                    "audit_checked": res["audit"]["shards_checked"],
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
 
     from spider_ray.pipelines.crawl import run_crawl
 

@@ -240,6 +240,39 @@ def q_phash_clusters(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
     )
 
 
+def curate_refs(images_path: str, tau: int = PHASH_TAU):
+    """Build the two broadcast maps the composed curation filter needs —
+    (cluster membership, cluster representative), both O(near-dup
+    clusters), as ``ray.put`` refs. Shared by :func:`q_image_curate` and
+    the curate→shard pipeline (`pipelines/imagecorpus.py`)."""
+    from spider_ray.functions.multimodal import phash_neardup
+
+    comp_ref = ray.put(_components(phash_neardup(images_path, tau=tau)))
+    reps = _pick_reps(
+        _member_stats(images_path, comp_ref, with_gates=True),
+        require_passed=True,
+    )
+    return comp_ref, ray.put(reps)
+
+
+def curate_keep_mask(batch: pa.Table, comp: dict, reps: dict) -> np.ndarray:
+    """Vectorized survive-mask for one batch: every gate passes AND the
+    image is its cluster's chosen representative (non-clustered images
+    stand alone). The per-row dict probes are O(1) lookups into the two
+    broadcast maps."""
+    ids = batch["image_id"].to_pylist()
+    _w, _h, _ncap, _blen, mask = _gate_columns(batch)
+    return np.fromiter(
+        (
+            mask[i] == 0
+            and (ids[i] not in comp or reps.get(comp[ids[i]]) == ids[i])
+            for i in range(len(ids))
+        ),
+        dtype=bool,
+        count=len(ids),
+    )
+
+
 def q_image_curate(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
     """Composed image-corpus curation (the LAION flow end to end): an
     image survives iff it passes every :func:`q_image_filter` gate AND is
@@ -247,32 +280,12 @@ def q_image_curate(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
     members (clusters whose members all fail contribute nothing;
     gate-passing singletons survive). Returns the curated
     (image_id, w, h, fmt, caption) table."""
-    from spider_ray.functions.multimodal import phash_neardup
-
-    comp = _components(phash_neardup(images_path, tau=tau))
-    comp_ref = ray.put(comp)
-    reps = _pick_reps(
-        _member_stats(images_path, comp_ref, with_gates=True),
-        require_passed=True,
-    )
-    rep_ref = ray.put(reps)
+    comp_ref, rep_ref = curate_refs(images_path, tau=tau)
 
     ds = read_images(images_path, columns=_GATE_COLS)
 
     def curate(batch: pa.Table) -> pa.Table:
-        m = ray.get(comp_ref)
-        r = ray.get(rep_ref)
-        ids = batch["image_id"].to_pylist()
-        w, h, _ncap, _blen, mask = _gate_columns(batch)
-        keep = np.fromiter(
-            (
-                mask[i] == 0
-                and (ids[i] not in m or r.get(m[ids[i]]) == ids[i])
-                for i in range(len(ids))
-            ),
-            dtype=bool,
-            count=len(ids),
-        )
+        keep = curate_keep_mask(batch, ray.get(comp_ref), ray.get(rep_ref))
         kept = batch.filter(pa.array(keep))
         return pa.table(
             {
