@@ -268,6 +268,14 @@ def _bucket_shard_pack_query(sf_dir: str) -> Any:
     return IS.q_bucket_shard_pack(_images_store(sf_dir))
 
 
+def _image_decontaminate_query(sf_dir: str) -> Any:
+    """Benchmark decontamination for the image corpus: training images
+    within phash-Hamming tau of any held-out benchmark image (seq % 17
+    == 0); broadcast bench vector + per-batch XOR/popcount matrix
+    (SQL-oracled bit-exact)."""
+    return IC.q_image_decontaminate(_images_store(sf_dir))
+
+
 def _curate_shard_query(sf_dir: str) -> Any:
     """End-to-end image-axis composition (rows-only: a pipeline with a
     filesystem sink): curate the corpus, write the curated store, lay it
@@ -466,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_shard_pack": _bucket_shard_pack_query,
         "shard_write_audit": _shard_write_audit_query,
         "curate_shard_pipeline": _curate_shard_query,
+        "image_decontaminate": _image_decontaminate_query,
     }
     return q
 
@@ -779,6 +788,27 @@ def oracle_sql() -> dict[str, str]:
             FROM walk w JOIN offs o ON o.bucket_id = w.bucket_id
                                    AND o.range_id = w.range_id
             ORDER BY w.bucket_id, w.seq
+        """,
+        "image_decontaminate": f"""
+            -- phash twin of the text decontamination op: train images
+            -- within Hamming tau=6 of any benchmark (seq % 17 == 0)
+            -- phash — bit_count(xor(...)) replays the engine's XOR +
+            -- popcount exactly (imagecurate.q_image_decontaminate)
+            WITH s AS (
+                SELECT image_id,
+                       CAST(regexp_extract(image_id, '(\\d+)$', 1)
+                            AS BIGINT) AS seq,
+                       phash
+                FROM '{phash_images}'),
+            bench AS (SELECT * FROM s WHERE seq % 17 = 0),
+            train AS (SELECT * FROM s WHERE seq % 17 <> 0),
+            hits AS (
+                SELECT t.image_id,
+                       CAST(bit_count(xor(t.phash, b.phash)) AS BIGINT) AS d
+                FROM train t JOIN bench b
+                  ON bit_count(xor(t.phash, b.phash)) <= 6)
+            SELECT image_id, count(*) AS n_matches, min(d) AS min_dist
+            FROM hits GROUP BY image_id ORDER BY image_id
         """,
         "shard_manifest": f"""
             -- per-shard lineage/integrity manifest: the image_shard_pack

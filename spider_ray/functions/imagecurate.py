@@ -310,3 +310,109 @@ def q_image_curate(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
         _concat(ds.map_batches(curate, batch_format="pyarrow"), schema=schema),
         "image_id",
     )
+
+
+IMG_DECON_MOD = 17  # seq % 17 == 0 -> the held-out "benchmark" images
+IMG_DECON_TAU = 6  # same Hamming radius as the phash near-dup path
+
+
+def q_image_decontaminate(
+    images_path: str, tau: int = IMG_DECON_TAU
+) -> pa.Table:
+    """Benchmark decontamination for the IMAGE corpus — the phash twin of
+    ``curation.q_decontaminate``: flag every training image whose
+    perceptual hash sits within Hamming ``tau`` of any held-out benchmark
+    image (eval-set leakage through re-crops/re-encodes that exact dedup
+    misses). The benchmark side is SMALL BY CONSTRUCTION → its phash
+    vector broadcasts once via ``ray.put`` and each streamed train batch
+    XOR+popcounts against it (a (batch x bench) vectorized matrix) — no
+    shuffle, no driver pass over the corpus. At a benchmark too large to
+    broadcast, swap in the banded candidate path (`multimodal.
+    phash_neardup`'s machinery). Returns contaminated
+    (image_id, n_matches, min_dist) sorted by image_id."""
+    import polars as pl
+
+    ds = read_images(images_path, columns=["image_id", "phash"])
+
+    def with_seq(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "image_id": batch["image_id"].cast(pa.string()),
+                        "phash": batch["phash"].cast(pa.int64()),
+                    }
+                )
+            )
+            .with_columns(
+                seq=pl.col("image_id").str.extract(r"(\d+)$", 1).cast(
+                    pl.Int64
+                )
+            )
+            .to_arrow()
+        )
+
+    tagged = ds.map_batches(with_seq, batch_format="pyarrow").materialize()
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        seq = batch["seq"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(seq % IMG_DECON_MOD == 0))
+
+    bench_hashes: list[int] = []
+    for t in ray.get(
+        tagged.map_batches(bench_only, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ):
+        if t.num_rows:
+            bench_hashes.extend(t["phash"].to_pylist())
+    bench = np.array(bench_hashes, dtype=np.int64).view(np.uint64)
+    bench_ref = ray.put(bench)
+
+    def contaminated(batch: pa.Table) -> pa.Table:
+        b = ray.get(bench_ref)
+        seq = batch["seq"].to_numpy(zero_copy_only=False)
+        train = seq % IMG_DECON_MOD != 0
+        ph = (
+            batch["phash"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)[train]
+        )
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)[train]
+        if not len(ph) or not len(b):
+            return pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "n_matches": pa.array([], pa.int64()),
+                    "min_dist": pa.array([], pa.int64()),
+                }
+            )
+        x = ph[:, None] ^ b[None, :]
+        ham = (
+            np.unpackbits(
+                x.view(np.uint8).reshape(len(ph), len(b) * 8), axis=1
+            )
+            .reshape(len(ph), len(b), 64)
+            .sum(axis=2)
+        )
+        hits = ham <= tau
+        n = hits.sum(axis=1)
+        flagged = n > 0
+        dmin = np.where(hits, ham, 65).min(axis=1)
+        return pa.table(
+            {
+                "image_id": pa.array(ids[flagged], pa.string()),
+                "n_matches": pa.array(
+                    n[flagged].astype(np.int64), pa.int64()
+                ),
+                "min_dist": pa.array(
+                    dmin[flagged].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _sorted(
+        _concat(tagged.map_batches(contaminated, batch_format="pyarrow")),
+        "image_id",
+    )

@@ -148,3 +148,57 @@ def test_image_curate_composed(store):
     assert kept == ["a3", "s_ok", "t1"]
     assert t.column_names == ["image_id", "w", "h", "fmt", "caption"]
     assert t["w"].to_pylist() == [200, 64, 50]
+
+
+def test_image_decontaminate_controlled(tmp_path_factory, ray_session):
+    """Controlled phash layout with seq-carrying ids: one train image a
+    re-encode (Hamming 3) of a benchmark image, one exactly at tau, one
+    just past tau, benchmark images never self-flag."""
+    from spider_ray.functions.imagecurate import (
+        IMG_DECON_MOD,
+        IMG_DECON_TAU,
+        q_image_decontaminate,
+    )
+
+    base = 0x0123456789ABCDEF
+    far = 0x7EDCBA9876543210  # Hamming(base, far) >> tau
+
+    def flip(v, k):  # flip the k lowest bits
+        return v ^ ((1 << k) - 1)
+
+    rows = []
+    for i in range(3 * IMG_DECON_MOD):
+        if i % IMG_DECON_MOD == 0:
+            ph = base if i == 0 else far  # benchmarks
+        elif i == 1:
+            ph = flip(base, 3)  # near bench 0 -> flagged, dist 3
+        elif i == 2:
+            ph = flip(base, IMG_DECON_TAU)  # exactly tau -> flagged
+        elif i == 3:
+            ph = flip(base, IMG_DECON_TAU + 1)  # past tau -> clean
+        else:
+            ph = 0x5555555555550000 | i  # far from both benches
+        rows.append((f"img{i:05d}", ph))
+    tbl = conform_images(
+        pa.table(
+            {
+                "image_id": [r[0] for r in rows],
+                "bytes": [OK_BYTES] * len(rows),
+                "w": [64] * len(rows),
+                "h": [64] * len(rows),
+                "fmt": ["png"] * len(rows),
+                "caption": [OK_CAPTION] * len(rows),
+                "phash": [r[1] for r in rows],
+            }
+        )
+    )
+    store = write_images(
+        tbl, str(tmp_path_factory.mktemp("decon") / "images")
+    )
+    got = {
+        r["image_id"]: r for r in q_image_decontaminate(store).to_pylist()
+    }
+    assert set(got) == {"img00001", "img00002"}
+    assert got["img00001"]["min_dist"] == 3
+    assert got["img00001"]["n_matches"] == 1
+    assert got["img00002"]["min_dist"] == IMG_DECON_TAU
