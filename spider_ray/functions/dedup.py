@@ -535,11 +535,7 @@ def _hamming_verify(
         a = batch[sig_a].combine_chunks().to_numpy(zero_copy_only=False)
         b = batch[sig_b].combine_chunks().to_numpy(zero_copy_only=False)
         x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-        ham = (
-            np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
-            if x.size
-            else np.empty(0, dtype=np.int64)
-        )
+        ham = tk.popcount_u64(x)  # SWAR, constant memory
         keep = ham <= tau
         kept = batch.filter(pa.array(keep)).select(["a_id", "b_id"])
         return kept.append_column(

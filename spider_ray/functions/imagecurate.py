@@ -35,6 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from spider_ray.kernels.tokens import popcount_u64
 from spider_ray.pipelines.relational import _concat, _sorted
 from spider_ray.sources.lance_io import read_images
 
@@ -335,6 +336,10 @@ def q_image_decontaminate(
     ds = read_images(images_path, columns=["image_id", "phash"])
 
     def with_seq(batch: pa.Table) -> pa.Table:
+        # schema allows null phash (same guard as multimodal.phash_neardup:
+        # a null hash can't be compared; the SQL oracle's xor(...) IS NULL
+        # drops those rows on both sides of the join too)
+        batch = batch.filter(pc.is_valid(batch["phash"]))
         return (
             pl.from_arrow(
                 pa.table(
@@ -388,14 +393,9 @@ def q_image_decontaminate(
                     "min_dist": pa.array([], pa.int64()),
                 }
             )
-        x = ph[:, None] ^ b[None, :]
-        ham = (
-            np.unpackbits(
-                x.view(np.uint8).reshape(len(ph), len(b) * 8), axis=1
-            )
-            .reshape(len(ph), len(b), 64)
-            .sum(axis=2)
-        )
+        # SWAR popcount on the (batch x bench) XOR matrix: 8 bytes per
+        # pair throughout, no 64x unpackbits expansion
+        ham = popcount_u64(ph[:, None] ^ b[None, :])
         hits = ham <= tau
         n = hits.sum(axis=1)
         flagged = n > 0

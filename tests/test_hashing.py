@@ -45,3 +45,20 @@ def test_expr_matches_array():
     via_expr = df.select(hash64_expr("u"))["u"].to_numpy().astype(np.uint64)
     via_arr = hash64(df["u"].to_arrow())
     assert (via_expr == via_arr).all()
+
+
+def test_popcount_u64_matches_python_bitcount():
+    import numpy as np
+
+    from spider_ray.kernels.tokens import popcount_u64
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 2**63, size=500, dtype=np.int64).view(np.uint64)
+    vals[:4] = [0, 1, 0xFFFFFFFFFFFFFFFF, 0x8000000000000000]
+    got = popcount_u64(vals)
+    assert got.dtype == np.int64
+    assert got.tolist() == [bin(int(v)).count("1") for v in vals]
+    # shape-agnostic: 2-D matrix form used by image_decontaminate
+    m = vals[:12].reshape(3, 4)
+    assert popcount_u64(m).shape == (3, 4)
+    assert popcount_u64(m).ravel().tolist() == got[:12].tolist()
