@@ -245,3 +245,40 @@ def test_bucket_shard_pack_matches_reference(store):
         assert len({m["bucket_id"] for m in members}) == 1
         total = sum(m["n_bytes"] for m in members)
         assert total <= SHARD_BUDGET or len(members) == 1
+
+
+def test_greedy_local_shards_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spider_ray.functions.imageshard import greedy_local_shards
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=3 * SHARD_BUDGET),
+            max_size=300,
+        )
+    )
+    def check(sizes):
+        s = greedy_local_shards(sizes)
+        assert len(s) == len(sizes)
+        if not sizes:
+            return
+        # ids start at 0 and only ever step by +1 (contiguous)
+        assert s[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(s, s[1:]))
+        # each shard's payload fits the budget, unless its overflow is
+        # carried by a single oversize item (zero-size members can ride
+        # along BEFORE an oversize — fill stays 0 so the walk's gate
+        # never trips — hence "one NONZERO member", not "one member")
+        fills = {}
+        for sz, sid in zip(sizes, s):
+            fills.setdefault(sid, []).append(sz)
+        for members in fills.values():
+            assert (
+                sum(members) <= SHARD_BUDGET
+                or sum(1 for m in members if m > 0) == 1
+            )
+
+    check()
