@@ -44,6 +44,8 @@ QUERY_NAMES = [
     "vocab_oov",
     "dup_spans",
     "image_curate",
+    "bucket_shard_pack",
+    "image_decontaminate",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"
