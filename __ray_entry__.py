@@ -399,9 +399,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # golden-fixture pytest suites AND strict double-coverage)
         "aspect_buckets": _aspect_buckets_query,
         "image_shard_pack": _image_shard_pack_query,
+        # rows-only sink/pipeline entries (no SQL form): the ONLY recorded
+        # check they can get is a driver row, so they sit inside the
+        # window; token_stats/quality_scores (SQL-oracled, double-covered
+        # by tools/oracle_strict.py) moved to the tail to make room
+        "shard_write_audit": _shard_write_audit_query,
+        "curate_shard_pipeline": _curate_shard_query,
         # text analysis
-        "token_stats": T.q_token_stats,
-        "quality_scores": T.q_quality_scores,
         # vocab fit -> broadcast -> OOV transform (two-pass training-data
         # op; bpe_token_count, same text-analysis class, moved to the
         # double-covered tail to keep this inside the driver window)
@@ -472,8 +476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": R.q_broadcast_join,
         "shard_manifest": _shard_manifest_query,
         "bucket_shard_pack": _bucket_shard_pack_query,
-        "shard_write_audit": _shard_write_audit_query,
-        "curate_shard_pipeline": _curate_shard_query,
+        "token_stats": T.q_token_stats,
+        "quality_scores": T.q_quality_scores,
         "image_decontaminate": _image_decontaminate_query,
     }
     return q
