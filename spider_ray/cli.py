@@ -8,7 +8,8 @@ Usage (inside a job or standalone):
         --shards 8 --fetch-concurrency 8 [--resume]
     python -m spider_ray.cli oracle --corpus /tmp/corpus --out /tmp/golden
     python -m spider_ray.cli shard-write --images /path/images.parquet \
-        --out /tmp/shards          # resumable + append-safe re-layout
+        --out /tmp/shards [--layout bucket]  # resumable + append-safe
+                                   # re-layout (seq or aspect-bucketed)
     python -m spider_ray.cli shard-verify --out /tmp/shards  # exit 1 on
                                    # any manifest divergence
 
@@ -59,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--images", required=True,
                    help="image store path (.lance/.parquet)")
     w.add_argument("--out", required=True)
+    w.add_argument("--layout", choices=("seq", "bucket"), default="seq",
+                   help="pack unit: corpus order (seq) or aspect-bucketed")
     w.add_argument("--num-cpus", type=int, default=None)
 
     v = sub.add_parser(
@@ -121,7 +124,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "shard-write":
         from spider_ray.stages.shardsink import write_shards
 
-        summary = write_shards(args.images, args.out)
+        summary = write_shards(args.images, args.out, layout=args.layout)
         print(
             json.dumps(
                 {

@@ -51,6 +51,27 @@ _LCM_BH = math.lcm(*(bh for _, bh in ASPECT_BUCKETS))
 
 SHARD_BUDGET = 16_384  # payload bytes per shard
 SHARD_RANGE = 128  # images per independent pack range
+# composite pack-unit key for the bucketed layout: bucket * 2^32 + range —
+# preserves (bucket, range) lexicographic order under int64 sort, so the
+# offset cumsum and the SQL oracle's window ORDER BY agree
+_BUCKET_GRP = 1 << 32
+
+# integer argmin constants, hoisted once (shared by every bucket site)
+_BW = np.array([b for b, _ in ASPECT_BUCKETS], dtype=np.int64)
+_BH = np.array([b for _, b in ASPECT_BUCKETS], dtype=np.int64)
+_BMULT = None  # filled below once _LCM_BH is known at import
+
+
+def aspect_bucket_ids(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """The frozen integer-exact ASPECT_BUCKETS argmin (first minimum ==
+    lowest bucket id) — ONE implementation shared by q_aspect_buckets,
+    q_bucket_shard_pack, and the bucketed shard writer, so the bucket
+    rule can never drift between the plan and the files on disk."""
+    scores = np.abs(np.outer(w, _BH) - np.outer(h, _BW)) * _BMULT
+    return np.argmin(scores, axis=1).astype(np.int64)
+
+
+_BMULT = _LCM_BH // _BH
 
 
 def q_aspect_buckets(images_path: str) -> pa.Table:
@@ -59,25 +80,19 @@ def q_aspect_buckets(images_path: str) -> pa.Table:
     the lowest bucket index, i.e. the more-portrait prototype). One
     streamed pass over pruned (image_id, w, h)."""
     ds = read_images(images_path, columns=["image_id", "w", "h"])
-    # (n_buckets, ) integer constants, hoisted once
-    bw = np.array([b for b, _ in ASPECT_BUCKETS], dtype=np.int64)
-    bh = np.array([b for _, b in ASPECT_BUCKETS], dtype=np.int64)
-    mult = _LCM_BH // bh
 
     def assign(batch: pa.Table) -> pa.Table:
         w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # scores[i,k] = |w/h - bw_k/bh_k| * (h * LCM), integer-exact
-        scores = np.abs(np.outer(w, bh) - np.outer(h, bw)) * mult
-        k = np.argmin(scores, axis=1)  # first minimum == lowest index
+        k = aspect_bucket_ids(w, h)
         return pa.table(
             {
                 "image_id": batch["image_id"].cast(pa.string()),
                 "w": pa.array(w, pa.int64()),
                 "h": pa.array(h, pa.int64()),
-                "bucket_id": pa.array(k.astype(np.int64), pa.int64()),
-                "bucket_w": pa.array(bw[k], pa.int64()),
-                "bucket_h": pa.array(bh[k], pa.int64()),
+                "bucket_id": pa.array(k, pa.int64()),
+                "bucket_w": pa.array(_BW[k], pa.int64()),
+                "bucket_h": pa.array(_BH[k], pa.int64()),
             }
         )
 
@@ -128,6 +143,60 @@ def _packed_local(images_path: str) -> "ray.data.Dataset":
         )
         return (
             lf.with_columns(range_id=pl.col("seq") // SHARD_RANGE)
+            .select("image_id", "seq", "n_bytes", "range_id")
+            .to_arrow()
+        )
+
+    def pack_range(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("seq")
+        return df.with_columns(
+            local_shard=pl.Series(
+                greedy_local_shards(df["n_bytes"].to_list()), dtype=pl.Int64
+            )
+        ).to_arrow()
+
+    return (
+        ds.map_batches(sizes, batch_format="pyarrow")
+        .groupby("range_id")
+        .map_groups(pack_range, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def _bucket_packed_local(images_path: str) -> "ray.data.Dataset":
+    """Bucketed twin of :func:`_packed_local`: the pack unit ("range_id"
+    column, consumed verbatim by `_offsets_of` / `_assignments_from` /
+    `q_shard_manifest` / the shard writer) is the composite
+    ``bucket * 2^32 + seq // SHARD_RANGE`` — lexicographic (bucket, range)
+    order under int64 sort, so shards never mix buckets and each bucket's
+    ids stay contiguous per range. Reads (image_id, byte length, w, h)
+    only."""
+    import polars as pl
+
+    ds = read_images(images_path, columns=["image_id", "bytes", "w", "h"])
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = aspect_bucket_ids(w, h)
+        lf = pl.from_arrow(
+            pa.table(
+                {
+                    "image_id": batch["image_id"].cast(pa.string()),
+                    "n_bytes": pc.binary_length(batch["bytes"]).cast(
+                        pa.int64()
+                    ),
+                    "bucket_id": pa.array(k, pa.int64()),
+                }
+            )
+        ).with_columns(
+            seq=pl.col("image_id").str.extract(_SEQ_PAT, 1).cast(pl.Int64)
+        )
+        return (
+            lf.with_columns(
+                range_id=pl.col("bucket_id") * _BUCKET_GRP
+                + pl.col("seq") // SHARD_RANGE
+            )
             .select("image_id", "seq", "n_bytes", "range_id")
             .to_arrow()
         )
@@ -308,12 +377,6 @@ def q_shard_manifest(
     return _sorted(_concat(ds), "shard")
 
 
-# composite group key: bucket * 2^32 + range — preserves (bucket, range)
-# lexicographic order under int64 sort, so the offset cumsum and the SQL
-# oracle's window ORDER BY agree
-_BUCKET_GRP = 1 << 32
-
-
 def q_bucket_shard_pack(images_path: str) -> pa.Table:
     """Aspect-bucketed WebDataset shard layout — the composition a
     bucketed dataloader (SDXL-style, arXiv:2307.01952 App. I) actually
@@ -333,15 +396,11 @@ def q_bucket_shard_pack(images_path: str) -> pa.Table:
     import polars as pl
 
     ds = read_images(images_path, columns=["image_id", "bytes", "w", "h"])
-    bw = np.array([b for b, _ in ASPECT_BUCKETS], dtype=np.int64)
-    bh = np.array([b for _, b in ASPECT_BUCKETS], dtype=np.int64)
-    mult = _LCM_BH // bh
 
     def sizes(batch: pa.Table) -> pa.Table:
         w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-        scores = np.abs(np.outer(w, bh) - np.outer(h, bw)) * mult
-        k = np.argmin(scores, axis=1).astype(np.int64)
+        k = aspect_bucket_ids(w, h)
         lf = pl.from_arrow(
             pa.table(
                 {

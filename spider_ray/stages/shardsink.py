@@ -43,10 +43,13 @@ import pyarrow.parquet as pq
 import ray
 
 from spider_ray.functions.imageshard import (
+    _BUCKET_GRP,
     SHARD_RANGE,
     _assignments_from,
+    _bucket_packed_local,
     _offsets_of,
     _packed_local,
+    aspect_bucket_ids,
     greedy_local_shards,
     q_shard_manifest,
 )
@@ -101,7 +104,9 @@ def _scan_done(out_dir: str) -> set[int]:
     return done
 
 
-def write_shards(images_path: str, out_dir: str) -> pa.Table:
+def write_shards(
+    images_path: str, out_dir: str, *, layout: str = "seq"
+) -> pa.Table:
     """Write the corpus as the planned shard layout under ``out_dir``;
     returns the per-range summary (written + skipped rows). Re-running
     after a crash or deletion rewrites exactly the missing ranges; if the
@@ -109,13 +114,28 @@ def write_shards(images_path: str, out_dir: str) -> pa.Table:
     the trailing partial range, or an upstream edit shifted global shard
     ids), the stale range's on-disk `_MANIFEST.json` no longer matches
     the recomputed plan and it is rewritten too — incremental append is
-    just resume over a grown corpus."""
+    just resume over a grown corpus.
+
+    ``layout="seq"`` materializes the `q_image_shard_pack` plan (pack
+    unit = seq range); ``layout="bucket"`` the `q_bucket_shard_pack` plan
+    (pack unit = the composite (aspect bucket, seq range) key — shards
+    never mix buckets, the layout an SDXL-style bucketed dataloader
+    consumes). Everything downstream — donelist resume, staleness check,
+    manifest, verify, read_shards — is pack-unit-agnostic. Switching
+    layout on an existing out_dir is safe: every committed unit fails the
+    staleness check against the new plan and is rewritten."""
+    if layout not in ("seq", "bucket"):
+        raise ValueError(f"unknown layout {layout!r}")
     os.makedirs(out_dir, exist_ok=True)
     done = _scan_done(out_dir)
 
-    # ONE pack pass (image_id + byte length only) feeds the offsets, the
-    # per-range staleness check, and the root manifest
-    packed = _packed_local(images_path)
+    # ONE pack pass (image_id + byte length [+ w,h for bucket] only)
+    # feeds the offsets, the per-unit staleness check, and the manifest
+    packed = (
+        _packed_local(images_path)
+        if layout == "seq"
+        else _bucket_packed_local(images_path)
+    )
     offsets = _offsets_of(packed)
     manifest = q_shard_manifest(
         images_path, _assignments=_assignments_from(packed, offsets)
@@ -143,12 +163,19 @@ def write_shards(images_path: str, out_dir: str) -> pa.Table:
     ds = read_images(images_path)
 
     def tag(batch: pa.Table) -> pa.Table:
-        # seq + range, then prune finished ranges BEFORE the shuffle
+        # seq + pack unit, then prune finished units BEFORE the shuffle
         seq = pc.struct_field(
             pc.extract_regex(batch["image_id"].cast(pa.string()), _SEQ_NAMED),
             "seq",
         ).cast(pa.int64())
         rid = pc.divide(seq, SHARD_RANGE)
+        if layout == "bucket":
+            w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            unit = aspect_bucket_ids(w, h) * _BUCKET_GRP + rid.to_numpy(
+                zero_copy_only=False
+            )
+            rid = pa.array(unit, pa.int64())
         out = batch.append_column("seq", seq).append_column("range_id", rid)
         skip = ray.get(done_ref)
         if skip:

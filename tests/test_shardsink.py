@@ -286,3 +286,43 @@ def test_read_shards_roundtrip_and_pruning(store, tmp_path):
     os.remove(files[0])
     with pytest.raises(FileNotFoundError):
         read_shards(out)
+
+
+def test_bucket_layout_write_matches_plan(store, tmp_path):
+    """layout='bucket' materializes the q_bucket_shard_pack plan: shard
+    files never mix aspect buckets, membership/order match the oracled
+    plan, audit is clean, resume skips all units, and switching layout on
+    an existing out_dir rewrites everything via the staleness check."""
+    from spider_ray.functions.imageshard import q_bucket_shard_pack
+
+    out = str(tmp_path / "shards")
+    write_shards(store, out, layout="bucket")
+
+    plan = q_bucket_shard_pack(store).to_pylist()
+    want = {}
+    bucket_of = {}
+    for r in sorted(plan, key=lambda r: r["seq"]):
+        want.setdefault(r["shard"], []).append(r["image_id"])
+        bucket_of[r["image_id"]] = r["bucket_id"]
+    layout = _read_layout(out)
+    assert set(layout) == set(want)
+    for sid, members in want.items():
+        got = layout[sid]["image_id"].to_pylist()
+        assert got == members
+        assert len({bucket_of[i] for i in got}) == 1  # never mix buckets
+    assert verify_shards(out)["mismatches"] == []
+
+    # pure resume on re-run
+    again = write_shards(store, out, layout="bucket")
+    assert all(again["skipped"].to_pylist())
+
+    # switching layout on the same dir: every unit is stale -> rewritten,
+    # and the result now matches the seq plan
+    seq = write_shards(store, out, layout="seq")
+    assert not any(seq["skipped"].to_pylist())
+    seq_plan = {}
+    for r in q_image_shard_pack(store).to_pylist():
+        seq_plan.setdefault(r["shard"], []).append(r["image_id"])
+    relayout = _read_layout(out)
+    assert set(relayout) == set(seq_plan)
+    assert verify_shards(out)["mismatches"] == []
