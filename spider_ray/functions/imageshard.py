@@ -59,7 +59,7 @@ _BUCKET_GRP = 1 << 32
 # integer argmin constants, hoisted once (shared by every bucket site)
 _BW = np.array([b for b, _ in ASPECT_BUCKETS], dtype=np.int64)
 _BH = np.array([b for _, b in ASPECT_BUCKETS], dtype=np.int64)
-_BMULT = None  # filled below once _LCM_BH is known at import
+_BMULT = _LCM_BH // _BH
 
 
 def aspect_bucket_ids(w: np.ndarray, h: np.ndarray) -> np.ndarray:
@@ -69,9 +69,6 @@ def aspect_bucket_ids(w: np.ndarray, h: np.ndarray) -> np.ndarray:
     rule can never drift between the plan and the files on disk."""
     scores = np.abs(np.outer(w, _BH) - np.outer(h, _BW)) * _BMULT
     return np.argmin(scores, axis=1).astype(np.int64)
-
-
-_BMULT = _LCM_BH // _BH
 
 
 def q_aspect_buckets(images_path: str) -> pa.Table:
@@ -102,6 +99,20 @@ def q_aspect_buckets(images_path: str) -> pa.Table:
 
 
 _SEQ_PAT = r"(\d+)$"  # corpus ids carry a trailing per-corpus sequence
+
+
+def member_checksum_keys(seq: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """mix64_int(seq, seed=n_bytes) vectorized with per-row seeds — the
+    FROZEN member key behind every shard checksum (q_shard_manifest, the
+    writer's _MANIFEST.json, verify_shards, and the SQL oracle's HUGEINT
+    replay). One implementation; never change the constants."""
+    with np.errstate(over="ignore"):
+        u = np.asarray(seq).astype(np.uint64) * np.uint64(
+            2654435761
+        ) + np.asarray(nb).astype(np.uint64)
+        u = u ^ (u >> np.uint64(29))
+        u = u * np.uint64(2246822519)
+        return u ^ (u >> np.uint64(32))
 
 
 def greedy_local_shards(sizes) -> list[int]:
@@ -317,16 +328,132 @@ def q_shard_manifest(
         rid = batch["range_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
         nb = batch["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # member key = mix64_int(seq, seed=n_bytes), vectorized with a
-        # per-row seed (seed enters the mixer additively; n_bytes < 2^32
-        # keeps the (seq, n_bytes) -> key map collision-free)
-        with np.errstate(over="ignore"):
-            u = seq.astype(np.uint64) * np.uint64(2654435761) + nb.astype(
-                np.uint64
-            )
-            u = u ^ (u >> np.uint64(29))
-            u = u * np.uint64(2246822519)
-            member = u ^ (u >> np.uint64(32))
+        # seed enters the mixer additively; n_bytes < 2^32 keeps the
+        # (seq, n_bytes) -> key map collision-free at corpus sizes
+        member = member_checksum_keys(seq, nb)
+        order = np.argsort(shard, kind="stable")
+        shard, rid, seq, nb, member = (
+            shard[order],
+            rid[order],
+            seq[order],
+            nb[order],
+            member[order],
+        )
+        # group boundaries over the shard-sorted batch, then one
+        # reduceat per aggregate — no Python loop over rows
+        starts = np.flatnonzero(
+            np.concatenate([[True], shard[1:] != shard[:-1]])
+        )
+        counts = np.diff(np.concatenate([starts, [len(shard)]]))
+        return _rows(
+            shard[starts],
+            np.minimum.reduceat(rid, starts),
+            counts.astype(np.int64),
+            np.add.reduceat(nb, starts),
+            np.minimum.reduceat(seq, starts),
+            np.maximum.reduceat(seq, starts),
+            np.bitwise_xor.reduceat(member, starts),
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        # one shard's partial rows -> one manifest row
+        xs = group["checksum"].to_numpy(zero_copy_only=False)
+        return _rows(
+            [group["shard"][0].as_py()],
+            [pc.min(group["range_id"]).as_py()],
+            [pc.sum(group["n_images"]).as_py()],
+            [pc.sum(group["payload_bytes"]).as_py()],
+            [pc.min(group["first_seq"]).as_py()],
+            [pc.max(group["last_seq"]).as_py()],
+            np.bitwise_xor.reduce(xs.astype(np.uint64), keepdims=True),
+        )
+
+    assignments = (
+        _assignments if _assignments is not None
+        else _shard_assignments(images_path)
+    )
+    ds = (
+        assignments
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    return _sorted(_concat(ds), "shard")
+
+
+def q_bucket_shard_pack(images_path: str) -> pa.Table:
+    """Aspect-bucketed WebDataset shard layout — the composition a
+    bucketed dataloader (SDXL-style, arXiv:2307.01952 App. I) actually
+    consumes: batches must be same-bucket, so shards must be too. Every
+    image gets its ASPECT_BUCKETS argmin (:func:`aspect_bucket_ids`),
+    then images pack greedily in seq order WITHIN each (bucket, pack
+    range): same walk, same budget, shards never mix buckets or span a
+    range. Global shard ids are contiguous in (bucket, range, local)
+    order, so each bucket's shards form one contiguous id interval per
+    range — a per-bucket reader is a range scan, not a scatter.
+
+    Scale shape and implementation are exactly
+    :func:`q_image_shard_pack` with the composite pack unit: this is the
+    same `_bucket_packed_local` → `_offsets_of` → `_assignments_from`
+    chain the shard writer consumes, so the oracled plan and the written
+    layout can never drift."""
+    packed = _bucket_packed_local(images_path)
+    ds = _assignments_from(packed, _offsets_of(packed))
+
+    def reveal_bucket(batch: pa.Table) -> pa.Table:
+        unit = batch["range_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "seq": batch["seq"],
+                "n_bytes": batch["n_bytes"],
+                "bucket_id": pa.array(unit // _BUCKET_GRP, pa.int64()),
+                "shard": batch["shard"],
+            }
+        )
+
+    return _sorted(
+        _concat(ds.map_batches(reveal_bucket, batch_format="pyarrow")),
+        ["bucket_id", "seq"],
+    )
+
+
+def q_shard_manifest(
+    images_path: str, _assignments: "ray.data.Dataset | None" = None
+) -> pa.Table:
+    """Per-shard lineage/integrity manifest over the shard-pack layout —
+    the "per-partition lineage + metrics" record a resumable writer
+    checkpoints next to each shard: which pack range produced it
+    (``range_id`` — the resume unit), how many images and payload bytes
+    it holds, its seq interval, and a content checksum
+    (xor of ``mix64_int(seq, seed=n_bytes)`` over members — mergeable,
+    order-free, and SQL-replayable with HUGEINT modular arithmetic).
+
+    Scale shape: a per-batch combiner collapses each Arrow batch to one
+    partial row per shard touched, then a hash-partitioned
+    ``groupby(shard).map_groups`` merges partials — the driver never sees
+    per-image rows, only the O(shards) manifest."""
+    def _rows(shard, range_id, n_images, payload, first, last, xs):
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int64()),
+                "range_id": pa.array(range_id, pa.int64()),
+                "n_images": pa.array(n_images, pa.int64()),
+                "payload_bytes": pa.array(payload, pa.int64()),
+                "first_seq": pa.array(first, pa.int64()),
+                "last_seq": pa.array(last, pa.int64()),
+                "checksum": pa.array(xs, pa.uint64()),
+            }
+        )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        shard = batch["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = batch["range_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # seed enters the mixer additively; n_bytes < 2^32 keeps the
+        # (seq, n_bytes) -> key map collision-free at corpus sizes
+        member = member_checksum_keys(seq, nb)
         order = np.argsort(shard, kind="stable")
         shard, rid, seq, nb, member = (
             shard[order],

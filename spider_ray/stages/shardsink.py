@@ -16,17 +16,25 @@ files match the plan):
   `fetcher_worker_main.cc:140-144`) applied to the training-layout sink.
 * :func:`verify_shards` — integrity audit: re-reads every written shard
   file, recomputes each shard's manifest row (counts, byte totals, seq
-  interval, xor-of-mix64 checksum) from the actual bytes on disk, and
-  compares against the `manifest.parquet` the writer left at the root
-  (which itself is the independently SQL-oracled `q_shard_manifest`).
+  interval, xor-of-mix64 checksum) from the actual bytes on disk PLUS a
+  members-in-seq-order check (the rollup fields are all
+  permutation-invariant, so order needs its own eye), and compares
+  against the `manifest.parquet` the writer left at the root (which
+  itself is the independently SQL-oracled `q_shard_manifest`).
 
 Scale shape: the only all-to-all is the payload `groupby(range_id)` —
 inherent to a physical re-layout (every byte must reach its writer), and
 bounded per worker by one range's payload (SHARD_RANGE images). The plan
 passes read only (image_id, byte length); the driver holds the O(ranges)
-offset map and the O(ranges) summary, never payload. Verification
-streams the written files back through the same partial/merge combiner
-as `q_shard_manifest` and joins the two O(shards) tables driver-side.
+offset map and the O(ranges) summary, never payload. Verification is an
+embarrassingly-parallel map over shard FILES (one shard == one file — no
+shuffle), joined to the manifest driver-side at O(shards).
+
+Fault tolerance: range commits are atomic tmp-dir renames and IDEMPOTENT
+under Ray task retries (a marked destination is kept, the retry's stage
+dropped); the root manifest is replaced atomically BEFORE the payload
+pass, right after the staleness wipe, so a crash at any point leaves
+manifest + a subset of its own ranges — never stale ids over new files.
 """
 
 from __future__ import annotations
@@ -51,6 +59,7 @@ from spider_ray.functions.imageshard import (
     _packed_local,
     aspect_bucket_ids,
     greedy_local_shards,
+    member_checksum_keys,
     q_shard_manifest,
 )
 from spider_ray.pipelines.relational import _concat, _sorted
@@ -73,18 +82,6 @@ _SUMMARY_SCHEMA = pa.schema(
 )
 
 
-def _mix64_seq_bytes(seq: np.ndarray, nb: np.ndarray) -> np.ndarray:
-    """mix64_int(seq, seed=n_bytes) vectorized with per-row seeds — the
-    member key of `q_shard_manifest`'s checksum (frozen constants)."""
-    with np.errstate(over="ignore"):
-        u = seq.astype(np.uint64) * np.uint64(2654435761) + nb.astype(
-            np.uint64
-        )
-        u = u ^ (u >> np.uint64(29))
-        u = u * np.uint64(2246822519)
-        return u ^ (u >> np.uint64(32))
-
-
 def _scan_done(out_dir: str) -> set[int]:
     """Donelist scan: wipe tmp staging dirs and markerless range dirs (a
     crashed attempt's partials — the retry owns the whole range), return
@@ -94,8 +91,8 @@ def _scan_done(out_dir: str) -> set[int]:
         return done
     for d in os.listdir(out_dir):
         p = os.path.join(out_dir, d)
-        if d.startswith(".tmp-") and os.path.isdir(p):
-            shutil.rmtree(p)
+        if d.startswith(".tmp-"):
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
         elif d.startswith("range=") and os.path.isdir(p):
             if os.path.exists(os.path.join(p, "_DONE")):
                 done.add(int(d.split("=", 1)[1]))
@@ -156,6 +153,15 @@ def write_shards(
         done.discard(rid)
         shutil.rmtree(os.path.join(out_dir, _RANGE_FMT % rid))
 
+    # root manifest: written ATOMICALLY (tmp + rename), and BEFORE the
+    # payload pass — the staleness wipe above already removed every
+    # committed dir that disagrees with this plan, so a crash mid-write
+    # leaves manifest + a subset of its ranges (verify/read report the
+    # missing shards; nothing silently serves stale ids against new files)
+    mtmp = os.path.join(out_dir, f".tmp-manifest-{uuid.uuid4().hex[:8]}")
+    pq.write_table(manifest, mtmp)
+    os.replace(mtmp, os.path.join(out_dir, "manifest.parquet"))
+
     off_ref = ray.put(offsets)
     done_ref = ray.put(done)
 
@@ -197,7 +203,7 @@ def write_shards(
             greedy_local_shards(nb.tolist()), dtype=np.int64
         )
         seq = group["seq"].to_numpy(zero_copy_only=False)
-        keys = _mix64_seq_bytes(seq.astype(np.int64), nb.astype(np.int64))
+        keys = member_checksum_keys(seq.astype(np.int64), nb.astype(np.int64))
 
         tmp = os.path.join(
             out_dir, f".tmp-{_RANGE_FMT % rid}-{uuid.uuid4().hex[:8]}"
@@ -225,8 +231,16 @@ def write_shards(
             json.dump({"range_id": rid, "shards": manifest}, f)
         with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("")
-        # commit: marker + lineage travel WITH the atomic rename
-        os.rename(tmp, os.path.join(out_dir, _RANGE_FMT % rid))
+        # commit: marker + lineage travel WITH the atomic rename. A Ray
+        # task RETRY can reach here after a previous attempt already
+        # committed (worker died between rename and returning the result);
+        # a marked destination is that attempt's finished work — keep it,
+        # drop ours (byte-identical by construction: same plan, same sort)
+        dest = os.path.join(out_dir, _RANGE_FMT % rid)
+        if os.path.exists(os.path.join(dest, "_DONE")):
+            shutil.rmtree(tmp)
+        else:
+            os.rename(tmp, dest)
         return pa.table(
             {
                 "range_id": pa.array([rid], pa.int64()),
@@ -267,9 +281,6 @@ def write_shards(
             [written, pa.Table.from_pylist(skipped_rows, _SUMMARY_SCHEMA)]
         )
 
-    # root-level global manifest: the independently-oracled per-shard
-    # integrity record (computed above from the same pack pass)
-    pq.write_table(manifest, os.path.join(out_dir, "manifest.parquet"))
     return _sorted(written, "range_id")
 
 
@@ -339,104 +350,80 @@ def read_shards(
 
 
 def verify_shards(out_dir: str) -> dict:
-    """Audit the written layout against ``manifest.parquet``: stream every
-    shard file back, recompute its manifest row from the bytes on disk
-    (same partial/merge combiner as `q_shard_manifest`), and report any
-    divergence. Returns ``{"shards_checked": n, "mismatches": [...]}`` —
-    an empty mismatch list is a clean bill."""
+    """Audit the written layout against ``manifest.parquet``: re-read
+    every shard file (one shard == one file, so this is an
+    embarrassingly-parallel map over files — no shuffle), recompute its
+    manifest row from the bytes on disk, check the members are in seq
+    order (the dataloader contract the permutation-invariant checksum
+    alone cannot see), and report any divergence. Returns
+    ``{"shards_checked": n, "mismatches": [...]}`` — an empty mismatch
+    list is a clean bill."""
     want = pq.read_table(os.path.join(out_dir, "manifest.parquet"))
 
-    files = list(_shard_files(out_dir).values())
-    if not files:
+    shard_files = _shard_files(out_dir)
+    if not shard_files:
         return {
             "shards_checked": 0,
             "mismatches": [{"shard": None, "field": "no shard files"}],
         }
 
-    ds = ray.data.read_parquet(
-        files, columns=["image_id", "bytes"], include_paths=True
-    )
+    items = [
+        {"shard": sid, "path": p} for sid, p in sorted(shard_files.items())
+    ]
 
-    def partials(batch: pa.Table) -> pa.Table:
-        sid = np.array(
-            [
-                int(os.path.basename(p).split("-")[1].split(".")[0])
-                for p in batch["path"].to_pylist()
-            ],
-            dtype=np.int64,
-        )
-        seq = (
-            pc.struct_field(
-                pc.extract_regex(
-                    batch["image_id"].cast(pa.string()), _SEQ_NAMED
-                ),
-                "seq",
-            )
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        nb = (
-            pc.binary_length(batch["bytes"])
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        keys = _mix64_seq_bytes(seq, nb)
-        order = np.argsort(sid, kind="stable")
-        sid, seq, nb, keys = sid[order], seq[order], nb[order], keys[order]
-        starts = np.flatnonzero(
-            np.concatenate([[True], sid[1:] != sid[:-1]])
-        )
-        counts = np.diff(np.concatenate([starts, [len(sid)]]))
-        return pa.table(
-            {
-                "shard": pa.array(sid[starts], pa.int64()),
-                "n_images": pa.array(counts.astype(np.int64), pa.int64()),
-                "payload_bytes": pa.array(
-                    np.add.reduceat(nb, starts), pa.int64()
-                ),
-                "first_seq": pa.array(
-                    np.minimum.reduceat(seq, starts), pa.int64()
-                ),
-                "last_seq": pa.array(
-                    np.maximum.reduceat(seq, starts), pa.int64()
-                ),
-                "checksum": pa.array(
-                    np.bitwise_xor.reduceat(keys, starts), pa.uint64()
-                ),
-            }
-        )
-
-    def merge(group: pa.Table) -> pa.Table:
-        xs = group["checksum"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "shard": pa.array([group["shard"][0].as_py()], pa.int64()),
-                "n_images": pa.array(
-                    [pc.sum(group["n_images"]).as_py()], pa.int64()
-                ),
-                "payload_bytes": pa.array(
-                    [pc.sum(group["payload_bytes"]).as_py()], pa.int64()
-                ),
-                "first_seq": pa.array(
-                    [pc.min(group["first_seq"]).as_py()], pa.int64()
-                ),
-                "last_seq": pa.array(
-                    [pc.max(group["last_seq"]).as_py()], pa.int64()
-                ),
-                "checksum": pa.array(
-                    np.bitwise_xor.reduce(
-                        xs.astype(np.uint64), keepdims=True
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = {
+            "shard": [], "n_images": [], "payload_bytes": [],
+            "first_seq": [], "last_seq": [], "checksum": [], "in_order": [],
+        }
+        for sid, path in zip(
+            batch["shard"].to_pylist(), batch["path"].to_pylist()
+        ):
+            t = pq.read_table(path, columns=["image_id", "bytes"])
+            seq = (
+                pc.struct_field(
+                    pc.extract_regex(
+                        t["image_id"].cast(pa.string()), _SEQ_NAMED
                     ),
-                    pa.uint64(),
+                    "seq",
+                )
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            nb = (
+                pc.binary_length(t["bytes"])
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            keys = member_checksum_keys(seq, nb)
+            rows["shard"].append(int(sid))
+            rows["n_images"].append(len(seq))
+            rows["payload_bytes"].append(int(nb.sum()) if len(nb) else 0)
+            rows["first_seq"].append(int(seq.min()) if len(seq) else -1)
+            rows["last_seq"].append(int(seq.max()) if len(seq) else -1)
+            rows["checksum"].append(
+                int(np.bitwise_xor.reduce(keys)) if len(keys) else 0
+            )
+            rows["in_order"].append(bool(np.all(np.diff(seq) > 0)))
+        return pa.table(
+            {
+                "shard": pa.array(rows["shard"], pa.int64()),
+                "n_images": pa.array(rows["n_images"], pa.int64()),
+                "payload_bytes": pa.array(rows["payload_bytes"], pa.int64()),
+                "first_seq": pa.array(rows["first_seq"], pa.int64()),
+                "last_seq": pa.array(rows["last_seq"], pa.int64()),
+                "checksum": pa.array(
+                    np.array(rows["checksum"], dtype=np.uint64), pa.uint64()
                 ),
+                "in_order": pa.array(rows["in_order"], pa.bool_()),
             }
         )
 
     got = _sorted(
         _concat(
-            ds.map_batches(partials, batch_format="pyarrow")
-            .groupby("shard")
-            .map_groups(merge, batch_format="pyarrow")
+            ray.data.from_items(items).map_batches(
+                summarize, batch_format="pyarrow"
+            )
         ),
         "shard",
     )
@@ -458,6 +445,8 @@ def verify_shards(out_dir: str) -> dict:
         if sid not in want_rows:
             mismatches.append({"shard": sid, "field": "not in manifest"})
             continue
+        if not got_rows[sid]["in_order"]:
+            mismatches.append({"shard": sid, "field": "members out of seq order"})
         for f in fields:
             if want_rows[sid][f] != got_rows[sid][f]:
                 mismatches.append(

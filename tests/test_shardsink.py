@@ -326,3 +326,60 @@ def test_bucket_layout_write_matches_plan(store, tmp_path):
     relayout = _read_layout(out)
     assert set(relayout) == set(seq_plan)
     assert verify_shards(out)["mismatches"] == []
+
+
+def test_verify_catches_member_reordering(store, tmp_path):
+    """Every rollup field (counts/bytes/interval/xor checksum) is
+    permutation-invariant, so the order contract needs its own check."""
+    out = str(tmp_path / "shards")
+    write_shards(store, out)
+    rdir = sorted(d for d in os.listdir(out) if d.startswith("range="))[0]
+    victim = None
+    for f in sorted(os.listdir(os.path.join(out, rdir))):
+        if f.startswith("shard-"):
+            t = pq.read_table(os.path.join(out, rdir, f))
+            if len(t) >= 2:
+                victim = os.path.join(out, rdir, f)
+                break
+    assert victim is not None
+    # reverse the members: all rollup fields unchanged, order broken
+    pq.write_table(t.take(list(range(len(t) - 1, -1, -1))), victim)
+    rep = verify_shards(out)
+    sid = int(os.path.basename(victim).split("-")[1].split(".")[0])
+    assert {"shard": sid, "field": "members out of seq order"} in rep[
+        "mismatches"
+    ]
+    assert len(rep["mismatches"]) == 1  # nothing else fires
+
+
+def test_write_range_commit_is_idempotent(store, tmp_path, monkeypatch):
+    """A Ray task retry can re-run write_range after a previous attempt
+    already committed the range (worker died between rename and result
+    return). Simulated by blinding the donelist scan: the committed dirs
+    survive untouched and the rerun neither crashes nor rewrites."""
+    import spider_ray.stages.shardsink as sink
+
+    out = str(tmp_path / "shards")
+    write_shards(store, out)
+    first = {
+        sid: t.to_pylist() for sid, t in _read_layout(out).items()
+    }
+    rdirs = sorted(d for d in os.listdir(out) if d.startswith("range="))
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, d, "_MANIFEST.json"))
+        for d in rdirs
+    }
+
+    monkeypatch.setattr(sink, "_scan_done", lambda _out: set())
+    write_shards(store, out)  # every range re-enters the stream
+    for d in rdirs:  # committed work kept, not re-renamed
+        assert (
+            os.path.getmtime(os.path.join(out, d, "_MANIFEST.json"))
+            == mtimes[d]
+        )
+    assert {
+        sid: t.to_pylist() for sid, t in _read_layout(out).items()
+    } == first
+    assert verify_shards(out)["mismatches"] == []
+    # no stray tmp dirs left behind
+    assert not [d for d in os.listdir(out) if d.startswith(".tmp-")]
