@@ -304,20 +304,28 @@ def read_shards(
     columns: list[str] | None = None,
     shards: list[int] | None = None,
     seq_range: tuple[int, int] | None = None,
+    bucket: int | None = None,
 ) -> "ray.data.Dataset":
     """Dataloader-side read of a written shard layout as a streaming
     Dataset, pruned at the FILE level before any byte is read: ``shards``
     selects explicit shard ids, ``seq_range=(lo, hi)`` (inclusive) keeps
     only shards whose manifest [first_seq, last_seq] interval intersects
-    it — the manifest is the layout's zone map. Column projection pushes
+    it — the manifest is the layout's zone map; ``bucket=k`` (bucketed
+    layouts) keeps only aspect-bucket k's shards. Column projection pushes
     into the parquet scan, so a caption-only consumer never moves the
     payload. Raises if a manifest-listed shard in the selection is
     missing on disk (run :func:`verify_shards` for the full audit)."""
     manifest = pq.read_table(
         os.path.join(out_dir, "manifest.parquet"),
-        columns=["shard", "first_seq", "last_seq"],
+        columns=["shard", "range_id", "first_seq", "last_seq"],
     )
     keep = manifest
+    if bucket is not None:
+        # bucketed layouts encode (bucket, range) in the pack-unit id; a
+        # per-bucket dataloader epoch is a manifest filter, zero scatter
+        keep = keep.filter(
+            pc.equal(pc.divide(keep["range_id"], _BUCKET_GRP), bucket)
+        )
     if shards is not None:
         keep = keep.filter(pc.is_in(keep["shard"], pa.array(shards)))
     if seq_range is not None:

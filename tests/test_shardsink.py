@@ -383,3 +383,24 @@ def test_write_range_commit_is_idempotent(store, tmp_path, monkeypatch):
     assert verify_shards(out)["mismatches"] == []
     # no stray tmp dirs left behind
     assert not [d for d in os.listdir(out) if d.startswith(".tmp-")]
+
+
+def test_read_shards_bucket_filter(store, tmp_path):
+    from spider_ray.functions.imageshard import q_bucket_shard_pack
+    from spider_ray.stages.shardsink import read_shards
+
+    out = str(tmp_path / "shards")
+    write_shards(store, out, layout="bucket")
+    plan = q_bucket_shard_pack(store).to_pylist()
+    buckets = sorted({r["bucket_id"] for r in plan})
+    assert len(buckets) >= 2
+    k = buckets[0]
+    want = {r["image_id"] for r in plan if r["bucket_id"] == k}
+    got = {
+        r["image_id"]
+        for r in read_shards(out, bucket=k, columns=["image_id"]).take_all()
+    }
+    assert got == want
+    # empty bucket id -> empty dataset, correct schema
+    ds = read_shards(out, bucket=max(buckets) + 1, columns=["image_id"])
+    assert ds.count() == 0
