@@ -323,6 +323,12 @@ def read_shards(
     if bucket is not None:
         # bucketed layouts encode (bucket, range) in the pack-unit id; a
         # per-bucket dataloader epoch is a manifest filter, zero scatter
+        units = keep["range_id"].to_numpy(zero_copy_only=False)
+        if len(units) and int(units.max()) < _BUCKET_GRP:
+            raise ValueError(
+                "bucket= filter on a seq-layout shard dir (pack units "
+                "carry no bucket component) — write with layout='bucket'"
+            )
         keep = keep.filter(
             pc.equal(pc.divide(keep["range_id"], _BUCKET_GRP), bucket)
         )

@@ -404,3 +404,12 @@ def test_read_shards_bucket_filter(store, tmp_path):
     # empty bucket id -> empty dataset, correct schema
     ds = read_shards(out, bucket=max(buckets) + 1, columns=["image_id"])
     assert ds.count() == 0
+
+
+def test_read_shards_bucket_filter_rejects_seq_layout(store, tmp_path):
+    from spider_ray.stages.shardsink import read_shards
+
+    out = str(tmp_path / "shards")
+    write_shards(store, out)  # seq layout
+    with pytest.raises(ValueError, match="seq-layout"):
+        read_shards(out, bucket=0)
