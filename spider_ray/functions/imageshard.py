@@ -416,183 +416,3 @@ def q_bucket_shard_pack(images_path: str) -> pa.Table:
         _concat(ds.map_batches(reveal_bucket, batch_format="pyarrow")),
         ["bucket_id", "seq"],
     )
-
-
-def q_shard_manifest(
-    images_path: str, _assignments: "ray.data.Dataset | None" = None
-) -> pa.Table:
-    """Per-shard lineage/integrity manifest over the shard-pack layout —
-    the "per-partition lineage + metrics" record a resumable writer
-    checkpoints next to each shard: which pack range produced it
-    (``range_id`` — the resume unit), how many images and payload bytes
-    it holds, its seq interval, and a content checksum
-    (xor of ``mix64_int(seq, seed=n_bytes)`` over members — mergeable,
-    order-free, and SQL-replayable with HUGEINT modular arithmetic).
-
-    Scale shape: a per-batch combiner collapses each Arrow batch to one
-    partial row per shard touched, then a hash-partitioned
-    ``groupby(shard).map_groups`` merges partials — the driver never sees
-    per-image rows, only the O(shards) manifest."""
-    def _rows(shard, range_id, n_images, payload, first, last, xs):
-        return pa.table(
-            {
-                "shard": pa.array(shard, pa.int64()),
-                "range_id": pa.array(range_id, pa.int64()),
-                "n_images": pa.array(n_images, pa.int64()),
-                "payload_bytes": pa.array(payload, pa.int64()),
-                "first_seq": pa.array(first, pa.int64()),
-                "last_seq": pa.array(last, pa.int64()),
-                "checksum": pa.array(xs, pa.uint64()),
-            }
-        )
-
-    def partials(batch: pa.Table) -> pa.Table:
-        shard = batch["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rid = batch["range_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        seq = batch["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nb = batch["n_bytes"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # seed enters the mixer additively; n_bytes < 2^32 keeps the
-        # (seq, n_bytes) -> key map collision-free at corpus sizes
-        member = member_checksum_keys(seq, nb)
-        order = np.argsort(shard, kind="stable")
-        shard, rid, seq, nb, member = (
-            shard[order],
-            rid[order],
-            seq[order],
-            nb[order],
-            member[order],
-        )
-        # group boundaries over the shard-sorted batch, then one
-        # reduceat per aggregate — no Python loop over rows
-        starts = np.flatnonzero(
-            np.concatenate([[True], shard[1:] != shard[:-1]])
-        )
-        counts = np.diff(np.concatenate([starts, [len(shard)]]))
-        return _rows(
-            shard[starts],
-            np.minimum.reduceat(rid, starts),
-            counts.astype(np.int64),
-            np.add.reduceat(nb, starts),
-            np.minimum.reduceat(seq, starts),
-            np.maximum.reduceat(seq, starts),
-            np.bitwise_xor.reduceat(member, starts),
-        )
-
-    def merge(group: pa.Table) -> pa.Table:
-        # one shard's partial rows -> one manifest row
-        xs = group["checksum"].to_numpy(zero_copy_only=False)
-        return _rows(
-            [group["shard"][0].as_py()],
-            [pc.min(group["range_id"]).as_py()],
-            [pc.sum(group["n_images"]).as_py()],
-            [pc.sum(group["payload_bytes"]).as_py()],
-            [pc.min(group["first_seq"]).as_py()],
-            [pc.max(group["last_seq"]).as_py()],
-            np.bitwise_xor.reduce(xs.astype(np.uint64), keepdims=True),
-        )
-
-    assignments = (
-        _assignments if _assignments is not None
-        else _shard_assignments(images_path)
-    )
-    ds = (
-        assignments
-        .map_batches(partials, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(merge, batch_format="pyarrow")
-    )
-    return _sorted(_concat(ds), "shard")
-
-
-def q_bucket_shard_pack(images_path: str) -> pa.Table:
-    """Aspect-bucketed WebDataset shard layout — the composition a
-    bucketed dataloader (SDXL-style, arXiv:2307.01952 App. I) actually
-    consumes: batches must be same-bucket, so shards must be too. Every
-    image gets its ASPECT_BUCKETS argmin (same integer-exact kernel as
-    :func:`q_aspect_buckets`), then images pack greedily in seq order
-    WITHIN each (bucket, pack range): same walk, same budget, shards
-    never mix buckets or span a range. Global shard ids are contiguous
-    in (bucket, range, local) order, so each bucket's shards form one
-    contiguous id interval per range — a per-bucket reader is a range
-    scan, not a scatter.
-
-    Scale shape: identical to :func:`q_image_shard_pack` — a pruned
-    (image_id, w, h, byte-length) pass, a `groupby(grp).map_groups`
-    per-(bucket, range) pack, an O(buckets x ranges) driver cumsum, and
-    one streamed offset pass. The payload never moves."""
-    import polars as pl
-
-    ds = read_images(images_path, columns=["image_id", "bytes", "w", "h"])
-
-    def sizes(batch: pa.Table) -> pa.Table:
-        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-        k = aspect_bucket_ids(w, h)
-        lf = pl.from_arrow(
-            pa.table(
-                {
-                    "image_id": batch["image_id"].cast(pa.string()),
-                    "n_bytes": pc.binary_length(batch["bytes"]).cast(
-                        pa.int64()
-                    ),
-                    "bucket_id": pa.array(k, pa.int64()),
-                }
-            )
-        ).with_columns(
-            seq=pl.col("image_id").str.extract(_SEQ_PAT, 1).cast(pl.Int64)
-        )
-        return (
-            lf.with_columns(
-                grp=pl.col("bucket_id") * _BUCKET_GRP
-                + pl.col("seq") // SHARD_RANGE
-            )
-            .select("image_id", "seq", "n_bytes", "bucket_id", "grp")
-            .to_arrow()
-        )
-
-    def pack_grp(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).sort("seq")
-        return df.with_columns(
-            local_shard=pl.Series(
-                greedy_local_shards(df["n_bytes"].to_list()), dtype=pl.Int64
-            )
-        ).to_arrow()
-
-    from ray.data.aggregate import Max
-
-    packed = (
-        ds.map_batches(sizes, batch_format="pyarrow")
-        .groupby("grp")
-        .map_groups(pack_grp, batch_format="pyarrow")
-        .materialize()
-    )
-    counts = packed.groupby("grp").aggregate(Max("local_shard")).to_pandas()
-    counts = counts.sort_values("grp", ignore_index=True)
-    n_shards = counts["max(local_shard)"].to_numpy() + 1
-    offsets = dict(
-        zip(
-            counts["grp"].tolist(),
-            np.concatenate([[0], np.cumsum(n_shards)[:-1]]).tolist(),
-        )
-    )
-    off_ref = ray.put(offsets)
-
-    def add_offset(batch: pa.Table) -> pa.Table:
-        off = ray.get(off_ref)
-        grp = batch["grp"].to_pylist()
-        base = np.array([off[g] for g in grp], dtype=np.int64)
-        local = batch["local_shard"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "image_id": batch["image_id"],
-                "seq": batch["seq"],
-                "n_bytes": batch["n_bytes"],
-                "bucket_id": batch["bucket_id"],
-                "shard": pa.array(base + local, pa.int64()),
-            }
-        )
-
-    return _sorted(
-        _concat(packed.map_batches(add_offset, batch_format="pyarrow")),
-        ["bucket_id", "seq"],
-    )

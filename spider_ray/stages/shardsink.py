@@ -161,6 +161,10 @@ def write_shards(
     mtmp = os.path.join(out_dir, f".tmp-manifest-{uuid.uuid4().hex[:8]}")
     pq.write_table(manifest, mtmp)
     os.replace(mtmp, os.path.join(out_dir, "manifest.parquet"))
+    ltmp = os.path.join(out_dir, f".tmp-layout-{uuid.uuid4().hex[:8]}")
+    with open(ltmp, "w") as f:
+        json.dump({"layout": layout}, f)
+    os.replace(ltmp, os.path.join(out_dir, "_LAYOUT.json"))
 
     off_ref = ray.put(offsets)
     done_ref = ray.put(done)
@@ -322,12 +326,16 @@ def read_shards(
     keep = manifest
     if bucket is not None:
         # bucketed layouts encode (bucket, range) in the pack-unit id; a
-        # per-bucket dataloader epoch is a manifest filter, zero scatter
-        units = keep["range_id"].to_numpy(zero_copy_only=False)
-        if len(units) and int(units.max()) < _BUCKET_GRP:
+        # per-bucket dataloader epoch is a manifest filter, zero scatter.
+        # The layout marker (not a unit-value heuristic: an all-bucket-0
+        # corpus has every unit < 2^32) gates the filter.
+        with open(os.path.join(out_dir, "_LAYOUT.json")) as f:
+            written_layout = json.load(f)["layout"]
+        if written_layout != "bucket":
             raise ValueError(
-                "bucket= filter on a seq-layout shard dir (pack units "
-                "carry no bucket component) — write with layout='bucket'"
+                f"bucket= filter on a {written_layout!r}-layout shard dir "
+                "(pack units carry no bucket component) — write with "
+                "layout='bucket'"
             )
         keep = keep.filter(
             pc.equal(pc.divide(keep["range_id"], _BUCKET_GRP), bucket)

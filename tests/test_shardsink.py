@@ -411,5 +411,5 @@ def test_read_shards_bucket_filter_rejects_seq_layout(store, tmp_path):
 
     out = str(tmp_path / "shards")
     write_shards(store, out)  # seq layout
-    with pytest.raises(ValueError, match="seq-layout"):
+    with pytest.raises(ValueError, match="layout shard dir"):
         read_shards(out, bucket=0)
