@@ -345,15 +345,16 @@ def _crawl_seen_query(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
-        # aggregations (SURVEY §2.5)
+        # aggregations (SURVEY §2.5) — conditional_agg is double-covered by
+        # tools/oracle_strict.py and moved to the tail (agg class stays
+        # represented by pricing_summary / per_key_count / heavy_hitters)
         "pricing_summary": R.q_pricing_summary,
         "per_key_count": R.q_per_key_count,
-        "conditional_agg": R.q_conditional_agg,
         # joins (SURVEY §2.4) — latest_record / range_join /
-        # priority_bands are double-covered by tools/oracle_strict.py and
-        # moved to the tail to keep the image-curation suite inside the
-        # driver's 50-row window
-        "cogroup_join": R.q_cogroup_join,
+        # priority_bands / cogroup_join are double-covered by
+        # tools/oracle_strict.py and moved to the tail to keep the
+        # image-curation + shard-layout suites inside the driver's
+        # 50-row window
         "anti_join": R.q_anti_join,
         "asof_join": R.q_asof_join,
         # filters / bands / unions (§2.2, §2.6, §2.7)
@@ -367,7 +368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,
         "simhash_pairs": D.q_simhash_pairs,
-        "embedding_neardup": D.q_embedding_neardup,
+        # the exact O(N²) twin embedding_neardup is double-covered by
+        # tools/oracle_strict.py and moved to the tail; the LSH scale path
+        # below keeps the class in the window
         # LSH-bucketed scale path of embedding_neardup — SQL-oracled end to
         # end: integer-exact Rademacher banding (quantized components +
         # mix64-parity signs, similarity._rademacher_signs) replays in
@@ -393,12 +396,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_filter": _image_filter_query,
         "phash_clusters": _phash_clusters_query,
         "image_curate": _image_curate_query,
+        # phash twin of the text decontaminate op (SQL-oracled bit-exact)
+        "image_decontaminate": _image_decontaminate_query,
         # training-layout ops for the image corpus (aspect bucketing +
         # WebDataset shard packing) — SQL-oracled bit-exact; the text ops
         # charset_decode / main_content move to the tail (both carry
         # golden-fixture pytest suites AND strict double-coverage)
         "aspect_buckets": _aspect_buckets_query,
         "image_shard_pack": _image_shard_pack_query,
+        # per-shard lineage/integrity manifest + the SDXL bucketed-
+        # dataloader composition — both SQL-oracled bit-exact
+        "shard_manifest": _shard_manifest_query,
+        "bucket_shard_pack": _bucket_shard_pack_query,
         # rows-only sink/pipeline entries (no SQL form): the ONLY recorded
         # check they can get is a driver row, so they sit inside the
         # window; token_stats/quality_scores (SQL-oracled, double-covered
@@ -474,11 +483,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parts": U.q_url_parts,
         "bpe_token_count": T.q_bpe_token_count,
         "broadcast_join": R.q_broadcast_join,
-        "shard_manifest": _shard_manifest_query,
-        "bucket_shard_pack": _bucket_shard_pack_query,
         "token_stats": T.q_token_stats,
         "quality_scores": T.q_quality_scores,
-        "image_decontaminate": _image_decontaminate_query,
+        "conditional_agg": R.q_conditional_agg,
+        "cogroup_join": R.q_cogroup_join,
+        "embedding_neardup": D.q_embedding_neardup,
     }
     return q
 
