@@ -268,6 +268,14 @@ def _bucket_shard_pack_query(sf_dir: str) -> Any:
     return IS.q_bucket_shard_pack(_images_store(sf_dir))
 
 
+def _epoch_shuffle_query(sf_dir: str) -> Any:
+    """Deterministic WebDataset-style epoch order over the shard layout:
+    frozen mix64 shard permutation + within-shard member shuffle; the
+    driver holds only the O(shards) base-offset cumsum and ranks are
+    local per-shard sorts (SQL-oracled bit-exact for epoch=1)."""
+    return IS.q_epoch_shuffle(_images_store(sf_dir), epoch=1)
+
+
 def _image_decontaminate_query(sf_dir: str) -> Any:
     """Benchmark decontamination for the image corpus: training images
     within phash-Hamming tau of any held-out benchmark image (seq % 17
@@ -365,7 +373,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc counts of W-word spans duplicated corpus-wide
         # (broadcast_join, join class double-covered, moved to the tail)
         "dup_spans": D.q_dup_spans,
-        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": D.q_minhash_lsh_pairs,
         "simhash_pairs": D.q_simhash_pairs,
         # the exact O(N²) twin embedding_neardup is double-covered by
@@ -408,6 +415,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dataloader composition — both SQL-oracled bit-exact
         "shard_manifest": _shard_manifest_query,
         "bucket_shard_pack": _bucket_shard_pack_query,
+        # deterministic two-level training-epoch order over the shards
+        # (ngram_jaccard_pairs, near-dup class triple-covered in-window
+        # by minhash/simhash/embedding-LSH, moved to the tail)
+        "epoch_shuffle": _epoch_shuffle_query,
         # rows-only sink/pipeline entries (no SQL form): the ONLY recorded
         # check they can get is a driver row, so they sit inside the
         # window; token_stats/quality_scores (SQL-oracled, double-covered
@@ -488,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conditional_agg": R.q_conditional_agg,
         "cogroup_join": R.q_cogroup_join,
         "embedding_neardup": D.q_embedding_neardup,
+        "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
     }
     return q
 
@@ -739,6 +751,117 @@ def oracle_sql() -> dict[str, str]:
                    o.base + w.local_shard AS shard
             FROM walk w JOIN offs o ON o.range_id = w.range_id
             ORDER BY w.seq
+        """,
+        "epoch_shuffle": f"""
+            -- deterministic WebDataset epoch order (epoch = 1): the
+            -- image_shard_pack walk, then shards permuted by the frozen
+            -- DOUBLE-mix64 key epoch_key(shard, 1000104) and members
+            -- within a shard by epoch_key(seq, 1000205) (seeds =
+            -- EPOCH_STRIDE·1 + EPOCH_SHARD_SEED / EPOCH_MEMBER_SEED;
+            -- epoch_key = mix64_int applied twice — a single round is
+            -- not seed-diffusing, functions/imageshard.epoch_key); both
+            -- mixers replayed with HUGEINT modular arithmetic
+            WITH RECURSIVE s AS (
+                SELECT image_id,
+                       CAST(regexp_extract(image_id, '(\\d+)$', 1)
+                            AS BIGINT) AS seq,
+                       CAST(octet_length(bytes) AS BIGINT) AS n_bytes
+                FROM '{phash_images}'),
+            r AS (
+                SELECT *, seq // 128 AS range_id,
+                       row_number() OVER (
+                           PARTITION BY seq // 128 ORDER BY seq) AS rn
+                FROM s),
+            walk(range_id, rn, image_id, seq, n_bytes, fill,
+                 local_shard) AS (
+                SELECT range_id, rn, image_id, seq, n_bytes, n_bytes,
+                       CAST(0 AS BIGINT)
+                FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.range_id, r.rn, r.image_id, r.seq, r.n_bytes,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + r.n_bytes > 16384
+                            THEN r.n_bytes ELSE w.fill + r.n_bytes END,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + r.n_bytes > 16384
+                            THEN w.local_shard + 1 ELSE w.local_shard END
+                FROM walk w
+                JOIN r ON r.range_id = w.range_id AND r.rn = w.rn + 1),
+            counts AS (
+                SELECT range_id, max(local_shard) + 1 AS n_shards
+                FROM walk GROUP BY range_id),
+            offs AS (
+                SELECT range_id,
+                       CAST(coalesce(sum(n_shards) OVER (
+                           ORDER BY range_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS base
+                FROM counts),
+            assign AS (
+                SELECT w.image_id, w.seq,
+                       o.base + w.local_shard AS shard
+                FROM walk w JOIN offs o ON o.range_id = w.range_id),
+            -- shard-permutation key: epoch_key(shard, 1000104)
+            k1 AS (SELECT shard, count(*) AS cnt,
+                          CAST((CAST(shard AS HUGEINT) * 2654435761
+                                + 1000104)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM assign GROUP BY shard),
+            k2 AS (SELECT shard, cnt, xor(u, u >> 29) AS u FROM k1),
+            k3 AS (SELECT shard, cnt,
+                          CAST((CAST(u AS HUGEINT) * 2246822519)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM k2),
+            k4 AS (SELECT shard, cnt, xor(u, u >> 32) AS u FROM k3),
+            k5 AS (SELECT shard, cnt,
+                          CAST((CAST(u AS HUGEINT) * 2654435761)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM k4),
+            k6 AS (SELECT shard, cnt, xor(u, u >> 29) AS u FROM k5),
+            k7 AS (SELECT shard, cnt,
+                          CAST((CAST(u AS HUGEINT) * 2246822519)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM k6),
+            k8 AS (SELECT shard, cnt, xor(u, u >> 32) AS skey FROM k7),
+            bases AS (
+                SELECT shard,
+                       CAST(coalesce(sum(cnt) OVER (
+                           ORDER BY skey, shard
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS base
+                FROM k8),
+            -- within-shard member key: epoch_key(seq, 1000205)
+            m1 AS (SELECT image_id, seq, shard,
+                          CAST((CAST(seq AS HUGEINT) * 2654435761
+                                + 1000205)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM assign),
+            m2 AS (SELECT image_id, seq, shard, xor(u, u >> 29) AS u
+                   FROM m1),
+            m3 AS (SELECT image_id, seq, shard,
+                          CAST((CAST(u AS HUGEINT) * 2246822519)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM m2),
+            m4 AS (SELECT image_id, seq, shard, xor(u, u >> 32) AS u
+                   FROM m3),
+            m5 AS (SELECT image_id, seq, shard,
+                          CAST((CAST(u AS HUGEINT) * 2654435761)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM m4),
+            m6 AS (SELECT image_id, seq, shard, xor(u, u >> 29) AS u
+                   FROM m5),
+            m7 AS (SELECT image_id, seq, shard,
+                          CAST((CAST(u AS HUGEINT) * 2246822519)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM m6),
+            m8 AS (SELECT image_id, seq, shard, xor(u, u >> 32) AS mkey
+                   FROM m7)
+            SELECT m.image_id, m.seq, m.shard,
+                   CAST(b.base + row_number() OVER (
+                       PARTITION BY m.shard ORDER BY m.mkey, m.seq) - 1
+                       AS BIGINT) AS epoch_pos
+            FROM m8 m JOIN bases b ON b.shard = m.shard
+            ORDER BY epoch_pos
         """,
         "bucket_shard_pack": f"""
             -- aspect-bucketed greedy shard pack: the aspect_buckets argmin

@@ -381,6 +381,84 @@ def q_shard_manifest(
     return _sorted(_concat(ds), "shard")
 
 
+"""Epoch-shuffle seeds — frozen; the SQL oracle replays both keys with
+HUGEINT modular arithmetic, so never change them without regenerating
+goldens. Distinct additive seeds keep the shard-order stream and the
+within-shard stream independent."""
+EPOCH_SHARD_SEED = 101
+EPOCH_MEMBER_SEED = 202
+EPOCH_STRIDE = 1_000_003
+
+
+def epoch_key(x: np.ndarray, seed: int) -> np.ndarray:
+    """DOUBLE-mix64 permutation key: ``mix64_int(mix64_int(x, seed))``.
+    A single mix64_int round is NOT seed-diffusing — its seed enters
+    additively after the multiply, so two seeds shift every key by a
+    near-constant and the induced ORDER barely changes (verified: single
+    round gives identical argsort across epoch seeds). The second round
+    avalanches the seed into the ordering. Frozen; replayed in SQL as the
+    same 4-stage mixer applied twice."""
+    from spider_ray.kernels.hashing import mix64_int
+
+    return mix64_int(mix64_int(x, seed=seed))
+
+
+def q_epoch_shuffle(images_path: str, epoch: int = 1) -> pa.Table:
+    """Deterministic WebDataset-style training-epoch order over the shard
+    layout (Aizman et al. 2019 §IV: shuffle the SHARD LIST, then shuffle
+    WITHIN each shard — never a global row shuffle): shards are permuted
+    by the frozen key ``epoch_key(shard, EPOCH_STRIDE·epoch +
+    EPOCH_SHARD_SEED)`` and each shard's members are ordered by
+    ``epoch_key(seq, EPOCH_STRIDE·epoch + EPOCH_MEMBER_SEED)`` (ties on
+    either key break to the smaller shard / seq). ``epoch_pos`` is the
+    global position in that order — a new epoch value re-deals both
+    levels without touching the bytes on disk.
+
+    Scale shape: the pack itself is the distributed per-range walk
+    (:func:`_shard_assignments`); positions need NO global sort — the
+    driver holds only the O(shards) size/permutation cumsum (the same
+    O(ranges) footprint as `_offsets_of`), and ranks are local sorts
+    inside a hash-partitioned ``groupby(shard).map_groups``."""
+    from ray.data.aggregate import Count
+
+    shard_seed = EPOCH_STRIDE * epoch + EPOCH_SHARD_SEED
+    member_seed = EPOCH_STRIDE * epoch + EPOCH_MEMBER_SEED
+
+    assignments = _shard_assignments(images_path).materialize()
+
+    # O(shards) driver state: permuted epoch base offset per shard
+    counts = assignments.groupby("shard").aggregate(Count()).to_pandas()
+    shard_ids = counts["shard"].to_numpy().astype(np.int64)
+    sizes = counts["count()"].to_numpy().astype(np.int64)
+    skey = epoch_key(shard_ids, shard_seed)
+    perm = np.lexsort((shard_ids, skey))
+    bases = np.zeros(len(perm), dtype=np.int64)
+    bases[perm] = np.concatenate([[0], np.cumsum(sizes[perm])[:-1]])
+    base_ref = ray.put(dict(zip(shard_ids.tolist(), bases.tolist())))
+
+    def rank_shard(group: pa.Table) -> pa.Table:
+        base = ray.get(base_ref)[group["shard"][0].as_py()]
+        seq = group["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mkey = epoch_key(seq, member_seed)
+        order = np.lexsort((seq, mkey))
+        pos = np.empty(len(seq), dtype=np.int64)
+        pos[order] = base + np.arange(len(seq), dtype=np.int64)
+        return pa.table(
+            {
+                "image_id": group["image_id"],
+                "seq": group["seq"],
+                "shard": group["shard"],
+                "epoch_pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    ds = (
+        assignments.groupby("shard")
+        .map_groups(rank_shard, batch_format="pyarrow")
+    )
+    return _sorted(_concat(ds), "epoch_pos")
+
+
 def q_bucket_shard_pack(images_path: str) -> pa.Table:
     """Aspect-bucketed WebDataset shard layout — the composition a
     bucketed dataloader (SDXL-style, arXiv:2307.01952 App. I) actually

@@ -247,6 +247,70 @@ def test_bucket_shard_pack_matches_reference(store):
         assert total <= SHARD_BUDGET or len(members) == 1
 
 
+def test_epoch_shuffle_matches_two_level_reference(store):
+    from spider_ray.functions.imageshard import (
+        EPOCH_MEMBER_SEED,
+        EPOCH_SHARD_SEED,
+        EPOCH_STRIDE,
+        q_epoch_shuffle,
+    )
+
+    epoch = 1
+    pack = sorted(q_image_shard_pack(store).to_pylist(), key=lambda r: r["seq"])
+    # single-process reference: permute shard list by the frozen shard
+    # key, then order members within each shard by the member key;
+    # global position = cumsum of permuted shard sizes + local rank
+    members = {}
+    for r in pack:
+        members.setdefault(r["shard"], []).append(r)
+    # epoch_key = double mix64 (single round is not seed-diffusing)
+    skey = lambda s: (
+        _mix64(_mix64(s, EPOCH_STRIDE * epoch + EPOCH_SHARD_SEED), 0), s,
+    )
+    mkey = lambda q: (
+        _mix64(_mix64(q, EPOCH_STRIDE * epoch + EPOCH_MEMBER_SEED), 0), q,
+    )
+    want, pos = {}, 0
+    for s in sorted(members, key=skey):
+        for r in sorted(members[s], key=lambda r: mkey(r["seq"])):
+            want[r["image_id"]] = (r["seq"], s, pos)
+            pos += 1
+
+    t = q_epoch_shuffle(store, epoch=epoch)
+    assert t.column_names == ["image_id", "seq", "shard", "epoch_pos"]
+    rows = t.to_pylist()
+    assert {
+        r["image_id"]: (r["seq"], r["shard"], r["epoch_pos"]) for r in rows
+    } == want
+    # epoch_pos is a permutation of 0..N-1, output sorted by it
+    assert [r["epoch_pos"] for r in rows] == list(range(N))
+    # two-level structure: each shard's members occupy one contiguous
+    # block of positions (the property that makes a shard one sequential
+    # read per epoch)
+    blocks = {}
+    for r in rows:
+        lo, hi, n = blocks.get(r["shard"], (r["epoch_pos"], r["epoch_pos"], 0))
+        blocks[r["shard"]] = (
+            min(lo, r["epoch_pos"]), max(hi, r["epoch_pos"]), n + 1
+        )
+    for lo, hi, n in blocks.values():
+        assert hi - lo + 1 == n
+
+
+def test_epoch_shuffle_epochs_differ_and_rerun_is_stable(store):
+    from spider_ray.functions.imageshard import q_epoch_shuffle
+
+    e1 = {r["image_id"]: r["epoch_pos"]
+          for r in q_epoch_shuffle(store, epoch=1).to_pylist()}
+    e1b = {r["image_id"]: r["epoch_pos"]
+           for r in q_epoch_shuffle(store, epoch=1).to_pylist()}
+    e2 = {r["image_id"]: r["epoch_pos"]
+          for r in q_epoch_shuffle(store, epoch=2).to_pylist()}
+    assert e1 == e1b  # deterministic across runs
+    assert set(e1) == set(e2) and len(e1) == N
+    assert e1 != e2  # a new epoch re-deals the order
+
+
 def test_greedy_local_shards_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
