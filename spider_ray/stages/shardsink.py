@@ -371,6 +371,67 @@ def read_shards(
     )
 
 
+def iter_epoch(
+    out_dir: str,
+    epoch: int,
+    *,
+    columns: list[str] | None = None,
+    rank: int = 0,
+    world: int = 1,
+):
+    """Consume a written shard layout in the deterministic training-epoch
+    order — the dataloader-side twin of
+    :func:`~spider_ray.functions.imageshard.q_epoch_shuffle`, yielding
+    one Arrow table per shard: shards in the frozen ``epoch_key``
+    permutation, members re-ordered inside each shard by the member key.
+    Every shard is still exactly ONE sequential file read; only the
+    in-memory member order changes per epoch, so a new epoch moves zero
+    bytes on disk.
+
+    ``rank`` / ``world`` stride the permuted shard list (shard i goes to
+    worker ``i % world``) — the standard multi-worker loader split: ranks
+    see disjoint shards whose interleaved concatenation is the full epoch
+    order. Per-worker state is O(shards in manifest) ids + one shard's
+    payload."""
+    from spider_ray.functions.imageshard import (
+        EPOCH_MEMBER_SEED,
+        EPOCH_SHARD_SEED,
+        EPOCH_STRIDE,
+        epoch_key,
+    )
+
+    if not (0 <= rank < world):
+        raise ValueError(f"rank {rank} outside world {world}")
+    manifest = pq.read_table(
+        os.path.join(out_dir, "manifest.parquet"), columns=["shard"]
+    )
+    shard_ids = manifest["shard"].to_numpy().astype(np.int64)
+    skey = epoch_key(shard_ids, EPOCH_STRIDE * epoch + EPOCH_SHARD_SEED)
+    perm = shard_ids[np.lexsort((shard_ids, skey))]
+    on_disk = _shard_files(out_dir)
+    missing = [int(s) for s in perm if int(s) not in on_disk]
+    if missing:
+        raise FileNotFoundError(
+            f"manifest lists shards missing on disk: {missing[:10]}"
+        )
+    member_seed = EPOCH_STRIDE * epoch + EPOCH_MEMBER_SEED
+    want = columns or [f.name for f in IMAGE_HINT_SCHEMA]
+    # seq (trailing digits of image_id) drives the member key; read
+    # image_id regardless, drop it after if the caller didn't ask
+    read_cols = list(dict.fromkeys(["image_id", *want]))
+    for s in perm[rank::world]:
+        t = pq.read_table(on_disk[int(s)], columns=read_cols)
+        seq = (
+            pc.extract_regex(t["image_id"], _SEQ_NAMED)
+            .combine_chunks()
+            .field("seq")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((seq, epoch_key(seq, member_seed)))
+        yield t.take(pa.array(order)).select(want)
+
+
 def verify_shards(out_dir: str) -> dict:
     """Audit the written layout against ``manifest.parquet``: re-read
     every shard file (one shard == one file, so this is an

@@ -413,3 +413,60 @@ def test_read_shards_bucket_filter_rejects_seq_layout(store, tmp_path):
     write_shards(store, out)  # seq layout
     with pytest.raises(ValueError, match="layout shard dir"):
         read_shards(out, bucket=0)
+
+
+def test_iter_epoch_matches_plan_and_strides(store, tmp_path):
+    from spider_ray.functions.imageshard import q_epoch_shuffle
+    from spider_ray.stages.shardsink import iter_epoch
+
+    out = str(tmp_path / "shards")
+    write_shards(store, out)
+
+    plan = sorted(
+        q_epoch_shuffle(store, epoch=1).to_pylist(),
+        key=lambda r: r["epoch_pos"],
+    )
+    want_ids = [r["image_id"] for r in plan]
+    want_shard_seq = []
+    seen = set()
+    for r in plan:  # shard visit order of the epoch
+        if r["shard"] not in seen:
+            seen.add(r["shard"])
+            want_shard_seq.append(r["shard"])
+
+    # single worker: concatenated member order IS the epoch order
+    got_ids, got_shards = [], []
+    for i, t in enumerate(iter_epoch(out, 1)):
+        got_shards.append(i)
+        got_ids.extend(t["image_id"].to_pylist())
+        assert t.column_names == [
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        ]
+    assert got_ids == want_ids
+    assert len(got_shards) == len(want_shard_seq)
+
+    # column projection keeps the order, drops the payload
+    proj = [
+        t.column_names == ["caption"]
+        for t in iter_epoch(out, 1, columns=["caption"])
+    ]
+    assert all(proj) and len(proj) == len(want_shard_seq)
+
+    # rank/world: disjoint shard strides whose interleave is the epoch
+    world = 3
+    per_rank = [
+        [t["image_id"].to_pylist() for t in iter_epoch(out, 1, rank=r, world=world)]
+        for r in range(world)
+    ]
+    # reassemble by striding shard tables in permutation order
+    merged = []
+    counts = [len(x) for x in per_rank]
+    for i in range(max(counts)):
+        for r in range(world):
+            if i < counts[r]:
+                merged.extend(per_rank[r][i])
+    assert merged == want_ids
+
+    # a different epoch re-deals; same member multiset
+    e2 = [x for t in iter_epoch(out, 2) for x in t["image_id"].to_pylist()]
+    assert e2 != want_ids and sorted(e2) == sorted(want_ids)
