@@ -268,6 +268,13 @@ def _bucket_shard_pack_query(sf_dir: str) -> Any:
     return IS.q_bucket_shard_pack(_images_store(sf_dir))
 
 
+def _bucket_stats_query(sf_dir: str) -> Any:
+    """Dataset-card rollup per (aspect bucket, format): integer-exact
+    counts / payload bytes / dim extremes / caption words; per-batch
+    combiner + bounded-key final merge (SQL-oracled bit-exact)."""
+    return IS.q_bucket_stats(_images_store(sf_dir))
+
+
 def _epoch_shuffle_query(sf_dir: str) -> Any:
     """Deterministic WebDataset-style epoch order over the shard layout:
     frozen mix64 shard permutation + within-shard member shuffle; the
@@ -419,6 +426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (ngram_jaccard_pairs, near-dup class triple-covered in-window
         # by minhash/simhash/embedding-LSH, moved to the tail)
         "epoch_shuffle": _epoch_shuffle_query,
+        # per-(bucket, fmt) dataset-card rollup (langid — SQL-oracled,
+        # strict-double-covered, text class richly repped — to the tail)
+        "bucket_stats": _bucket_stats_query,
         # rows-only sink/pipeline entries (no SQL form): the ONLY recorded
         # check they can get is a driver row, so they sit inside the
         # window; token_stats/quality_scores (SQL-oracled, double-covered
@@ -430,7 +440,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # op; bpe_token_count, same text-analysis class, moved to the
         # double-covered tail to keep this inside the driver window)
         "vocab_oov": T.q_vocab_oov,
-        "langid": T.q_langid,
         "fingerprints": T.q_fingerprints,
         "mixture_sample": T.q_mixture_sample,
         "sequence_pack": T.q_sequence_pack,
@@ -500,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cogroup_join": R.q_cogroup_join,
         "embedding_neardup": D.q_embedding_neardup,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
+        "langid": T.q_langid,
     }
     return q
 
@@ -704,6 +714,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT image_id, w, h, bucket_id, bucket_w, bucket_h
             FROM ranked WHERE rn = 1 ORDER BY image_id
+        """,
+        "bucket_stats": f"""
+            -- dataset-card rollup per (aspect bucket, format): the same
+            -- integer-exact bucket argmin as aspect_buckets, caption
+            -- words = non-space runs (the imagecurate convention), all
+            -- aggregates integer (functions/imageshard.q_bucket_stats)
+            WITH proto(bucket_id, bw, bh, mult) AS (
+                VALUES (0, 1, 2, 3), (1, 2, 3, 2), (2, 1, 1, 6),
+                       (3, 3, 2, 3), (4, 2, 1, 6)),
+            scored AS (
+                SELECT i.image_id, i.fmt,
+                       CAST(i.w AS BIGINT) AS w, CAST(i.h AS BIGINT) AS h,
+                       CAST(octet_length(i.bytes) AS BIGINT) AS n_bytes,
+                       CAST(length(regexp_extract_all(i.caption, '[^ ]+'))
+                            AS BIGINT) AS n_words,
+                       CAST(p.bucket_id AS BIGINT) AS bucket_id,
+                       abs(CAST(i.w AS BIGINT) * p.bh
+                           - CAST(i.h AS BIGINT) * p.bw) * p.mult AS score
+                FROM '{phash_images}' i CROSS JOIN proto p),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY image_id
+                           ORDER BY score, bucket_id) AS rn
+                FROM scored)
+            SELECT bucket_id, fmt,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(n_bytes) AS BIGINT) AS payload_bytes,
+                   min(w) AS min_w, max(w) AS max_w,
+                   min(h) AS min_h, max(h) AS max_h,
+                   CAST(sum(n_words) AS BIGINT) AS caption_words
+            FROM ranked WHERE rn = 1
+            GROUP BY bucket_id, fmt
+            ORDER BY bucket_id, fmt
         """,
         "image_shard_pack": f"""
             -- WebDataset-style greedy shard pack, reproduced as a lockstep

@@ -381,6 +381,75 @@ def q_shard_manifest(
     return _sorted(_concat(ds), "shard")
 
 
+def q_bucket_stats(images_path: str) -> pa.Table:
+    """Dataset-card rollup per (aspect bucket, format) — the summary a
+    curation run publishes next to the shard layout: image count, payload
+    bytes, dimension extremes, caption-word totals. Integer-exact
+    end to end (bucket via :func:`aspect_bucket_ids`; caption words =
+    non-space runs, the imagecurate convention), so the SQL oracle
+    replays it bit-for-bit.
+
+    Scale shape: one streamed pass; a per-batch combiner collapses each
+    Arrow batch to ≤ |buckets × fmts| partial rows, and the final merge
+    runs over that BOUNDED key space (5 prototypes × a handful of
+    formats) — the driver only ever holds the O(buckets × fmts) card,
+    never rows."""
+    import polars as pl
+
+    from spider_ray.functions.imagecurate import _WORD_PAT
+    from spider_ray.stages.agg import partial_final_agg
+
+    ds = read_images(
+        images_path, columns=["bytes", "w", "h", "fmt", "caption"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket_id": pa.array(aspect_bucket_ids(w, h), pa.int64()),
+                "fmt": batch["fmt"].cast(pa.string()),
+                "w": pa.array(w, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "n_bytes": pc.binary_length(batch["bytes"]).cast(pa.int64()),
+                "n_words": pc.count_substring_regex(
+                    batch["caption"], _WORD_PAT
+                ).cast(pa.int64()),
+            }
+        )
+
+    def partial(lf: "pl.LazyFrame") -> "pl.LazyFrame":
+        return lf.group_by("bucket_id", "fmt").agg(
+            n_images=pl.len().cast(pl.Int64),
+            payload_bytes=pl.col("n_bytes").sum(),
+            min_w=pl.col("w").min(),
+            max_w=pl.col("w").max(),
+            min_h=pl.col("h").min(),
+            max_h=pl.col("h").max(),
+            caption_words=pl.col("n_words").sum(),
+        )
+
+    def final(lf: "pl.LazyFrame") -> "pl.LazyFrame":
+        return (
+            lf.group_by("bucket_id", "fmt")
+            .agg(
+                n_images=pl.col("n_images").sum(),
+                payload_bytes=pl.col("payload_bytes").sum(),
+                min_w=pl.col("min_w").min(),
+                max_w=pl.col("max_w").max(),
+                min_h=pl.col("min_h").min(),
+                max_h=pl.col("max_h").max(),
+                caption_words=pl.col("caption_words").sum(),
+            )
+            .sort("bucket_id", "fmt")
+        )
+
+    return partial_final_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), partial, final
+    )
+
+
 """Epoch-shuffle seeds — frozen; the SQL oracle replays both keys with
 HUGEINT modular arithmetic, so never change them without regenerating
 goldens. Distinct additive seeds keep the shard-order stream and the

@@ -247,6 +247,42 @@ def test_bucket_shard_pack_matches_reference(store):
         assert total <= SHARD_BUDGET or len(members) == 1
 
 
+def test_bucket_stats_matches_rollup_reference(store):
+    from collections import defaultdict
+
+    from spider_ray.functions.imageshard import q_bucket_stats
+    from spider_ray.sources.lance_io import read_images_table
+
+    raw = read_images_table(store)
+    buckets = {
+        r["image_id"]: r["bucket_id"]
+        for r in q_aspect_buckets(store).to_pylist()
+    }
+    want = defaultdict(
+        lambda: {
+            "n_images": 0, "payload_bytes": 0,
+            "min_w": 1 << 40, "max_w": -1, "min_h": 1 << 40, "max_h": -1,
+            "caption_words": 0,
+        }
+    )
+    for r in raw.to_pylist():
+        m = want[(buckets[r["image_id"]], r["fmt"])]
+        m["n_images"] += 1
+        m["payload_bytes"] += len(r["bytes"])
+        m["min_w"] = min(m["min_w"], r["w"])
+        m["max_w"] = max(m["max_w"], r["w"])
+        m["min_h"] = min(m["min_h"], r["h"])
+        m["max_h"] = max(m["max_h"], r["h"])
+        m["caption_words"] += len(r["caption"].split(" "))
+
+    got = q_bucket_stats(store).to_pylist()
+    assert [(r["bucket_id"], r["fmt"]) for r in got] == sorted(want)
+    for r in got:
+        m = want[(r["bucket_id"], r["fmt"])]
+        assert {k: r[k] for k in m} == m, r
+    assert sum(r["n_images"] for r in got) == N
+
+
 def test_epoch_shuffle_matches_two_level_reference(store):
     from spider_ray.functions.imageshard import (
         EPOCH_MEMBER_SEED,
