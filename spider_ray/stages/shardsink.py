@@ -378,6 +378,7 @@ def iter_epoch(
     columns: list[str] | None = None,
     rank: int = 0,
     world: int = 1,
+    bucket: int | None = None,
 ):
     """Consume a written shard layout in the deterministic training-epoch
     order — the dataloader-side twin of
@@ -392,7 +393,12 @@ def iter_epoch(
     worker ``i % world``) — the standard multi-worker loader split: ranks
     see disjoint shards whose interleaved concatenation is the full epoch
     order. Per-worker state is O(shards in manifest) ids + one shard's
-    payload."""
+    payload.
+
+    ``bucket=k`` (bucketed layouts only — the SDXL same-shape-batch
+    loader) restricts the epoch to aspect-bucket k's shards. Shard keys
+    depend only on the global shard id, so the per-bucket stream is
+    exactly the full epoch order filtered to that bucket (tested)."""
     from spider_ray.functions.imageshard import (
         EPOCH_MEMBER_SEED,
         EPOCH_SHARD_SEED,
@@ -403,8 +409,23 @@ def iter_epoch(
     if not (0 <= rank < world):
         raise ValueError(f"rank {rank} outside world {world}")
     manifest = pq.read_table(
-        os.path.join(out_dir, "manifest.parquet"), columns=["shard"]
+        os.path.join(out_dir, "manifest.parquet"),
+        columns=["shard", "range_id"],
     )
+    if bucket is not None:
+        # same layout gate as read_shards: pack units carry a bucket
+        # component only when written with layout="bucket"
+        with open(os.path.join(out_dir, "_LAYOUT.json")) as f:
+            written_layout = json.load(f)["layout"]
+        if written_layout != "bucket":
+            raise ValueError(
+                f"bucket= filter on a {written_layout!r}-layout shard dir "
+                "(pack units carry no bucket component) — write with "
+                "layout='bucket'"
+            )
+        manifest = manifest.filter(
+            pc.equal(pc.divide(manifest["range_id"], _BUCKET_GRP), bucket)
+        )
     shard_ids = manifest["shard"].to_numpy().astype(np.int64)
     skey = epoch_key(shard_ids, EPOCH_STRIDE * epoch + EPOCH_SHARD_SEED)
     perm = shard_ids[np.lexsort((shard_ids, skey))]

@@ -470,3 +470,30 @@ def test_iter_epoch_matches_plan_and_strides(store, tmp_path):
     # a different epoch re-deals; same member multiset
     e2 = [x for t in iter_epoch(out, 2) for x in t["image_id"].to_pylist()]
     assert e2 != want_ids and sorted(e2) == sorted(want_ids)
+
+
+def test_iter_epoch_bucket_stream_is_filtered_full_epoch(store, tmp_path):
+    from spider_ray.functions.imageshard import q_bucket_shard_pack
+    from spider_ray.stages.shardsink import iter_epoch
+
+    out = str(tmp_path / "shards")
+    write_shards(store, out, layout="bucket")
+    plan = q_bucket_shard_pack(store).to_pylist()
+    bucket_of = {r["image_id"]: r["bucket_id"] for r in plan}
+    buckets = sorted({r["bucket_id"] for r in plan})
+    assert len(buckets) >= 2
+
+    full = [x for t in iter_epoch(out, 1) for x in t["image_id"].to_pylist()]
+    for k in buckets:
+        got = [
+            x
+            for t in iter_epoch(out, 1, bucket=k)
+            for x in t["image_id"].to_pylist()
+        ]
+        assert got == [x for x in full if bucket_of[x] == k]
+
+    # seq layout rejects the bucket filter, same contract as read_shards
+    seq_out = str(tmp_path / "seq_shards")
+    write_shards(store, seq_out)
+    with pytest.raises(ValueError, match="layout shard dir"):
+        next(iter_epoch(seq_out, 1, bucket=0))
