@@ -275,6 +275,16 @@ def _bucket_stats_query(sf_dir: str) -> Any:
     return IS.q_bucket_stats(_images_store(sf_dir))
 
 
+def _resize_plan_query(sf_dir: str) -> Any:
+    """Per-image SDXL resize geometry (bucket argmin + integer
+    cover-scale + centered crop) — SQL-oracled bit-exact; the pixel
+    stage (imageresize.ResizeToBucket) executes this exact plan and is
+    pytest-verified against a single-process reference."""
+    from spider_ray.functions.imageresize import q_resize_plan
+
+    return q_resize_plan(_images_store(sf_dir))
+
+
 def _epoch_shuffle_query(sf_dir: str) -> Any:
     """Deterministic WebDataset-style epoch order over the shard layout:
     frozen mix64 shard permutation + within-shard member shuffle; the
@@ -429,6 +439,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-(bucket, fmt) dataset-card rollup (langid — SQL-oracled,
         # strict-double-covered, text class richly repped — to the tail)
         "bucket_stats": _bucket_stats_query,
+        # SDXL resize geometry (fingerprints, SQL-oracled and
+        # strict-double-covered, moved to the tail)
+        "resize_plan": _resize_plan_query,
         # rows-only sink/pipeline entries (no SQL form): the ONLY recorded
         # check they can get is a driver row, so they sit inside the
         # window; token_stats/quality_scores (SQL-oracled, double-covered
@@ -440,7 +453,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # op; bpe_token_count, same text-analysis class, moved to the
         # double-covered tail to keep this inside the driver window)
         "vocab_oov": T.q_vocab_oov,
-        "fingerprints": T.q_fingerprints,
         "mixture_sample": T.q_mixture_sample,
         "sequence_pack": T.q_sequence_pack,
         # similarity search — ALL SQL-oracled end to end: knn_lsh via the
@@ -510,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": D.q_embedding_neardup,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "langid": T.q_langid,
+        "fingerprints": T.q_fingerprints,
     }
     return q
 
@@ -747,6 +760,48 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
             GROUP BY bucket_id, fmt
             ORDER BY bucket_id, fmt
+        """,
+        "resize_plan": f"""
+            -- SDXL resize geometry: the aspect_buckets argmin, the
+            -- frozen per-bucket target dims (imageresize.BUCKET_DIMS),
+            -- integer cover-scale (height pins when w*th >= h*tw, floor
+            -- division) and centered crop offsets — bit-exact with
+            -- functions/imageresize.resize_geometry
+            WITH proto(bucket_id, bw, bh, mult) AS (
+                VALUES (0, 1, 2, 3), (1, 2, 3, 2), (2, 1, 1, 6),
+                       (3, 3, 2, 3), (4, 2, 1, 6)),
+            dims(bucket_id, tw, th) AS (
+                VALUES (0, 32, 64), (1, 36, 54), (2, 45, 45),
+                       (3, 54, 36), (4, 64, 32)),
+            scored AS (
+                SELECT i.image_id,
+                       CAST(i.w AS BIGINT) AS w, CAST(i.h AS BIGINT) AS h,
+                       CAST(p.bucket_id AS BIGINT) AS bucket_id,
+                       abs(CAST(i.w AS BIGINT) * p.bh
+                           - CAST(i.h AS BIGINT) * p.bw) * p.mult AS score
+                FROM '{phash_images}' i CROSS JOIN proto p),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY image_id
+                           ORDER BY score, bucket_id) AS rn
+                FROM scored),
+            geom AS (
+                SELECT b.image_id, b.w, b.h, b.bucket_id,
+                       CAST(d.tw AS BIGINT) AS target_w,
+                       CAST(d.th AS BIGINT) AS target_h,
+                       CASE WHEN b.w * d.th >= b.h * d.tw
+                            THEN (b.w * d.th) // b.h
+                            ELSE CAST(d.tw AS BIGINT) END AS scaled_w,
+                       CASE WHEN b.w * d.th >= b.h * d.tw
+                            THEN CAST(d.th AS BIGINT)
+                            ELSE (b.h * d.tw) // b.w END AS scaled_h
+                FROM ranked b JOIN dims d ON d.bucket_id = b.bucket_id
+                WHERE b.rn = 1)
+            SELECT image_id, w, h, bucket_id, target_w, target_h,
+                   scaled_w, scaled_h,
+                   (scaled_w - target_w) // 2 AS crop_x,
+                   (scaled_h - target_h) // 2 AS crop_y
+            FROM geom ORDER BY image_id
         """,
         "image_shard_pack": f"""
             -- WebDataset-style greedy shard pack, reproduced as a lockstep

@@ -1,0 +1,162 @@
+"""Resize-to-bucket preprocessing (functions/imageresize.py): the
+integer cover-scale + center-crop geometry against a Fraction-arithmetic
+reference, and the actor-pool pixel stage against a single-process
+decode→sample→encode reference (lossless path exact; lossy path within
+the codec's quantization). SQL-oracle bit-exactness of q_resize_plan is
+separately enforced by tools/oracle_strict.py / the driver."""
+
+import random
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from spider_ray.functions.imageresize import (
+    BUCKET_DIMS,
+    ResizeToBucket,
+    q_resize_plan,
+    resize_corpus,
+    resize_geometry,
+    resize_pixels,
+)
+from spider_ray.functions.imageshard import ASPECT_BUCKETS
+from spider_ray.kernels.imaging import (
+    decode_image,
+    encode_image,
+    phash64,
+    psnr,
+)
+from spider_ray.sources.lance_io import conform_images, write_images
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, ray_session):
+    rng = random.Random(20260819)
+    ids, blobs, ws, hs, fmts = [], [], [], [], []
+    for i in range(N):
+        w, h = rng.randrange(16, 49), rng.randrange(16, 49)
+        arr = np.frombuffer(
+            bytes(rng.getrandbits(8) for _ in range(w * h * 3)), np.uint8
+        ).reshape(h, w, 3)
+        fmt = "png" if i % 2 == 0 else "qimg"
+        ids.append(f"img{i:05d}")
+        blobs.append(encode_image(arr, fmt))
+        ws.append(w)
+        hs.append(h)
+        fmts.append(fmt)
+    tbl = conform_images(
+        pa.table(
+            {
+                "image_id": ids,
+                "bytes": blobs,
+                "w": ws,
+                "h": hs,
+                "fmt": fmts,
+                "caption": ["a plain five word caption"] * N,
+                "phash": [0] * N,
+            }
+        )
+    )
+    return write_images(tbl, str(tmp_path_factory.mktemp("rsz") / "images"))
+
+
+def test_resize_plan_matches_fraction_reference(store):
+    t = q_resize_plan(store)
+    assert t.column_names == [
+        "image_id", "w", "h", "bucket_id", "target_w", "target_h",
+        "scaled_w", "scaled_h", "crop_x", "crop_y",
+    ]
+    rows = t.to_pylist()
+    assert len(rows) == N
+    for r in rows:
+        ratio = Fraction(r["w"], r["h"])
+        dists = [abs(ratio - Fraction(bw, bh)) for bw, bh in ASPECT_BUCKETS]
+        k = dists.index(min(dists))
+        tw, th = BUCKET_DIMS[k]
+        assert (r["bucket_id"], r["target_w"], r["target_h"]) == (k, tw, th)
+        # cover: both scaled axes reach the target box; the pinned axis
+        # is exact and the free axis is the floor of the true scale
+        assert r["scaled_w"] >= tw and r["scaled_h"] >= th
+        if r["w"] * th >= r["h"] * tw:
+            assert r["scaled_h"] == th
+            assert r["scaled_w"] == (r["w"] * th) // r["h"]
+        else:
+            assert r["scaled_w"] == tw
+            assert r["scaled_h"] == (r["h"] * tw) // r["w"]
+        assert r["crop_x"] == (r["scaled_w"] - tw) // 2
+        assert r["crop_y"] == (r["scaled_h"] - th) // 2
+
+
+def _reference_resize(img, tw, th, sw, sh, cx, cy):
+    h, w = img.shape[:2]
+    out = np.empty((th, tw, img.shape[2]), dtype=np.uint8)
+    for y in range(th):
+        for x in range(tw):
+            out[y, x] = img[((cy + y) * h) // sh, ((cx + x) * w) // sw]
+    return out
+
+
+def test_resize_stage_matches_pixel_reference(store):
+    from spider_ray.sources.lance_io import read_images_table
+
+    raw = {r["image_id"]: r for r in read_images_table(store).to_pylist()}
+    plan = {r["image_id"]: r for r in q_resize_plan(store).to_pylist()}
+
+    out = resize_corpus(store, concurrency=2).take_all()
+    assert len(out) == N
+    for r in out:
+        p = plan[r["image_id"]]
+        src = raw[r["image_id"]]
+        assert (r["w"], r["h"]) == (p["target_w"], p["target_h"])
+        assert r["fmt"] == src["fmt"]
+        assert r["caption"] == src["caption"]
+        img = decode_image(src["bytes"], src["fmt"])
+        want = _reference_resize(
+            img, p["target_w"], p["target_h"], p["scaled_w"],
+            p["scaled_h"], p["crop_x"], p["crop_y"],
+        )
+        got = decode_image(r["bytes"], r["fmt"])
+        if r["fmt"] == "png":  # lossless: exact pixels and exact phash
+            assert np.array_equal(got, want)
+            assert r["phash"] == phash64(want)
+        else:  # deterministic lossy codec: quantization-bounded
+            assert got.shape == want.shape
+            assert psnr(got, want) >= 40.0
+            assert r["phash"] == phash64(
+                resize_pixels(
+                    img, p["target_w"], p["target_h"], p["scaled_w"],
+                    p["scaled_h"], p["crop_x"], p["crop_y"],
+                )
+            )
+
+
+def test_resized_corpus_feeds_bucketed_shard_writer(store, tmp_path):
+    """The resize output is a valid input_hint store: write it, bucket-
+    shard it, and every image lands in the bucket its plan assigned —
+    at that bucket's exact dims."""
+    from spider_ray.functions.imageshard import q_bucket_shard_pack
+    from spider_ray.sources.lance_io import conform_images as conform
+    from spider_ray.stages.shardsink import verify_shards, write_shards
+
+    out_tbl = pa.Table.from_pylist(
+        resize_corpus(store, concurrency=2).take_all()
+    )
+    resized_store = write_images(
+        conform(out_tbl), str(tmp_path / "resized")
+    )
+    plan = {
+        r["image_id"]: r["bucket_id"]
+        for r in q_resize_plan(store).to_pylist()
+    }
+    packed = q_bucket_shard_pack(resized_store).to_pylist()
+    assert len(packed) == N
+    # every resized image is EXACTLY on its bucket prototype's ratio,
+    # so the pack's argmin must reproduce the plan's bucket
+    for r in packed:
+        assert r["bucket_id"] == plan[r["image_id"]]
+    out_dir = str(tmp_path / "shards")
+    write_shards(resized_store, out_dir, layout="bucket")
+    assert verify_shards(out_dir)["mismatches"] == []
