@@ -79,6 +79,14 @@ def main(argv: list[str] | None = None) -> int:
     cs.add_argument("--images", required=True)
     cs.add_argument("--out", required=True)
     cs.add_argument("--num-cpus", type=int, default=None)
+    cs.add_argument(
+        "--resize", action="store_true",
+        help="insert the ResizeToBucket pixel stage (SDXL preprocessing)",
+    )
+    cs.add_argument(
+        "--layout", choices=("seq", "bucket"), default="seq",
+        help="shard pack unit: corpus order or (aspect bucket, range)",
+    )
 
     args = p.parse_args(argv)
 
@@ -155,7 +163,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "curate-shard":
         from spider_ray.pipelines.imagecorpus import curate_and_shard
 
-        res = curate_and_shard(args.images, args.out)
+        res = curate_and_shard(
+            args.images, args.out, resize=args.resize, layout=args.layout
+        )
         print(
             json.dumps(
                 {

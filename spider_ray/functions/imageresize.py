@@ -169,7 +169,11 @@ def resize_corpus(images_path: str, *, concurrency: int = 4):
     """The distributed pixel pass: stream the corpus through a
     :class:`ResizeToBucket` actor pool. Returns a Dataset in the
     input_hint schema whose every image sits exactly at its bucket's
-    dims — ready for ``write_shards(..., layout="bucket")``."""
+    dims — ready for ``write_shards(..., layout="bucket")``. Size
+    ``concurrency`` BELOW the session's CPU count: the pool pins its
+    CPU slots for the stage's lifetime and the surrounding read/write
+    tasks must still schedule (an equal-to-cpus pool starves the
+    pipeline — observed as a 30× stall at concurrency == num_cpus)."""
     ds = read_images(images_path)
     return ds.map_batches(
         ResizeToBucket,

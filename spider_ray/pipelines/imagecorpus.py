@@ -36,13 +36,28 @@ from spider_ray.stages.shardsink import verify_shards, write_shards
 
 
 def curate_and_shard(
-    images_path: str, out_dir: str, *, tau: int = PHASH_TAU
+    images_path: str,
+    out_dir: str,
+    *,
+    tau: int = PHASH_TAU,
+    resize: bool = False,
+    layout: str = "seq",
+    resize_concurrency: int = 2,
 ) -> dict:
     """Run the full curate→layout pipeline; returns
     ``{"total", "kept", "shards", "summary", "audit"}`` where ``summary``
     is the per-range write table and ``audit`` the verify report (raises
     if the audit is not clean — a corrupted layout must not return
-    silently)."""
+    silently).
+
+    ``resize=True`` inserts the :class:`ResizeToBucket` actor-pool pixel
+    stage between curation and the curated store — with
+    ``layout="bucket"`` that is the full SDXL preprocessing chain
+    (curate → resize to bucket dims → bucketed shard layout): resized
+    images sit exactly on their prototype's ratio, so the pack's argmin
+    reproduces the resize plan's bucket and every shard holds
+    same-shape tensors. The extra stage fuses into the same streamed
+    pass; nothing new materializes."""
     comp_ref, rep_ref = curate_refs(images_path, tau=tau)
     data_cols = [f.name for f in IMAGE_HINT_SCHEMA]
 
@@ -57,10 +72,22 @@ def curate_and_shard(
     if os.path.isdir(curated_dir):
         shutil.rmtree(curated_dir)  # derived data: each run owns it
     curated = ds.map_batches(keep, batch_format="pyarrow")
+    if resize:
+        from spider_ray.functions.imageresize import ResizeToBucket
+
+        # size the actor pool BELOW the CPU count: the pool pins its CPU
+        # slots for the stage's lifetime, and the surrounding read/write
+        # tasks must still schedule (an equal-to-cpus pool starves them)
+        curated = curated.map_batches(
+            ResizeToBucket,
+            concurrency=resize_concurrency,
+            batch_size=64,
+            batch_format="pyarrow",
+        )
     curated.write_parquet(curated_dir)
 
     shard_dir = os.path.join(out_dir, "shards")
-    summary = write_shards(curated_dir, shard_dir)
+    summary = write_shards(curated_dir, shard_dir, layout=layout)
     audit = verify_shards(shard_dir)
     if audit["mismatches"]:
         raise RuntimeError(

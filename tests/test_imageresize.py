@@ -5,6 +5,7 @@ decode→sample→encode reference (lossless path exact; lossy path within
 the codec's quantization). SQL-oracle bit-exactness of q_resize_plan is
 separately enforced by tools/oracle_strict.py / the driver."""
 
+import os
 import random
 from fractions import Fraction
 
@@ -160,3 +161,29 @@ def test_resized_corpus_feeds_bucketed_shard_writer(store, tmp_path):
     out_dir = str(tmp_path / "shards")
     write_shards(resized_store, out_dir, layout="bucket")
     assert verify_shards(out_dir)["mismatches"] == []
+
+
+def test_curate_resize_shard_composition(store, tmp_path):
+    """curate_and_shard(resize=True, layout='bucket'): the full SDXL
+    preprocessing chain — every image in the written layout sits at its
+    bucket's exact dims, shards never mix buckets, the kept set equals
+    q_image_curate, and the audit is clean."""
+    from spider_ray.functions.imagecurate import q_image_curate
+    from spider_ray.pipelines.imagecorpus import curate_and_shard
+    from spider_ray.stages.shardsink import read_shards
+
+    out = str(tmp_path / "pipe")
+    res = curate_and_shard(store, out, resize=True, layout="bucket")
+    kept_want = set(q_image_curate(store)["image_id"].to_pylist())
+    assert res["total"] == N and res["kept"] == len(kept_want)
+    assert res["audit"]["mismatches"] == []
+
+    plan = {r["image_id"]: r for r in q_resize_plan(store).to_pylist()}
+    rows = read_shards(
+        os.path.join(out, "shards"), columns=["image_id", "w", "h"]
+    ).take_all()
+    assert {r["image_id"] for r in rows} == kept_want
+    for r in rows:
+        p = plan[r["image_id"]]
+        assert (r["w"], r["h"]) == (p["target_w"], p["target_h"])
+
