@@ -46,6 +46,9 @@ QUERY_NAMES = [
     "image_curate",
     "bucket_shard_pack",
     "image_decontaminate",
+    "resize_plan",
+    "epoch_shuffle",
+    "bucket_stats",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

@@ -187,3 +187,33 @@ def test_curate_resize_shard_composition(store, tmp_path):
         p = plan[r["image_id"]]
         assert (r["w"], r["h"]) == (p["target_w"], p["target_h"])
 
+
+def test_resize_geometry_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=10_000),
+        st.integers(min_value=1, max_value=10_000),
+    )
+    def check(w, h):
+        wa = np.array([w], dtype=np.int64)
+        ha = np.array([h], dtype=np.int64)
+        k, tw, th, sw, sh, cx, cy = (x[0] for x in resize_geometry(wa, ha))
+        assert (tw, th) == BUCKET_DIMS[k]
+        # cover: the scaled image reaches the target box on both axes
+        assert sw >= tw and sh >= th
+        # exactly one axis pins to the target (both iff ratios match)
+        assert sw == tw or sh == th
+        # the free axis is the floor of the true cover scale -> the
+        # scaled box never exceeds the true-aspect cover by a pixel
+        assert sw * h <= w * sh or sh * w <= h * sw
+        # crop stays inside the scaled image and is centered
+        assert 0 <= cx <= sw - tw and 0 <= cy <= sh - th
+        assert cx == (sw - tw) // 2 and cy == (sh - th) // 2
+        # sampling indices stay in range for the crop extremes
+        assert ((cy + th - 1) * h) // sh <= h - 1
+        assert ((cx + tw - 1) * w) // sw <= w - 1
+
+    check()
