@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from spider_ray.functions.imageshard import aspect_bucket_ids
+from spider_ray.kernels.imaging import decode_image, encode_image, phash64
 from spider_ray.pipelines.relational import _concat, _sorted
 from spider_ray.sources.lance_io import read_images
 
@@ -124,12 +125,6 @@ class ResizeToBucket:
 
     def __init__(self) -> None:
         # codec + hash bound once per actor (the stateful-stage contract)
-        from spider_ray.kernels.imaging import (
-            decode_image,
-            encode_image,
-            phash64,
-        )
-
         self._decode = decode_image
         self._encode = encode_image
         self._phash = phash64

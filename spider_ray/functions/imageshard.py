@@ -40,6 +40,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from spider_ray.kernels.hashing import mix64_int
 from spider_ray.pipelines.relational import _concat, _sorted
 from spider_ray.sources.lance_io import read_images
 
@@ -467,8 +468,6 @@ def epoch_key(x: np.ndarray, seed: int) -> np.ndarray:
     round gives identical argsort across epoch seeds). The second round
     avalanches the seed into the ordering. Frozen; replayed in SQL as the
     same 4-stage mixer applied twice."""
-    from spider_ray.kernels.hashing import mix64_int
-
     return mix64_int(mix64_int(x, seed=seed))
 
 

@@ -68,6 +68,39 @@ def test_neardup_queries_from_bare_driver(tmp_path):
     assert "NEARDUP_IMPORT_OK" in p.stdout, p.stdout + p.stderr
 
 
+def test_resize_stage_from_bare_driver(tmp_path):
+    """Regression for the inline-import-in-actor bug found in
+    ResizeToBucket.__init__ (imageresize.py): the codec import ran at
+    actor construction ON THE WORKER, crashing every actor of a bare-cwd
+    driver. The pixel stage is pipeline-only (no queries() entry), so the
+    all-queries gate below cannot see it — exercise the full
+    curate_and_shard(resize=True) chain from the bare driver shape."""
+    script = tmp_path / "driver.py"
+    out_dir = tmp_path / "shards"
+    script.write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import ray
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 log_to_driver=False, logging_level="ERROR")
+        import __ray_entry__ as E  # registers pickle-by-value
+        from spider_ray.pipelines.imagecorpus import curate_and_shard
+        res = curate_and_shard(
+            E._images_store("/root/testdata/sf0.001"), {str(out_dir)!r},
+            resize=True, layout="bucket")
+        assert res["shards"] > 0 and res["kept"] > 0, res
+        print("RESIZE_IMPORT_OK", res["shards"])
+        ray.shutdown()
+    """))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=420,
+    )
+    assert "RESIZE_IMPORT_OK" in p.stdout, p.stdout[-3000:] + p.stderr[-3000:]
+
+
 def test_all_queries_from_bare_driver(tmp_path):
     """Class-wide gate for the inline-import-on-worker bug: EVERY
     queries() entry must run from a bare-cwd, no-PYTHONPATH driver (the
