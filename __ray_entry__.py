@@ -220,6 +220,26 @@ def _images_store(sf_dir: str) -> str:
     return resolve_images(os.path.join(corpus, "images"))
 
 
+def _redirect_resolve_query(sf_dir: str) -> Any:
+    """Pointer-doubling redirect-chain resolution over the demo corpus'
+    web_graph (real 301 edges + the deterministic alias-chain/cycle
+    workload) — SQL-oracled bit-exact via a recursive CTE."""
+    from spider_ray.functions.webgraph import q_redirect_resolve
+
+    _images_store(sf_dir)  # ensure the corpus exists
+    return q_redirect_resolve("/tmp/spider_ray_phash_corpus")
+
+
+def _link_rank_query(sf_dir: str) -> Any:
+    """Fixed-iteration integer PageRank over the demo corpus' outlink
+    graph (the frontier importance score) — SQL-oracled bit-exact via
+    unrolled integer-arithmetic iterations."""
+    from spider_ray.functions.webgraph import q_link_rank
+
+    _images_store(sf_dir)
+    return q_link_rank("/tmp/spider_ray_phash_corpus")
+
+
 def _image_filter_query(sf_dir: str) -> Any:
     """LAION-style metadata/caption/payload gate with per-reason reject
     bitmask over the input_hint image table (SQL-oracled bit-exact)."""
@@ -374,16 +394,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/oracle_strict.py and moved to the tail (agg class stays
         # represented by pricing_summary / per_key_count / heavy_hitters)
         "pricing_summary": R.q_pricing_summary,
-        "per_key_count": R.q_per_key_count,
-        # joins (SURVEY §2.4) — latest_record / range_join /
-        # priority_bands / cogroup_join are double-covered by
-        # tools/oracle_strict.py and moved to the tail to keep the
-        # image-curation + shard-layout suites inside the driver's
-        # 50-row window
-        "anti_join": R.q_anti_join,
-        "asof_join": R.q_asof_join,
-        # filters / bands / unions (§2.2, §2.6, §2.7)
-        "union_dedup": R.q_union_dedup,
+        # link-graph passes over web_graph (crawl scheduling inputs):
+        # pointer-doubling redirect-chain resolution (with planted cycles)
+        # and fixed-iteration integer PageRank — both SQL-oracled
+        # bit-exact (recursive CTE / unrolled integer iterations). To make
+        # room, per_key_count / anti_join / asof_join / union_dedup — all
+        # green in r01+r02 AND double-covered by tools/oracle_strict.py —
+        # moved to the tail (agg class stays repped by pricing_summary +
+        # heavy_hitters, joins by linkbase_merge + bloom_anti_join, dedup
+        # by exact_dedup).
+        "redirect_resolve": _redirect_resolve_query,
+        "link_rank": _link_rank_query,
+        # caption→image retrieval eval over the paired embedding table
+        # (recall@k of the true partner; SQL-oracled bit-exact at 6 dp —
+        # the knn_bruteforce rounding convention)
+        "crossmodal_recall": S.q_crossmodal_recall,
         # dedup suite (SURVEY §2.7 + training-data ops)
         "exact_dedup": D.q_exact_dedup,
         # span-level exact-substring dedup (Lee et al. 2022 shape):
@@ -494,6 +519,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver window is spent on the rows-only / sketch / crawl entries
         # that have no other recorded check.
         "topk_spenders": R.q_topk_spenders,
+        "per_key_count": R.q_per_key_count,
+        "anti_join": R.q_anti_join,
+        "asof_join": R.q_asof_join,
+        "union_dedup": R.q_union_dedup,
         "charset_decode": T.q_charset_decode,
         "main_content": T.q_main_content,
         "latest_record": R.q_latest_record,
@@ -538,7 +567,16 @@ def oracle_sql() -> dict[str, str]:
         lambda d: generate(d, n_pages=2000, n_hosts=24, seed=42),
     )
     phash_images = os.path.join(phash_corpus, "images.parquet")
+    wg_path = os.path.join(phash_corpus, "web_graph.parquet")
     golden = _crawl_golden()
+
+    # frozen link-graph constants, shared verbatim with functions/webgraph
+    from spider_ray.functions import webgraph as WG
+
+    assert (WG.REDIRECT_SEED, WG.ALIAS_MOD, WG.ALIAS_MAX_DEPTH,
+            WG.CYCLE_MOD, WG.MAX_HOPS) == (20260820, 4, 12, 16, 32)
+    assert (WG.RANK_ITERS, WG.RANK_START, WG.RANK_BASE,
+            WG.RANK_NUM, WG.RANK_DEN) == (3, 1_000_000, 150_000, 17, 20)
 
     # shared by the image-curation oracles: the exact phash pair graph
     # (same tau as functions/imagecurate.PHASH_TAU) and the gate input
@@ -598,6 +636,138 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seen": f"""
             SELECT * FROM '{os.path.join(golden, "seen.parquet")}'
             ORDER BY url_hash, url
+        """,
+        "redirect_resolve": f"""
+            -- transitive redirect resolution replayed as a recursive CTE
+            -- over the SAME edge set the engine derives: real 301 edges
+            -- plus the frozen mix64(seq, {WG.REDIRECT_SEED}) alias-chain
+            -- workload (chains to depth {WG.ALIAS_MAX_DEPTH}, planted
+            -- cycles). A source with no terminal within
+            -- MAX_HOPS={WG.MAX_HOPS} reports looped=1 / NULL.
+            WITH RECURSIVE
+            wgt AS (SELECT url, status_code, redirect_to,
+                    CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS UBIGINT)
+                        AS seq FROM '{wg_path}'),
+            m1 AS (SELECT *, CAST((CAST(seq AS HUGEINT) * 2654435761
+                    + {WG.REDIRECT_SEED}) % 18446744073709551616 AS UBIGINT)
+                    AS u0 FROM wgt),
+            m2 AS (SELECT * EXCLUDE(u0), xor(u0, u0 >> 29) AS u0 FROM m1),
+            m3 AS (SELECT * EXCLUDE(u0), CAST((CAST(u0 AS HUGEINT)
+                    * 2246822519) % 18446744073709551616 AS UBIGINT) AS u0
+                    FROM m2),
+            mx AS (SELECT * EXCLUDE(u0), xor(u0, u0 >> 32) AS u FROM m3),
+            al AS (SELECT url, status_code, u,
+                    CAST(1 + (u >> 2) % {WG.ALIAS_MAX_DEPTH} AS BIGINT)
+                        AS depth,
+                    (u % {WG.ALIAS_MOD} = 0) AS is_alias,
+                    ((u >> 8) % {WG.CYCLE_MOD} = 0) AS cyc FROM mx),
+            js AS (SELECT unnest(generate_series(1,
+                    {WG.ALIAS_MAX_DEPTH})) AS j),
+            alias_edges AS (
+                SELECT url || '?r=' || CAST(j AS VARCHAR) AS src,
+                       CASE WHEN j = 1 THEN url
+                            ELSE url || '?r=' || CAST(j - 1 AS VARCHAR)
+                       END AS dst
+                FROM al, js WHERE is_alias AND js.j <= al.depth),
+            cycle_edges AS (
+                SELECT url AS src,
+                       url || '?r=' || CAST(depth AS VARCHAR) AS dst
+                FROM al WHERE is_alias AND cyc AND status_code != 301),
+            real_edges AS (SELECT url AS src, redirect_to AS dst FROM wgt
+                WHERE status_code = 301 AND redirect_to IS NOT NULL),
+            edges AS (SELECT * FROM real_edges
+                      UNION ALL SELECT * FROM alias_edges
+                      UNION ALL SELECT * FROM cycle_edges),
+            walk(origin, cur, hops) AS (
+                SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+                UNION ALL
+                SELECT w.origin, e.dst, w.hops + 1
+                FROM walk w JOIN edges e ON e.src = w.cur
+                WHERE w.hops < {WG.MAX_HOPS}),
+            resolved AS (SELECT w.origin, w.cur, w.hops FROM walk w
+                WHERE NOT EXISTS (SELECT 1 FROM edges e
+                                  WHERE e.src = w.cur))
+            SELECT s.src AS url, r.cur AS final_url, r.hops AS hops,
+                   CAST(CASE WHEN r.origin IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS looped
+            FROM (SELECT DISTINCT src FROM edges) s
+            LEFT JOIN resolved r ON r.origin = s.src
+            ORDER BY url
+        """,
+        "link_rank": f"""
+            -- {WG.RANK_ITERS}-iteration damped PageRank in FROZEN integer
+            -- arithmetic (contribution = (r * {WG.RANK_NUM}) //
+            -- ({WG.RANK_DEN} * outdeg), base {WG.RANK_BASE}, start
+            -- {WG.RANK_START}) — floor division makes every step
+            -- order-independent, so the replay is bit-exact
+            WITH
+            nodes AS (SELECT url FROM '{wg_path}'),
+            edges AS (SELECT url AS src, u.l.url AS dst
+                      FROM (SELECT url, unnest(outlinks) AS l
+                            FROM '{wg_path}') u),
+            deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+            r0 AS (SELECT url, CAST({WG.RANK_START} AS BIGINT) AS r
+                   FROM nodes),
+            c1 AS (SELECT e.dst AS url,
+                          SUM((r.r * {WG.RANK_NUM})
+                              // ({WG.RANK_DEN} * d.outdeg)) AS c
+                   FROM edges e JOIN r0 r ON r.url = e.src
+                   JOIN deg d ON d.src = e.src GROUP BY e.dst),
+            r1 AS (SELECT n.url,
+                          CAST({WG.RANK_BASE} + COALESCE(c.c, 0) AS BIGINT)
+                              AS r
+                   FROM nodes n LEFT JOIN c1 c ON c.url = n.url),
+            c2 AS (SELECT e.dst AS url,
+                          SUM((r.r * {WG.RANK_NUM})
+                              // ({WG.RANK_DEN} * d.outdeg)) AS c
+                   FROM edges e JOIN r1 r ON r.url = e.src
+                   JOIN deg d ON d.src = e.src GROUP BY e.dst),
+            r2 AS (SELECT n.url,
+                          CAST({WG.RANK_BASE} + COALESCE(c.c, 0) AS BIGINT)
+                              AS r
+                   FROM nodes n LEFT JOIN c2 c ON c.url = n.url),
+            c3 AS (SELECT e.dst AS url,
+                          SUM((r.r * {WG.RANK_NUM})
+                              // ({WG.RANK_DEN} * d.outdeg)) AS c
+                   FROM edges e JOIN r2 r ON r.url = e.src
+                   JOIN deg d ON d.src = e.src GROUP BY e.dst),
+            r3 AS (SELECT n.url,
+                          CAST({WG.RANK_BASE} + COALESCE(c.c, 0) AS BIGINT)
+                              AS r
+                   FROM nodes n LEFT JOIN c3 c ON c.url = n.url)
+            SELECT url, r AS link_rank FROM r3 ORDER BY url
+        """,
+        "crossmodal_recall": """
+            -- caption→image retrieval eval over the benchmark pairs
+            -- (pair_id % 17 = 0): rank of the true partner under the
+            -- frozen (rounded-cosine desc, vec_id asc) total order —
+            -- rank = 1 + |strictly better| + |tied with smaller vec_id|,
+            -- exactly the engine's counting form
+            WITH ev AS (SELECT vec_id, embedding FROM embeddings
+                        WHERE (vec_id >> 1) % 17 = 0),
+            img AS (SELECT vec_id >> 1 AS pid, vec_id, embedding FROM ev
+                    WHERE vec_id % 2 = 0),
+            cap AS (SELECT vec_id >> 1 AS pid, embedding FROM ev
+                    WHERE vec_id % 2 = 1),
+            sc AS (SELECT c.pid AS qpid, i.pid AS ipid, i.vec_id AS img_id,
+                          round(list_cosine_similarity(
+                              c.embedding::DOUBLE[],
+                              i.embedding::DOUBLE[]), 6) AS c6
+                   FROM cap c CROSS JOIN img i),
+            tr AS (SELECT qpid, c6 AS t6, img_id AS tid FROM sc
+                   WHERE qpid = ipid),
+            rk AS (SELECT s.qpid AS pair_id,
+                          1 + SUM(CASE WHEN s.c6 > t.t6
+                                       OR (s.c6 = t.t6
+                                           AND s.img_id < t.tid)
+                                  THEN 1 ELSE 0 END) AS true_rank
+                   FROM sc s JOIN tr t ON t.qpid = s.qpid
+                   GROUP BY s.qpid)
+            SELECT pair_id, CAST(true_rank AS BIGINT) AS true_rank,
+                   CAST(true_rank <= 1 AS INTEGER) AS hit1,
+                   CAST(true_rank <= 5 AS INTEGER) AS hit5,
+                   CAST(true_rank <= 10 AS INTEGER) AS hit10
+            FROM rk ORDER BY pair_id
         """,
         "phash_neardup": f"""
             -- brute-force Hamming self-join over the precomputed phash

@@ -40,6 +40,9 @@ QUERY_NAMES = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "knn_bruteforce",
+    "crossmodal_recall",
+    "redirect_resolve",
+    "link_rank",
     "clip_align",
     "vocab_oov",
     "dup_spans",

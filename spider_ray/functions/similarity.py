@@ -378,6 +378,87 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     return _topk_merge(cands)
 
 
+# --- cross-modal retrieval evaluation --------------------------------------
+
+# Every EVAL_MODth pair (pair_id % EVAL_MOD == 0) is the held-out retrieval
+# benchmark — same deterministic-subset convention as the text/image
+# decontaminate ops (seq % 17). Gallery = the eval pairs' image vectors;
+# queries = the same pairs' caption vectors, so recall@k is well-defined
+# (the true partner is always present).
+EVAL_MOD = 17
+RECALL_KS = (1, 5, 10)
+
+
+def q_crossmodal_recall(sf_dir: str) -> pa.Table:
+    """Caption→image retrieval evaluation over the paired embedding table
+    (even vec_id = image side, odd = its caption; pair_id = vec_id >> 1 —
+    the q_clip_align convention): for every benchmark caption, the rank of
+    its true image among the benchmark gallery under (rounded-cosine desc,
+    vec_id asc) — the frozen _local_topk total order — plus recall@k hit
+    flags. The metric a CLIP-filtered corpus is validated with.
+
+    Scale shape: the gallery is the EVAL subset (bounded by design — a
+    retrieval benchmark, not the corpus): distributed filtered read →
+    one ``ray.put`` broadcast. The query side streams; each batch does one
+    (B × N) matmul and two vectorized comparisons — rank is computed by
+    COUNTING strictly-better gallery entries, never by sorting the row.
+    SQL-oracled bit-exact (cosines rounded to 6 dp on both engines, the
+    knn_bruteforce convention)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pick_gallery(batch: pa.Table) -> pa.Table:
+        ids = _ids64(batch["vec_id"])
+        keep = (ids % 2 == 0) & ((ids >> 1) % EVAL_MOD == 0)
+        return batch.filter(pa.array(keep))
+
+    gal = _concat(ds.map_batches(pick_gallery, batch_format="pyarrow"))
+    order = np.argsort(_ids64(gal["vec_id"]), kind="stable")
+    gal_ids = _ids64(gal["vec_id"])[order]
+    G = _normalize(_vec_matrix(gal["embedding"]))[order]
+    dim = G.shape[1]
+    g_ref = ray.put((gal_ids, G))
+
+    def rank_batch(batch: pa.Table) -> pa.Table:
+        bg_ids, bG = ray.get(g_ref)
+        ids = _ids64(batch["vec_id"])
+        keep = (ids % 2 == 1) & ((ids >> 1) % EVAL_MOD == 0)
+        if not keep.any():
+            return pa.table(
+                {
+                    "pair_id": pa.array([], pa.int64()),
+                    "true_rank": pa.array([], pa.int64()),
+                    **{
+                        f"hit{k}": pa.array([], pa.int32())
+                        for k in RECALL_KS
+                    },
+                }
+            )
+        Q = _normalize(_vec_matrix(batch["embedding"], dim)[keep])
+        pid = ids[keep] >> 1
+        true_img = pid * 2
+        pos = np.searchsorted(bg_ids, true_img)
+        assert (bg_ids[pos] == true_img).all(), "true partner not in gallery"
+        C6 = np.round(Q @ bG.T, 6)
+        t6 = C6[np.arange(len(pid)), pos]
+        better = (C6 > t6[:, None]).sum(axis=1)
+        tied_lower = (
+            (C6 == t6[:, None]) & (bg_ids[None, :] < true_img[:, None])
+        ).sum(axis=1)
+        rank = 1 + better + tied_lower
+        cols = {
+            "pair_id": pa.array(pid, pa.int64()),
+            "true_rank": pa.array(rank.astype(np.int64), pa.int64()),
+        }
+        for k in RECALL_KS:
+            cols[f"hit{k}"] = pa.array(
+                (rank <= k).astype(np.int32), pa.int32()
+            )
+        return pa.table(cols)
+
+    out = _concat(ds.map_batches(rank_batch, batch_format="pyarrow"))
+    return _sorted(out, "pair_id")
+
+
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()

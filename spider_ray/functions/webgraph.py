@@ -1,0 +1,409 @@
+"""Link-graph operators over the crawl's web_graph table — redirect-chain
+resolution and link-structure ranking, the two graph passes a frontier
+scheduler runs between crawl generations.
+
+Reference semantics (reimplemented, not ported):
+
+* redirect chains — the reference follows HTTP redirect chains inside
+  libcurl with a bounded max-redirect count and records the final
+  effective URL + hop count per task
+  (crawler/fetcher/multi_fetcher.cc:348-351 CURLOPT_MAXREDIRS setup,
+  :507-519 redirect_time / redirect_count extraction). Batch-side, the
+  same resolution runs over the *known* redirect edge set so the frontier
+  can enqueue final targets instead of re-walking chains one fetch at a
+  time: that batch form is :func:`q_redirect_resolve`.
+* link importance — the reference schedules by a per-task ``importance``
+  score carried on every frontier item
+  (crawler/exchange/task_data.h:14-24; selector feeds it from link
+  structure). :func:`q_link_rank` computes that score from the outlink
+  graph as a fixed-iteration PageRank.
+
+Both are DISTRIBUTED graph passes with bit-exact DuckDB oracles:
+
+* :func:`q_redirect_resolve` — pointer-doubling transitive resolution:
+  each round advances every unresolved chain by joining it against the
+  full jump table (hash co-partition cogroup, the dedup._hash_join
+  shape), so a chain of length L resolves in O(log L) rounds instead of
+  L sequential self-joins. Rounds are ``materialize()``d — the canonical
+  Ray Data shape for iterative algorithms (each round's state is a
+  spillable object-store checkpoint, never a driver list). Chains longer
+  than MAX_HOPS and cycles (both exist in the workload: alias cycles are
+  planted) come back ``looped=1`` with NULL final_url — the same bounded
+  semantics as the reference's CURLOPT_MAXREDIRS.
+* :func:`q_link_rank` — K=3 iterations of damped PageRank in FROZEN
+  integer arithmetic: contribution = (rank * 17) // (20 * outdeg) in
+  int64, base 150_000, start 1_000_000. Integer floor-division makes
+  every iteration order-independent and bit-exact reproducible in SQL
+  (float PageRank would hash-diverge at the last ulp). Each iteration is
+  one hash-join (ranks onto edges) + one groupby-sum — the standard
+  distributed PageRank shape; at 10^10 edges the join/groupby shuffles
+  are hash-partitioned by url and the iteration count is fixed, so total
+  traffic is K * |edges| rows.
+
+Scale notes (100 TB frontier): the redirect pointer table holds one row
+per redirect SOURCE (~3% of pages in this corpus' status mix), and each
+doubling round moves it twice (probe + jump sides). The planted alias
+workload (deterministic mix64-derived chains up to depth 12 + cycles,
+derived from the page seq so the SQL oracle replays it exactly) exists
+because real one-hop 301s at corpus scale rarely chain deep enough to
+exercise the doubling rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from spider_ray.kernels.hashing import SEED, mix64_int
+from spider_ray.pipelines.relational import _concat, _sorted
+
+# frozen workload + algorithm constants (shared verbatim by the SQL
+# oracles in __ray_entry__.oracle_sql — never change without changing both)
+REDIRECT_SEED = 20260820  # mix64 seed for the alias-chain derivation
+ALIAS_MOD = 4  # u % 4 == 0 → page grows an alias chain (~25%)
+ALIAS_MAX_DEPTH = 12  # chain depth = 1 + (u >> 2) % 12
+CYCLE_MOD = 16  # alias'd AND (u >> 8) % 16 == 0 AND not 301 → cycle
+MAX_HOPS = 32  # chains past this cap report looped (CURLOPT_MAXREDIRS)
+# after k rounds every chain of length L ≤ 2^k is settled (each round a
+# live row either probes a terminal or inherits a partner's full jump);
+# classification only has to be exact up to MAX_HOPS=32 → 5 rounds
+# suffice, 6 adds one round of margin. Fixed, not data-dependent.
+PTR_ROUNDS = 6
+_PTR_PARTS = 32  # hash-partition fan-out per doubling round
+
+RANK_ITERS = 3
+RANK_START = 1_000_000  # r0 for every node
+RANK_BASE = 150_000  # the 0.15 damping floor in rank units
+# contribution = (r * RANK_NUM) // (RANK_DEN * outdeg)  — 17/20 = 0.85
+RANK_NUM = 17
+RANK_DEN = 20
+
+
+def _read_web_graph(corpus: str, columns: list[str]) -> ray.data.Dataset:
+    import os
+
+    return ray.data.read_parquet(
+        os.path.join(corpus, "web_graph.parquet"), columns=columns
+    )
+
+
+# --------------------------------------------------------------------------
+# redirect_resolve
+# --------------------------------------------------------------------------
+
+def redirect_edges(corpus: str) -> ray.data.Dataset:
+    """The redirect edge table (src → dst, one out-edge per src): the web
+    graph's real 301 edges plus the deterministic alias-chain workload
+    (see module docstring). One streamed pass over pruned columns; edge
+    emission is fully vectorized (polars int_ranges explode + string
+    concat — no Python row loop)."""
+    ds = _read_web_graph(corpus, ["url", "status_code", "redirect_to"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        real = df.filter(
+            (pl.col("status_code") == 301)
+            & pl.col("redirect_to").is_not_null()
+        ).select(src=pl.col("url"), dst=pl.col("redirect_to"))
+
+        seq = (
+            df["url"].str.extract(r"/p/(\d+)$", 1).cast(pl.UInt64).to_numpy()
+        )
+        u = mix64_int(seq, REDIRECT_SEED)
+        is_alias = (u % np.uint64(ALIAS_MOD)) == 0
+        depth = (
+            1 + ((u >> np.uint64(2)) % np.uint64(ALIAS_MAX_DEPTH))
+        ).astype(np.int64)
+        status = df["status_code"].to_numpy()
+        cyc = (
+            is_alias
+            & (((u >> np.uint64(8)) % np.uint64(CYCLE_MOD)) == 0)
+            & (status != 301)
+        )
+
+        base = pl.DataFrame(
+            {"url": df["url"], "depth": depth, "alias": is_alias}
+        )
+        al = (
+            base.filter(pl.col("alias"))
+            .with_columns(j=pl.int_ranges(1, pl.col("depth") + 1))
+            .explode("j")
+            .with_columns(
+                src=pl.col("url") + "?r=" + pl.col("j").cast(pl.String),
+                dst=pl.when(pl.col("j") == 1)
+                .then(pl.col("url"))
+                .otherwise(
+                    pl.col("url") + "?r=" + (pl.col("j") - 1).cast(pl.String)
+                ),
+            )
+            .select("src", "dst")
+        )
+        cy = pl.DataFrame(
+            {"url": df["url"].filter(cyc), "depth": depth[cyc]}
+        ).select(
+            src=pl.col("url"),
+            dst=pl.col("url") + "?r=" + pl.col("depth").cast(pl.String),
+        )
+        out = pl.concat([real, al, cy]).to_arrow()
+        return out.cast(pa.schema([("src", pa.string()), ("dst", pa.string())]))
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+_PTR_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()),
+        ("cur", pa.string()),
+        ("hops", pa.int64()),
+        ("done", pa.int8()),
+    ]
+)
+_PTR_UNION = pa.schema(
+    [("__part", pa.int32()), ("__side", pa.int8())] + list(_PTR_SCHEMA)
+)
+
+
+def _ptr_pad(key_col: str, side: int):
+    """Tag pointer rows for the cogroup: partition by hash(key_col)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        part = (
+            pl.from_arrow(t.select([key_col]))
+            .select(
+                (pl.col(key_col).hash(seed=SEED) % _PTR_PARTS).cast(pl.Int32)
+            )
+            .to_series()
+            .to_numpy()
+        )
+        cols = {
+            "__part": pa.array(part, pa.int32()),
+            "__side": pa.array(np.full(t.num_rows, side, np.int8)),
+        }
+        for name in _PTR_SCHEMA.names:
+            cols[name] = t[name]
+        return pa.table({f.name: cols[f.name] for f in _PTR_UNION})
+
+    return f
+
+
+def _ptr_cogroup(group: pa.Table) -> pa.Table:
+    """One doubling step inside a hash partition: left-join the unresolved
+    probe rows (keyed by cur) against the jump table (keyed by src). A
+    probe whose cur has no out-edge reached a terminal → done; otherwise
+    it inherits the partner's (cur, hops, done) — jumping 2^k hops or
+    straight to the partner's already-resolved terminal. Already-done
+    probe rows pass through unchanged — routing them through the cogroup
+    (instead of a filter + outer union) keeps the round's output block
+    count bounded by the partition fan-out; a done_rows.union(advanced)
+    variant TRIPLED the block count every round (48 → 1296 blocks by
+    round 3, with wall time tracking task count)."""
+    df = pl.from_arrow(group)
+    probe = df.filter(pl.col("__side") == 0).select(
+        "src", "cur", "hops", "done"
+    )
+    settled = probe.filter(pl.col("done") == 1)
+    live = probe.filter(pl.col("done") == 0).drop("done")
+    jump = df.filter(pl.col("__side") == 1).select(
+        key=pl.col("src"),
+        j_cur=pl.col("cur"),
+        j_hops=pl.col("hops"),
+        j_done=pl.col("done"),
+    )
+    advanced = (
+        live.join(jump, left_on="cur", right_on="key", how="left")
+        .with_columns(
+            done=pl.when(pl.col("j_cur").is_null())
+            .then(1)
+            .otherwise(pl.col("j_done"))
+            .cast(pl.Int8),
+            hops=pl.col("hops") + pl.col("j_hops").fill_null(0),
+            cur=pl.coalesce(pl.col("j_cur"), pl.col("cur")),
+        )
+        .select("src", "cur", "hops", "done")
+    )
+    return pl.concat([settled, advanced]).to_arrow().cast(_PTR_SCHEMA)
+
+
+def resolve_pointers(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Pointer-doubling fixpoint over a functional edge set (≤1 out-edge
+    per src). Returns (src, cur, hops, done): done=1 rows terminated at
+    ``cur`` after exactly ``hops`` edges; done=0 rows are cycle members
+    (or chains past 2^PTR_ROUNDS, impossible for this workload)."""
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "cur": t["dst"],
+                "hops": pa.array(
+                    np.ones(t.num_rows, np.int64), pa.int64()
+                ),
+                "done": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    P = edges.map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(PTR_ROUNDS):
+        probe = P.map_batches(_ptr_pad("cur", 0), batch_format="pyarrow")
+        jump = P.map_batches(_ptr_pad("src", 1), batch_format="pyarrow")
+        P = (
+            probe.union(jump)
+            .groupby("__part")
+            .map_groups(_ptr_cogroup, batch_format="pyarrow")
+            # the sort-shuffle emits blocks proportional to its INPUT
+            # block count (2× P's), so without an explicit cap the state
+            # doubles its block count every round — 32 → 1024 blocks by
+            # round 5, wall time tracking task count, rows constant.
+            # A split/coalesce repartition (no shuffle) pins it.
+            .repartition(_PTR_PARTS)
+            .materialize()
+        )
+    return P
+
+
+def q_redirect_resolve(corpus: str) -> pa.Table:
+    """Resolve every redirect source to its final (non-redirecting) URL:
+    (url, final_url, hops, looped). looped=1 (NULL final_url / hops) for
+    cycle members and chains past MAX_HOPS."""
+    P = resolve_pointers(redirect_edges(corpus))
+
+    def finish(t: pa.Table) -> pa.Table:
+        done = t["done"].to_numpy(zero_copy_only=False).astype(np.int8)
+        hops = t["hops"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (done == 1) & (hops <= MAX_HOPS)
+        return pa.table(
+            {
+                "url": t["src"],
+                "final_url": pc.if_else(
+                    pa.array(ok), t["cur"], pa.nulls(t.num_rows, pa.string())
+                ),
+                "hops": pc.if_else(
+                    pa.array(ok), t["hops"], pa.nulls(t.num_rows, pa.int64())
+                ),
+                "looped": pa.array((~ok).astype(np.int32), pa.int32()),
+            }
+        )
+
+    return _sorted(
+        _concat(P.map_batches(finish, batch_format="pyarrow")), "url"
+    )
+
+
+# --------------------------------------------------------------------------
+# link_rank
+# --------------------------------------------------------------------------
+
+def q_link_rank(corpus: str) -> pa.Table:
+    """Fixed-iteration integer PageRank over the outlink graph — the
+    frontier importance score (task_data.h:14-24) computed from link
+    structure. K=RANK_ITERS iterations; every arithmetic step is int64
+    (see module docstring) so the DuckDB oracle reproduces it bit-exact.
+
+    Each iteration: hash-cogroup join of the rank table onto the edge
+    table (partitioned by src), per-edge integer contribution, native
+    distributed groupby(dst).sum, then a union-with-zeros + groupby(url)
+    to re-attach rank-less nodes. Nothing is driver-side; the edge table
+    is built once and reused across iterations (materialized — it is the
+    loop invariant)."""
+    wg = _read_web_graph(corpus, ["url", "outlinks"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .explode("outlinks")
+            .drop_nulls("outlinks")
+            .select(
+                src=pl.col("url"),
+                dst=pl.col("outlinks").struct.field("url"),
+            )
+        )
+        # per-src outdegree rides on every edge row so the contribution
+        # divide never needs a second join (outlinks are page-local)
+        df = df.with_columns(outdeg=pl.len().over("src"))
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("src", pa.string()),
+                    ("dst", pa.string()),
+                    ("outdeg", pa.int64()),
+                ]
+            )
+        )
+
+    edges = wg.map_batches(explode, batch_format="pyarrow").materialize()
+    nodes = wg.select_columns(["url"]).materialize()
+
+    # rank state: (url, r) — starts uniform
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "r": pa.array(
+                    np.full(t.num_rows, RANK_START, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow")
+
+    from spider_ray.functions.dedup import _hash_join
+
+    edge_schema = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("outdeg", pa.int64())]
+    )
+    rank_schema = pa.schema([("url", pa.string()), ("r", pa.int64())])
+
+    for _ in range(RANK_ITERS):
+        j = _hash_join(
+            edges, ranks, on="src", right_on="url",
+            left_schema=edge_schema, right_schema=rank_schema,
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = (r * RANK_NUM) // (RANK_DEN * d)
+            return pa.table({"url": t["dst"], "c": pa.array(c, pa.int64())})
+
+        zeros = nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "url": t["url"],
+                    "c": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        summed = (
+            j.map_batches(contrib, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("url")
+            .sum("c")
+        )
+        ranks = (
+            summed.map_batches(
+                lambda t: pa.table(
+                    {
+                        "url": t["url"],
+                        "r": pc.add(
+                            pc.cast(t["sum(c)"], pa.int64()),
+                            pa.scalar(RANK_BASE, pa.int64()),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            # cap the per-iteration block growth (see resolve_pointers)
+            .repartition(32)
+            .materialize()
+        )
+
+    out = ranks.map_batches(
+        lambda t: pa.table({"url": t["url"], "link_rank": t["r"]}),
+        batch_format="pyarrow",
+    )
+    return _sorted(_concat(out), "url")

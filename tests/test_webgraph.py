@@ -1,0 +1,131 @@
+"""Link-graph operator parity: redirect_resolve / link_rank vs independent
+driver-side references, and crossmodal_recall vs a brute-force numpy rank."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from spider_ray.functions.webgraph import (
+    MAX_HOPS,
+    RANK_BASE,
+    RANK_ITERS,
+    RANK_NUM,
+    RANK_DEN,
+    RANK_START,
+    q_link_rank,
+    q_redirect_resolve,
+    redirect_edges,
+)
+from spider_ray.pipelines.relational import _concat
+
+
+@pytest.fixture(scope="module")
+def graph_corpus(ray_session, tmp_path_factory):
+    """A small dedicated corpus — full webgen determinism, fast rounds."""
+    from spider_ray.sources.webgen import generate
+
+    d = str(tmp_path_factory.mktemp("webgraph_corpus"))
+    generate(d, n_pages=600, n_hosts=10, seed=7)
+    return d
+
+
+def _edge_map(corpus):
+    E = _concat(redirect_edges(corpus))
+    nxt = dict(zip(E["src"].to_pylist(), E["dst"].to_pylist()))
+    assert len(nxt) == E.num_rows, "edge set must be functional (≤1 out-edge)"
+    return nxt
+
+
+def _walk(nxt, u):
+    cur, hops = nxt[u], 1
+    while cur in nxt and hops <= 4 * MAX_HOPS:
+        cur = nxt[cur]
+        hops += 1
+    if cur in nxt or hops > MAX_HOPS:
+        return (None, None, 1)
+    return (cur, hops, 0)
+
+
+def test_redirect_workload_has_selectivity(ray_session, graph_corpus):
+    """The planted workload must actually exercise the operator: multi-hop
+    chains (doubling rounds matter) AND cycles (the looped branch)."""
+    nxt = _edge_map(graph_corpus)
+    ref = {u: _walk(nxt, u) for u in nxt}
+    hops = [v[1] for v in ref.values() if v[2] == 0]
+    assert max(hops) >= 5, "no multi-hop chains — doubling untested"
+    assert any(v[2] == 1 for v in ref.values()), "no cycles planted"
+    assert any(v[2] == 0 for v in ref.values())
+
+
+def test_redirect_resolve_matches_walker(ray_session, graph_corpus):
+    nxt = _edge_map(graph_corpus)
+    got = q_redirect_resolve(graph_corpus)
+    assert got.num_rows == len(nxt)
+    for i in range(got.num_rows):
+        u = got["url"][i].as_py()
+        eng = (
+            got["final_url"][i].as_py(),
+            got["hops"][i].as_py(),
+            got["looped"][i].as_py(),
+        )
+        assert eng == _walk(nxt, u), f"mismatch at {u}"
+
+
+def test_link_rank_matches_reference(ray_session, graph_corpus):
+    wg = pq.read_table(
+        f"{graph_corpus}/web_graph.parquet", columns=["url", "outlinks"]
+    )
+    urls = wg["url"].to_pylist()
+    outs = wg["outlinks"].to_pylist()
+    r = {u: RANK_START for u in urls}
+    for _ in range(RANK_ITERS):
+        c = {u: 0 for u in urls}
+        for u, links in zip(urls, outs):
+            d = len(links)
+            for link in links:
+                c[link["url"]] += (r[u] * RANK_NUM) // (RANK_DEN * d)
+        r = {u: RANK_BASE + c[u] for u in urls}
+    lr = q_link_rank(graph_corpus)
+    assert lr.num_rows == len(urls)
+    for i in range(lr.num_rows):
+        assert r[lr["url"][i].as_py()] == lr["link_rank"][i].as_py()
+    # sanity: the iteration actually moved mass (not everyone at base)
+    vals = lr["link_rank"].to_numpy(zero_copy_only=False)
+    assert vals.max() > RANK_BASE + (RANK_START * RANK_NUM) // RANK_DEN
+
+
+def test_crossmodal_recall_matches_bruteforce(ray_session, sf_small):
+    from spider_ray.functions.similarity import (
+        EVAL_MOD,
+        q_crossmodal_recall,
+    )
+
+    emb = pq.read_table(f"{sf_small}/embeddings.parquet")
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    gal = (ids % 2 == 0) & ((ids >> 1) % EVAL_MOD == 0)
+    qry = (ids % 2 == 1) & ((ids >> 1) % EVAL_MOD == 0)
+    g_ids, G = ids[gal], M[gal]
+    order = np.argsort(g_ids)
+    g_ids, G = g_ids[order], G[order]
+
+    got = q_crossmodal_recall(sf_small)
+    assert got.num_rows == int(qry.sum()) > 0
+    ref = {}
+    for qi in np.nonzero(qry)[0]:
+        pid = ids[qi] >> 1
+        c6 = np.round(M[qi] @ G.T, 6)
+        t = c6[np.searchsorted(g_ids, pid * 2)]
+        rank = (
+            1
+            + int((c6 > t).sum())
+            + int(((c6 == t) & (g_ids < pid * 2)).sum())
+        )
+        ref[pid] = rank
+    for i in range(got.num_rows):
+        pid = got["pair_id"][i].as_py()
+        rank = got["true_rank"][i].as_py()
+        assert rank == ref[pid]
+        for k in (1, 5, 10):
+            assert got[f"hit{k}"][i].as_py() == int(rank <= k)
