@@ -220,6 +220,14 @@ def _images_store(sf_dir: str) -> str:
     return resolve_images(os.path.join(corpus, "images"))
 
 
+def _bucket_balance_query(sf_dir: str) -> Any:
+    """Aspect-balanced quota resample of the demo image corpus (keep_rate
+    = min bucket count / bucket count, frozen-mixer thresholds)."""
+    from spider_ray.functions.imageshard import q_bucket_balance
+
+    return q_bucket_balance(_images_store(sf_dir))
+
+
 def _redirect_resolve_query(sf_dir: str) -> Any:
     """Pointer-doubling redirect-chain resolution over the demo corpus'
     web_graph (real 301 edges + the deterministic alias-chain/cycle
@@ -464,6 +472,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-(bucket, fmt) dataset-card rollup (langid — SQL-oracled,
         # strict-double-covered, text class richly repped — to the tail)
         "bucket_stats": _bucket_stats_query,
+        # per-aspect-bucket quota resample toward the smallest bucket
+        # (the mixture_sample mechanics over DATA-DEPENDENT rates;
+        # SQL-oracled bit-exact via HUGEINT thresholds)
+        "bucket_balance": _bucket_balance_query,
         # SDXL resize geometry (fingerprints, SQL-oracled and
         # strict-double-covered, moved to the tail)
         "resize_plan": _resize_plan_query,
@@ -577,6 +589,9 @@ def oracle_sql() -> dict[str, str]:
             WG.CYCLE_MOD, WG.MAX_HOPS) == (20260820, 4, 12, 16, 32)
     assert (WG.RANK_ITERS, WG.RANK_START, WG.RANK_BASE,
             WG.RANK_NUM, WG.RANK_DEN) == (3, 1_000_000, 150_000, 17, 20)
+    from spider_ray.functions.imageshard import BAL_SEED
+
+    assert BAL_SEED == 20260821
 
     # shared by the image-curation oracles: the exact phash pair graph
     # (same tau as functions/imagecurate.PHASH_TAU) and the gate input
@@ -636,6 +651,50 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seen": f"""
             SELECT * FROM '{os.path.join(golden, "seen.parquet")}'
             ORDER BY url_hash, url
+        """,
+        "bucket_balance": f"""
+            -- aspect-bucket quota resample: the same integer-exact bucket
+            -- argmin as aspect_buckets, then keep_rate = min bucket count
+            -- / bucket count decided per row by the frozen
+            -- mix64(image seq, 20260821) key against the EXACT
+            -- HUGEINT threshold (2^64 * min_n) // n — the engine's
+            -- arithmetic verbatim (imageshard.q_bucket_balance)
+            WITH proto(bucket_id, bw, bh, mult) AS (
+                VALUES (0, 1, 2, 3), (1, 2, 3, 2), (2, 1, 1, 6),
+                       (3, 3, 2, 3), (4, 2, 1, 6)),
+            scored AS (
+                SELECT i.image_id,
+                       CAST(p.bucket_id AS BIGINT) AS bucket_id,
+                       abs(CAST(i.w AS BIGINT) * p.bh
+                           - CAST(i.h AS BIGINT) * p.bw) * p.mult AS score
+                FROM '{phash_images}' i CROSS JOIN proto p),
+            asg AS (
+                SELECT image_id, bucket_id FROM (
+                    SELECT *, row_number() OVER (
+                               PARTITION BY image_id
+                               ORDER BY score, bucket_id) AS rn
+                    FROM scored) WHERE rn = 1),
+            sq AS (SELECT image_id, bucket_id,
+                          CAST(regexp_extract(image_id, '/i/(\\d+)$', 1)
+                               AS UBIGINT) AS seq FROM asg),
+            b1 AS (SELECT image_id, bucket_id,
+                          CAST((CAST(seq AS HUGEINT) * 2654435761
+                               + 20260821) % 18446744073709551616
+                               AS UBIGINT) AS u0 FROM sq),
+            b2 AS (SELECT * EXCLUDE(u0), xor(u0, u0 >> 29) AS u0 FROM b1),
+            b3 AS (SELECT * EXCLUDE(u0), CAST((CAST(u0 AS HUGEINT)
+                    * 2246822519) % 18446744073709551616 AS UBIGINT) AS u0
+                    FROM b2),
+            bx AS (SELECT * EXCLUDE(u0), xor(u0, u0 >> 32) AS u FROM b3),
+            cnt AS (SELECT bucket_id, COUNT(*) AS n FROM asg
+                    GROUP BY bucket_id),
+            tgt AS (SELECT MIN(n) AS c FROM cnt)
+            SELECT s.image_id, s.bucket_id
+            FROM bx s JOIN cnt t USING (bucket_id), tgt
+            WHERE t.n = tgt.c
+               OR s.u < CAST((18446744073709551616 * tgt.c) // t.n
+                             AS UBIGINT)
+            ORDER BY image_id
         """,
         "redirect_resolve": f"""
             -- transitive redirect resolution replayed as a recursive CTE

@@ -562,3 +562,84 @@ def q_bucket_shard_pack(images_path: str) -> pa.Table:
         _concat(ds.map_batches(reveal_bucket, batch_format="pyarrow")),
         ["bucket_id", "seq"],
     )
+
+
+# --- aspect-bucket balancing -----------------------------------------------
+
+# frozen mixer seed for the balance sample (shared with the SQL oracle)
+BAL_SEED = 20260821
+
+
+def q_bucket_balance(images_path: str) -> pa.Table:
+    """Deterministic per-aspect-bucket quota resampling — the bucket twin
+    of the text pipeline's ``q_mixture_sample``: down-sample every aspect
+    bucket toward the SMALLEST bucket's count so the training mixture is
+    aspect-balanced (a bucketed-dataloader epoch otherwise over-trains the
+    dominant aspect). keep_rate(bucket) = min_count / count(bucket),
+    decided per row by the frozen ``mix64_int(image seq, BAL_SEED)`` key
+    against the EXACT integer threshold ``(2^64 * min_count) // count`` —
+    rate-based (streaming, no per-bucket sort), so the sampled size is
+    approximate but the SAMPLE ITSELF is deterministic and bit-exact
+    SQL-replayable.
+
+    Scale shape: pass 1 is a per-block bincount + native groupby over
+    BOUNDED keys (len(ASPECT_BUCKETS)); the ≤5-row count table is the only
+    thing the driver sees. Pass 2 streams with the thresholds captured in
+    the task closure. No corpus-proportional state anywhere."""
+    ds = read_images(images_path, columns=["image_id", "w", "h"])
+    n_buckets = len(ASPECT_BUCKETS)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bc = np.bincount(aspect_bucket_ids(w, h), minlength=n_buckets)
+        return pa.table(
+            {
+                "bucket_id": pa.array(
+                    np.arange(n_buckets, dtype=np.int64), pa.int64()
+                ),
+                "n": pa.array(bc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = _concat(
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bucket_id")
+        .sum("n")
+    )
+    n_by = dict(
+        zip(cnt["bucket_id"].to_pylist(), cnt["sum(n)"].to_pylist())
+    )
+    present = {b: n for b, n in n_by.items() if n > 0}
+    c_min = min(present.values())
+    thresh = {b: ((1 << 64) * c_min) // n for b, n in present.items()}
+
+    def pick(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = aspect_bucket_ids(w, h)
+        ext = pc.struct_field(
+            pc.extract_regex(batch["image_id"], r"/i/(?P<seq>\d+)$"), "seq"
+        )
+        assert ext.null_count == 0, (
+            "bucket_balance keys on the corpus image seq: every image_id "
+            "must carry the /i/<seq> suffix"
+        )
+        seq = pc.cast(ext, pa.uint64()).to_numpy(zero_copy_only=False)
+        u = mix64_int(seq, BAL_SEED)
+        keep = np.zeros(len(k), dtype=bool)
+        for b, n in present.items():
+            m = k == b
+            if not m.any():
+                continue
+            keep[m] = True if n == c_min else u[m] < np.uint64(thresh[b])
+        return pa.table(
+            {
+                "image_id": batch["image_id"].cast(pa.string()),
+                "bucket_id": pa.array(k, pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    return _sorted(
+        _concat(ds.map_batches(pick, batch_format="pyarrow")), "image_id"
+    )

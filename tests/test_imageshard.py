@@ -9,6 +9,7 @@ tools/oracle_strict.py / the driver."""
 import random
 from fractions import Fraction
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -382,3 +383,86 @@ def test_greedy_local_shards_property():
             )
 
     check()
+
+
+# --- bucket_balance ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def seq_store(tmp_path_factory, ray_session):
+    """A store with corpus-style /i/<seq> ids (bucket_balance keys on the
+    seq suffix) and a deliberately skewed aspect mix."""
+    rng = random.Random(20260821)
+    n = 400
+    w, h = [], []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.55:
+            w.append(32), h.append(32)  # square — dominant bucket
+        elif r < 0.8:
+            w.append(48), h.append(24)  # 2:1
+        else:
+            w.append(24), h.append(48)  # 1:2 — smallest bucket
+    tbl = conform_images(
+        pa.table(
+            {
+                "image_id": [
+                    f"http://img{i % 7}.example.com/i/{i}" for i in range(n)
+                ],
+                "bytes": [b"x" * rng.randrange(500, 2000) for _ in range(n)],
+                "w": w,
+                "h": h,
+                "fmt": ["png"] * n,
+                "caption": ["a plain five word caption"] * n,
+                "phash": [rng.getrandbits(63) for _ in range(n)],
+            }
+        )
+    )
+    return write_images(
+        tbl, str(tmp_path_factory.mktemp("balance") / "images")
+    )
+
+
+def test_bucket_balance_matches_reference_and_balances(seq_store):
+    from spider_ray.functions.imageshard import (
+        BAL_SEED,
+        aspect_bucket_ids,
+        q_bucket_balance,
+    )
+    from spider_ray.kernels.hashing import mix64_int
+    from spider_ray.sources.lance_io import read_images_table
+
+    got = q_bucket_balance(seq_store)
+    tbl = read_images_table(seq_store)
+    w = np.asarray(tbl["w"].to_pylist(), dtype=np.int64)
+    h = np.asarray(tbl["h"].to_pylist(), dtype=np.int64)
+    k = aspect_bucket_ids(w, h)
+    ids = tbl["image_id"].to_pylist()
+    seq = np.asarray(
+        [int(s.rsplit("/", 1)[1]) for s in ids], dtype=np.uint64
+    )
+    u = mix64_int(seq, BAL_SEED)
+    counts = np.bincount(k, minlength=5)
+    c_min = counts[counts > 0].min()
+    keep = np.zeros(len(ids), dtype=bool)
+    for b in range(5):
+        if counts[b] == 0:
+            continue
+        m = k == b
+        if counts[b] == c_min:
+            keep[m] = True
+        else:
+            t64 = ((1 << 64) * int(c_min)) // int(counts[b])
+            keep[m] = u[m] < np.uint64(t64)
+    ref = sorted(np.asarray(ids, dtype=object)[keep])
+    assert got["image_id"].to_pylist() == ref
+    # engine bucket labels match the assignment
+    by_id = dict(zip(ids, k))
+    for i in range(got.num_rows):
+        assert got["bucket_id"][i].as_py() == by_id[got["image_id"][i].as_py()]
+    # balance: every kept bucket lands within 30% of the smallest bucket
+    kept_counts = np.bincount(k[keep], minlength=5)
+    for b in range(5):
+        if counts[b] > 0:
+            assert kept_counts[b] <= max(1.3 * c_min, c_min + 10)
+            assert kept_counts[b] >= 0.7 * c_min
