@@ -52,6 +52,7 @@ QUERY_NAMES = [
     "resize_plan",
     "epoch_shuffle",
     "bucket_stats",
+    "bucket_balance",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"
