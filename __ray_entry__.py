@@ -561,6 +561,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conditional_agg": R.q_conditional_agg,
         "cogroup_join": R.q_cogroup_join,
         "embedding_neardup": D.q_embedding_neardup,
+        # SemDeDup-style semantic dedup: knn_ivf's integer-state k-means
+        # + within-cluster lower-id cosine prune — SQL-oracled bit-exact
+        # via the SHARED k-means replay prefix; past-window on purpose
+        # (strict-tool double-covered; near-dup class already in-window)
+        "semantic_dedup": S.q_semantic_dedup,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "langid": T.q_langid,
         "fingerprints": T.q_fingerprints,
@@ -2376,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
         """,
         "knn_ivf": _ivf_oracle_sql(),
+        "semantic_dedup": _semdedup_oracle_sql(),
         "knn_lsh": """
             -- full replay of the integer-exact Rademacher multi-probe LSH
             -- (similarity.q_knn_lsh): adaptive bits = max(3,
@@ -2505,8 +2511,67 @@ def _ivf_oracle_sql() -> str:
     state forward via the LEFT JOIN coalesce. Every parameter is read
     from the similarity module so tuning the engine cannot silently
     desync the oracle."""
-    iters, k, nprobe = S.IVF_ITERS, S.IVF_CENTROIDS, S.IVF_NPROBE
-    scale, tmax, nq = float(S.IVF_SCALE), S.IVF_TRAIN_MAX, S.N_QUERIES
+    nprobe, nq = S.IVF_NPROBE, S.N_QUERIES
+    tail = """
+probes AS (
+    SELECT vec_id AS query_id, j FROM (
+        SELECT vec_id, j, row_number() OVER (
+            PARTITION BY vec_id ORDER BY f, j) AS rn FROM fC
+        WHERE vec_id < {nq})
+    WHERE rn <= {nprobe}),
+cand AS (
+    SELECT p.query_id, a.vec_id
+    FROM probes p JOIN asgC a ON a.j = p.j),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           round(list_cosine_similarity(eq.embedding::DOUBLE[],
+                                        ev.embedding::DOUBLE[]), 6)
+               AS cosine
+    FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
+                JOIN embeddings ev ON ev.vec_id = c.vec_id)
+SELECT query_id, vec_id, cosine FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored)
+WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
+""".format(nprobe=nprobe, nq=nq)
+    return _ivf_kmeans_replay_sql() + tail
+
+
+def _semdedup_oracle_sql() -> str:
+    """Replay of similarity.q_semantic_dedup: the SHARED k-means replay
+    (`_ivf_kmeans_replay_sql` — identical text to the knn_ivf oracle's
+    prefix, so the two can never desync) gives every vector its cluster
+    ``asgC``; the prune is a within-cluster lower-id self-join at raw
+    double cosine ≥ SEM_TAU (the q_embedding_neardup convention),
+    dup_of = min such mate."""
+    tau = float(S.SEM_TAU)
+    tail = """
+pairs AS (
+    SELECT a.vec_id AS vid, min(b.vec_id) AS dup_of
+    FROM asgC a JOIN asgC b ON b.j = a.j AND b.vec_id < a.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                 eb.embedding::DOUBLE[]) >= {tau}
+    GROUP BY a.vec_id)
+SELECT a.vec_id, a.j AS cluster, p.dup_of,
+       CAST(CASE WHEN p.dup_of IS NULL THEN 0 ELSE 1 END AS INTEGER)
+           AS is_dup
+FROM asgC a LEFT JOIN pairs p ON p.vid = a.vec_id
+ORDER BY vec_id
+""".format(tau=tau)
+    return _ivf_kmeans_replay_sql() + tail
+
+
+def _ivf_kmeans_replay_sql() -> str:
+    """The SHARED k-means replay prefix — sample gate, seeding, the
+    IVF_ITERS unrolled integer k-means iterations, and the full-corpus
+    assignment (``fC`` ranks + ``asgC`` argmin) — used verbatim by BOTH
+    the knn_ivf and semantic_dedup oracles. Ends mid-WITH (trailing
+    comma after ``asgC``); callers append their tail CTEs + SELECT."""
+    iters, k = S.IVF_ITERS, S.IVF_CENTROIDS
+    scale, tmax = float(S.IVF_SCALE), S.IVF_TRAIN_MAX
     head = """
 WITH par AS (
     SELECT ((count(*) + {tm1}) // {tmax}) AS stride FROM embeddings),
@@ -2588,26 +2653,5 @@ asgC AS MATERIALIZED (
         SELECT vec_id, j, row_number() OVER (
             PARTITION BY vec_id ORDER BY f, j) AS rn FROM fC)
     WHERE rn = 1),
-probes AS (
-    SELECT vec_id AS query_id, j FROM (
-        SELECT vec_id, j, row_number() OVER (
-            PARTITION BY vec_id ORDER BY f, j) AS rn FROM fC
-        WHERE vec_id < {nq})
-    WHERE rn <= {nprobe}),
-cand AS (
-    SELECT p.query_id, a.vec_id
-    FROM probes p JOIN asgC a ON a.j = p.j),
-scored AS (
-    SELECT c.query_id, c.vec_id,
-           round(list_cosine_similarity(eq.embedding::DOUBLE[],
-                                        ev.embedding::DOUBLE[]), 6)
-               AS cosine
-    FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id
-                JOIN embeddings ev ON ev.vec_id = c.vec_id)
-SELECT query_id, vec_id, cosine FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
-    FROM scored)
-WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
-""".format(T=iters, nprobe=nprobe, nq=nq)
+""".format(T=iters)
     return head + "".join(its) + tail

@@ -597,3 +597,83 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pa.Table:
         schema=COSINE_PAIR_SCHEMA,
     )
     return _sorted(t, ["a_id", "b_id"])
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (SemDeDup shape)
+# --------------------------------------------------------------------------
+
+# Same non-trivial threshold as dedup.COSINE_TAU: the synthetic embeddings
+# carry no planted near-dups (max pairwise cosine ~0.51), so 0.4 yields a
+# real duplicate set to exercise the prune.
+SEM_TAU = 0.4
+
+
+def q_semantic_dedup(sf_dir: str) -> pa.Table:
+    """SemDeDup-style semantic dedup (the Abbas et al. 2023 shape —
+    public method): cluster the embedding space with the SAME
+    integer-state k-means as :func:`q_knn_ivf` (trained on the hash-gated
+    ≤ IVF_TRAIN_MAX sample), then prune WITHIN each cluster — a row is a
+    duplicate if some lower-id cluster-mate sits at cosine ≥ SEM_TAU;
+    ``dup_of`` is the smallest such mate, NULL for keepers.
+
+    Scale shape: clustering bounds the pairwise work to O(Σ cᵢ²) instead
+    of O(N²) — the cluster count is the knob that keeps each cluster's
+    in-group cosine block worker-sized (production SemDeDup uses k ≈ 10⁴
+    on LAION-scale corpora; here k = IVF_CENTROIDS so the DuckDB oracle
+    reuses the knn_ivf k-means replay verbatim). Assignment is a
+    broadcast-state map_batches; the per-cluster prune is ONE
+    groupby(cluster).map_groups shuffle. Nothing driver-side but the
+    (sum, count) centroid state.
+
+    Output (vec_id, cluster, dup_of, is_dup) sorted by vec_id — bit-exact
+    vs the SQL oracle: integer k-means assignment (first-argmin == ORDER
+    BY f, j), raw-double cosine compare (the q_embedding_neardup
+    convention, driver-green)."""
+    n_total = read_table(sf_dir, "embeddings", columns=["vec_id"]).count()
+    stride = (n_total + IVF_TRAIN_MAX - 1) // IVF_TRAIN_MAX
+    _, M = _collect_vectors(sf_dir, stride=stride)
+    S, N = _kmeans_int(_quantize_ivf(M), IVF_CENTROIDS)
+    state_ref = ray.put((S, N))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bS, bN = ray.get(state_ref)
+        vids = _ids64(batch["vec_id"])
+        Vraw = _vec_matrix(batch["embedding"])
+        j = _ivf_dist(_quantize_ivf(Vraw), bS, bN).argmin(1)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "cluster": pa.array(j.astype(np.int64), pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def prune(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = group.take(pc.sort_indices(group["vec_id"]))
+        vids = _ids64(g["vec_id"])
+        Vn = _normalize(_vec_matrix(g["embedding"]))
+        # rows sorted by vec_id: a strict lower triangle restricts each
+        # row's mates to strictly smaller vec_ids, and argmax over the
+        # boolean row returns the FIRST hit == the smallest mate id
+        hit = np.tril(Vn @ Vn.T >= SEM_TAU, k=-1)
+        any_dup = hit.any(axis=1)
+        dup_of = np.where(any_dup, vids[hit.argmax(axis=1)], 0)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "cluster": g["cluster"],
+                "dup_of": pa.array(dup_of, pa.int64(), mask=~any_dup),
+                "is_dup": pa.array(any_dup.astype(np.int32), pa.int32()),
+            }
+        )
+
+    out = assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow"
+    )
+    return _sorted(_concat(out), "vec_id")

@@ -396,3 +396,52 @@ def test_simhash_batch_matches_scalar():
     batch = tk.simhash_batch(texts)
     scalar = [tk.simhash(t) for t in texts]
     assert batch.tolist() == scalar
+
+
+def test_semantic_dedup_matches_flat_recompute(ray_session, sf_small):
+    """The distributed SemDeDup pass (broadcast-state assignment +
+    groupby(cluster).map_groups prune) must equal a single-process flat
+    recompute over the full matrix with the same frozen kernels — this
+    pins the DISTRIBUTED plumbing (partitioning, group routing, sort)
+    independently of the DuckDB oracle."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.functions import similarity as S
+
+    out = S.q_semantic_dedup(sf_small)
+    # flat recompute
+    t = pq.read_table(
+        sf_small + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = S._ids64(t["vec_id"])
+    order = np.argsort(ids)
+    ids = ids[order]
+    M = S._vec_matrix(t["embedding"])[order]
+    n = len(ids)
+    stride = (n + S.IVF_TRAIN_MAX - 1) // S.IVF_TRAIN_MAX
+    from spider_ray.kernels.hashing import mix64_int
+
+    gate = (mix64_int(ids) % np.uint64(stride)) == 0 if stride > 1 else (
+        np.ones(n, bool)
+    )
+    Sv, Nv = S._kmeans_int(S._quantize_ivf(M[gate]), S.IVF_CENTROIDS)
+    assign = S._ivf_dist(S._quantize_ivf(M), Sv, Nv).argmin(1)
+    Mn = S._normalize(M)
+    exp_cluster, exp_dup, exp_is = [], [], []
+    for i in range(n):
+        mates = np.flatnonzero(
+            (assign == assign[i]) & (ids < ids[i])
+        )
+        cos = Mn[mates] @ Mn[i]
+        hit = mates[cos >= S.SEM_TAU]
+        exp_cluster.append(int(assign[i]))
+        exp_dup.append(int(ids[hit].min()) if len(hit) else None)
+        exp_is.append(1 if len(hit) else 0)
+    assert out["vec_id"].to_pylist() == ids.tolist()
+    assert out["cluster"].to_pylist() == exp_cluster
+    assert out["dup_of"].to_pylist() == exp_dup
+    assert out["is_dup"].to_pylist() == exp_is
+    # the threshold yields a real prune on this corpus
+    assert 0 < sum(exp_is) < n
+    # determinism
+    assert S.q_semantic_dedup(sf_small).equals(out)
