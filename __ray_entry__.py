@@ -566,6 +566,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via the SHARED k-means replay prefix; past-window on purpose
         # (strict-tool double-covered; near-dup class already in-window)
         "semantic_dedup": S.q_semantic_dedup,
+        # hard-negative mining for contrastive training (CLIP batch
+        # construction): top non-partner gallery images per benchmark
+        # caption under the frozen rounded-cosine order — SQL-oracled
+        "hard_negatives": S.q_hard_negatives,
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "langid": T.q_langid,
         "fingerprints": T.q_fingerprints,
@@ -2382,6 +2386,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_ivf": _ivf_oracle_sql(),
         "semantic_dedup": _semdedup_oracle_sql(),
+        "hard_negatives": """
+            -- hard-negative mining (similarity.q_hard_negatives): per
+            -- benchmark caption (odd vec_id, pair_id % {em} = 0), the
+            -- top {k} non-partner gallery images under the frozen
+            -- (rounded-cosine desc, vec_id asc) order
+            WITH gal AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 2 = 0 AND (vec_id // 2) % {em} = 0),
+            q AS (
+                SELECT vec_id // 2 AS pair_id, embedding FROM embeddings
+                WHERE vec_id % 2 = 1 AND (vec_id // 2) % {em} = 0),
+            scored AS (
+                SELECT q.pair_id, g.vec_id AS neg_vec_id,
+                       round(list_cosine_similarity(
+                           q.embedding::DOUBLE[],
+                           g.embedding::DOUBLE[]), 6) AS cosine
+                FROM q JOIN gal g ON g.vec_id != q.pair_id * 2)
+            SELECT pair_id, neg_vec_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY pair_id
+                    ORDER BY cosine DESC, neg_vec_id) AS rank
+                FROM scored)
+            WHERE rank <= {k} ORDER BY pair_id, rank
+        """.format(em=S.EVAL_MOD, k=S.HARD_NEG_K),
         "knn_lsh": """
             -- full replay of the integer-exact Rademacher multi-probe LSH
             -- (similarity.q_knn_lsh): adaptive bits = max(3,

@@ -53,6 +53,8 @@ QUERY_NAMES = [
     "epoch_shuffle",
     "bucket_stats",
     "bucket_balance",
+    "semantic_dedup",
+    "hard_negatives",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

@@ -459,6 +459,79 @@ def q_crossmodal_recall(sf_dir: str) -> pa.Table:
     return _sorted(out, "pair_id")
 
 
+# top non-partner gallery entries mined per benchmark caption
+HARD_NEG_K = 8
+
+
+def q_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining for contrastive training (the CLIP-style
+    batch-construction op): for every benchmark caption, the HARD_NEG_K
+    most-similar gallery IMAGES that are NOT its true partner — the
+    negatives a contrastive epoch should oversample. Same eval subset,
+    broadcast-gallery shape, and frozen (rounded-cosine desc, vec_id asc)
+    total order as :func:`q_crossmodal_recall`; ranking is one stable
+    argsort of the (B × N) rounded-cosine block per batch — ties resolve
+    to ascending gal id because the gallery columns are id-sorted.
+
+    Output (pair_id, neg_vec_id, cosine, rank 1..K) sorted by
+    (pair_id, rank); SQL-oracled bit-exact."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pick_gallery(batch: pa.Table) -> pa.Table:
+        ids = _ids64(batch["vec_id"])
+        keep = (ids % 2 == 0) & ((ids >> 1) % EVAL_MOD == 0)
+        return batch.filter(pa.array(keep))
+
+    gal = _concat(ds.map_batches(pick_gallery, batch_format="pyarrow"))
+    order = np.argsort(_ids64(gal["vec_id"]), kind="stable")
+    gal_ids = _ids64(gal["vec_id"])[order]
+    G = _normalize(_vec_matrix(gal["embedding"]))[order]
+    dim = G.shape[1]
+    g_ref = ray.put((gal_ids, G))
+    empty = pa.table(
+        {
+            "pair_id": pa.array([], pa.int64()),
+            "neg_vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+
+    def mine_batch(batch: pa.Table) -> pa.Table:
+        bg_ids, bG = ray.get(g_ref)
+        ids = _ids64(batch["vec_id"])
+        keep = (ids % 2 == 1) & ((ids >> 1) % EVAL_MOD == 0)
+        if not keep.any():
+            return empty
+        Q = _normalize(_vec_matrix(batch["embedding"], dim)[keep])
+        pid = ids[keep] >> 1
+        C6 = np.round(Q @ bG.T, 6)
+        # gallery columns are id-ascending, so a STABLE argsort of -C6
+        # along the row is exactly (cosine desc, vec_id asc)
+        idx = np.argsort(-C6, axis=1, kind="stable")[:, : HARD_NEG_K + 1]
+        cand_ids = bg_ids[idx]  # (B, K+1)
+        not_partner = cand_ids != (pid * 2)[:, None]
+        # keep the first K non-partner columns per row
+        col_rank = np.cumsum(not_partner, axis=1)
+        take = not_partner & (col_rank <= HARD_NEG_K)
+        ri, ci = np.nonzero(take)
+        return pa.table(
+            {
+                "pair_id": pa.array(pid[ri], pa.int64()),
+                "neg_vec_id": pa.array(cand_ids[ri, ci], pa.int64()),
+                "cosine": pa.array(
+                    C6[ri, idx[ri, ci]], pa.float64()
+                ),
+                "rank": pa.array(col_rank[ri, ci], pa.int64()),
+            }
+        )
+
+    out = _concat(
+        ds.map_batches(mine_batch, batch_format="pyarrow"), schema=empty.schema
+    )
+    return _sorted(out, ["pair_id", "rank"])
+
+
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()

@@ -445,3 +445,38 @@ def test_semantic_dedup_matches_flat_recompute(ray_session, sf_small):
     assert 0 < sum(exp_is) < n
     # determinism
     assert S.q_semantic_dedup(sf_small).equals(out)
+
+
+def test_hard_negatives_invariants(ray_session, sf_small):
+    """Partner exclusion, rank contiguity, frozen-order consistency with
+    crossmodal_recall's gallery, and determinism."""
+    import polars as pl
+
+    from spider_ray.functions import similarity as S
+
+    out = pl.from_arrow(S.q_hard_negatives(sf_small))
+    assert out.height > 0
+    # never the true partner; negatives are gallery members (even, gated)
+    assert (out["neg_vec_id"] != out["pair_id"] * 2).all()
+    assert (out["neg_vec_id"] % 2 == 0).all()
+    assert ((out["neg_vec_id"] // 2) % S.EVAL_MOD == 0).all()
+    # per-pair ranks are exactly 1..K and cosine is non-increasing in rank
+    per = out.group_by("pair_id").agg(
+        pl.col("rank").sort().alias("ranks"),
+        pl.col("cosine").sort_by("rank").alias("cs"),
+    )
+    for ranks, cs in zip(per["ranks"].to_list(), per["cs"].to_list()):
+        assert ranks == list(range(1, S.HARD_NEG_K + 1))
+        assert all(a >= b for a, b in zip(cs, cs[1:]))
+    # every benchmark caption is mined
+    n_pairs = out["pair_id"].n_unique()
+    import pyarrow.parquet as pq
+
+    ids = S._ids64(
+        pq.read_table(sf_small + "/embeddings.parquet", columns=["vec_id"])[
+            "vec_id"
+        ]
+    )
+    expected = int((((ids % 2 == 1) & ((ids >> 1) % S.EVAL_MOD == 0)).sum()))
+    assert n_pairs == expected
+    assert S.q_hard_negatives(sf_small).equals(S.q_hard_negatives(sf_small))
