@@ -438,3 +438,93 @@ def q_vocab_oov(sf_dir: str) -> pa.Table:
 
     out = ds.map_batches(oov, batch_format="pyarrow")
     return _sorted(_concat(out), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance scoring (the index-model "importance" analog)
+# --------------------------------------------------------------------------
+
+# Frozen query-term set (all present in the synthetic vocabulary) and the
+# standard Robertson parameters. The reference scheduler consumes a per-task
+# ``importance`` fed by an index model (general_crawler/scheduler.cc:218,
+# task_data.h importance field; the model library itself is descoped) —
+# BM25 is the canonical such index-model relevance score, computed here
+# corpus-wide in two distributed passes.
+BM25_TERMS = ("data", "join", "merge", "sort", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_scores(sf_dir: str) -> pa.Table:
+    """Corpus-wide BM25 score of every document against the frozen
+    BM25_TERMS query — two passes:
+
+    pass 1 (bounded-key): per-block partials of (n_docs, Σdl, df_t per
+    term) — O(|terms|) numbers per block — combined on the driver into
+    N / avgdl / idf_t scalars (exact int64 sums; ONE double division for
+    avgdl). pass 2: per-block vectorized tf counting (polars list
+    count_matches over whitespace tokens) and the BM25 sum, terms
+    accumulated in frozen order.
+
+    Bit-exact SQL replay: every float expression is written with
+    IDENTICAL literals, operand order and associativity in both engines
+    ((K1 + 1.0) — NOT the constant 2.2, whose double differs from the
+    sum); the only libm call is ln() (same glibc on both), and the final
+    score is rounded to 6 dp (the cosine convention) as the last guard.
+    Output (doc_id, dl, bm25) sorted by doc_id."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            tk_=pl.col("text").str.split(" ")
+        )
+        counts = df.select(
+            n=pl.len(),
+            sdl=pl.col("tk_").list.len().sum(),
+            **{
+                f"df{i}": (pl.col("tk_").list.count_matches(t) > 0).sum()
+                for i, t in enumerate(BM25_TERMS)
+            },
+        )
+        return counts.to_arrow()
+
+    stats = _concat(
+        ds.map_batches(partial, batch_format="pyarrow")
+    ).to_pandas()
+    n_docs = int(stats["n"].sum())
+    sum_dl = int(stats["sdl"].sum())
+    dfs = [int(stats[f"df{i}"].sum()) for i in range(len(BM25_TERMS))]
+    avgdl = float(sum_dl) / float(n_docs)
+    idfs = [
+        float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)) for df in dfs
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            tk_=pl.col("text").str.split(" ")
+        )
+        dl = df["tk_"].list.len().to_numpy().astype(np.int64)
+        dlf = dl.astype(np.float64)
+        # the document-length normalizer, frozen associativity:
+        # K1 * (1.0 - B + B * (dl / avgdl))
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dlf / avgdl))
+        total = np.zeros(len(dl), np.float64)
+        for i, t in enumerate(BM25_TERMS):
+            tf = df["tk_"].list.count_matches(t).to_numpy().astype(
+                np.float64
+            )
+            # idf * (tf * (K1 + 1.0)) / (tf + norm), summed in term order
+            total = total + idfs[i] * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dl": pa.array(dl, pa.int64()),
+                "bm25": pa.array(np.round(total, 6), pa.float64()),
+            }
+        )
+
+    return _sorted(
+        _concat(ds.map_batches(score, batch_format="pyarrow")), "doc_id"
+    )
