@@ -573,6 +573,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": D.q_ngram_jaccard_pairs,
         "langid": T.q_langid,
         "fingerprints": T.q_fingerprints,
+        # BM25 relevance of every doc against the frozen term set — the
+        # index-model "importance" analog (scheduler.cc:218); SQL-oracled
+        # bit-exact (frozen literals/associativity + round-6 guard)
+        "bm25_scores": T.q_bm25_scores,
     }
     return q
 
@@ -2142,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, cents / 100.0 AS weight, b::INTEGER AS bin
             FROM walk ORDER BY o_custkey
         """,
+        "bm25_scores": _bm25_oracle_sql(),
         "langid": r"""
             -- the stopword-count heuristic replayed exactly: per-language
             -- token hits via list_filter, first-wins argmax in _STOPWORDS
@@ -2521,6 +2526,50 @@ _NGRAM_PAIRS_SQL = r"""
     WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
     ORDER BY a_id, b_id
 """
+
+
+def _bm25_oracle_sql() -> str:
+    """Replay of text.q_bm25_scores with IDENTICAL float expressions:
+    same literals (K1 as (1.2 + 1.0), never the constant 2.2 — a
+    DIFFERENT double), same associativity, term parts summed left-to-
+    right in BM25_TERMS order, round-6 final guard. df/Σdl/N are exact
+    integer aggregates on both engines; ln() is the shared glibc."""
+    terms = T.BM25_TERMS
+    tf_cols = ",\n                   ".join(
+        "CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT)"
+        " AS tf{i}".format(t=t, i=i)
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n                   ".join(
+        "CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS df{i}".format(i=i)
+        for i in range(len(terms))
+    )
+    parts = "\n                 + ".join(
+        "ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0)"
+        " * (p.tf{i} * (1.2 + 1.0))"
+        " / (p.tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / s.avgdl)))"
+        .format(i=i)
+        for i in range(len(terms))
+    )
+    return """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents),
+            per AS (
+                SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                   {tf_cols}
+                FROM toks),
+            stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avgdl,
+                   {df_cols}
+                FROM per)
+            SELECT p.doc_id, p.dl,
+                   round({parts}, 6) AS bm25
+            FROM per p, stats s ORDER BY p.doc_id
+    """.format(tf_cols=tf_cols, df_cols=df_cols, parts=parts)
 
 
 def _ivf_oracle_sql() -> str:

@@ -102,3 +102,40 @@ def test_vocab_oov_testdata_vs_duckdb(ray_session):
         np.testing.assert_array_equal(
             out[c].to_numpy(), orc[c].to_numpy(), err_msg=c
         )
+
+
+def test_bm25_scores_flat_recompute(ray_session, sf_small):
+    """Distributed two-pass BM25 equals a single-process recompute with
+    the same frozen expressions (pins the pass-1 partial combine and the
+    pass-2 scoring independently of the DuckDB oracle)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spider_ray.functions import text as T
+
+    out = T.q_bm25_scores(sf_small)
+    t = pq.read_table(
+        sf_small + "/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = sorted(
+        zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    )
+    toks = [d[1].split(" ") for d in docs]
+    dls = np.array([len(x) for x in toks], np.int64)
+    n, avgdl = len(docs), float(int(dls.sum())) / float(len(docs))
+    score = np.zeros(n, np.float64)
+    norm = T.BM25_K1 * (
+        1.0 - T.BM25_B + T.BM25_B * (dls.astype(np.float64) / avgdl)
+    )
+    for term in T.BM25_TERMS:
+        tf = np.array([tk.count(term) for tk in toks], np.float64)
+        df = int((tf > 0).sum())
+        idf = float(np.log((n - df + 0.5) / (df + 0.5) + 1.0))
+        score = score + idf * (tf * (T.BM25_K1 + 1.0)) / (tf + norm)
+    assert out["doc_id"].to_pylist() == [d[0] for d in docs]
+    assert out["dl"].to_pylist() == dls.tolist()
+    assert out["bm25"].to_pylist() == np.round(score, 6).tolist()
+    # every term actually occurs in the corpus (the query is non-trivial)
+    assert all(
+        any(term in tk for tk in toks) for term in T.BM25_TERMS
+    )
