@@ -248,6 +248,17 @@ def _link_rank_query(sf_dir: str) -> Any:
     return q_link_rank("/tmp/spider_ray_phash_corpus")
 
 
+def _connected_components_query(sf_dir: str) -> Any:
+    """Undirected connected components over the demo corpus' outlink
+    graph by distributed hash-min label propagation to fixpoint —
+    SQL-oracled (order-free fixpoint = min node per component, replayed
+    by a recursive-CTE transitive closure)."""
+    from spider_ray.functions.webgraph import q_connected_components
+
+    _images_store(sf_dir)
+    return q_connected_components("/tmp/spider_ray_phash_corpus")
+
+
 def _image_filter_query(sf_dir: str) -> Any:
     """LAION-style metadata/caption/payload gate with per-reason reject
     bitmask over the input_hint image table (SQL-oracled bit-exact)."""
@@ -577,6 +588,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index-model "importance" analog (scheduler.cc:218); SQL-oracled
         # bit-exact (frozen literals/associativity + round-6 guard)
         "bm25_scores": T.q_bm25_scores,
+        # distributed undirected connected components (hash-min label
+        # propagation to fixpoint) over the demo corpus outlink graph —
+        # the scale form of dup_clusters' driver-side union-find
+        "connected_components": _connected_components_query,
     }
     return q
 
@@ -2147,6 +2162,25 @@ def oracle_sql() -> dict[str, str]:
             FROM walk ORDER BY o_custkey
         """,
         "bm25_scores": _bm25_oracle_sql(),
+        "connected_components": f"""
+            -- undirected CC: the engine's hash-min label-propagation
+            -- FIXPOINT is schedule-independent (min node id reachable),
+            -- so the oracle is a recursive-CTE transitive closure +
+            -- min(label) — no round replay needed
+            WITH RECURSIVE
+            e0 AS (SELECT url AS a, u.l.url AS b
+                   FROM (SELECT url, unnest(outlinks) AS l
+                         FROM '{wg_path}') u),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            reach(node, label) AS (
+                SELECT url, url FROM '{wg_path}'
+                UNION
+                SELECT e.b, r.label
+                FROM reach r JOIN edges e ON e.a = r.node
+            )
+            SELECT node AS url, min(label) AS component
+            FROM reach GROUP BY node ORDER BY url
+        """,
         "langid": r"""
             -- the stopword-count heuristic replayed exactly: per-language
             -- token hits via list_filter, first-wins argmax in _STOPWORDS

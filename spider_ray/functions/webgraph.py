@@ -444,3 +444,164 @@ def q_link_rank(corpus: str) -> pa.Table:
         batch_format="pyarrow",
     )
     return _sorted(_concat(out), "url")
+
+
+# --------------------------------------------------------------------------
+# connected_components
+# --------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 64  # backstop only; convergence is diameter-bounded
+_CC_PARTS = 32
+
+
+def q_connected_components(corpus: str) -> pa.Table:
+    """Undirected connected components over the outlink graph — the graph
+    pass behind duplicate-cluster resolution and host-community grouping
+    (dedup.q_dup_clusters resolves its SPARSE pair graph driver-side;
+    this is the distributed form for graphs too big for one node).
+
+    Hash-min label propagation to FIXPOINT: label(v) starts at v (the
+    URL string) and every round takes the min over v's own label and its
+    neighbors' labels — one hash-join of labels onto the symmetrized
+    edge table + a partition-cogroup min per round, state materialized
+    via :func:`_compact` (the resolve_pointers shape). The fixpoint is
+    the min node id of v's component, INDEPENDENT of iteration schedule
+    — so the DuckDB oracle needs no round replay, just the recursive-CTE
+    transitive closure's ``min(label) GROUP BY node``.
+
+    Convergence detection is one tiny aggregate per round — the sum of
+    mix64(node-hash XOR label-hash) over all rows (changes with any
+    label w.h.p.; a missed change is a ~2⁻⁶⁴ event and only affects
+    round COUNT, not the already-converged labels). Scale: per round the
+    edge table moves once through the join and label rows once through
+    the min-cogroup; rounds ≈ graph diameter (web graphs: small). Skewed
+    high-degree nodes cost join fan-out, not cogroup skew — labels are
+    one row per node."""
+    wg = _read_web_graph(corpus, ["url", "outlinks"])
+
+    def sym(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .explode("outlinks")
+            .drop_nulls("outlinks")
+            .select(
+                a=pl.col("url"), b=pl.col("outlinks").struct.field("url")
+            )
+        )
+        both = pl.concat([df, df.select(a=pl.col("b"), b=pl.col("a"))])
+        return both.to_arrow().cast(
+            pa.schema([("a", pa.string()), ("b", pa.string())])
+        )
+
+    edges = _compact(wg.map_batches(sym, batch_format="pyarrow"))
+    lbl_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+    def init(t: pa.Table) -> pa.Table:
+        # isolated pages (no in/outlinks) still get a row: nodes = urls
+        return pa.table({"node": t["url"], "label": t["url"]})
+
+    labels = _compact(
+        wg.select_columns(["url"]).map_batches(init, batch_format="pyarrow")
+    )
+    parts = max(labels.num_blocks(), edges.num_blocks())
+    edge_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    from spider_ray.functions.dedup import _hash_join
+    from spider_ray.kernels.hashing import SEED
+
+    def signature(ds: ray.data.Dataset) -> int:
+        def sig(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t).select(
+                hn=pl.col("node").hash(seed=SEED),
+                hl=pl.col("label").hash(seed=SEED),
+            )
+            h = np.bitwise_xor(
+                df["hn"].to_numpy().astype(np.uint64),
+                df["hl"].to_numpy().astype(np.uint64),
+            )
+            acc = (
+                np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+            )
+            return pa.table({"s": pa.array([int(acc)], pa.uint64())})
+
+        parts_t = _concat(ds.map_batches(sig, batch_format="pyarrow"))
+        if parts_t.num_rows == 0:
+            return 0
+        return int(
+            np.bitwise_xor.reduce(
+                parts_t["s"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        )
+
+    def min_cogroup(group: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(group)
+            .group_by("node")
+            .agg(pl.col("label").min())
+            .to_arrow()
+            .cast(lbl_schema)
+        )
+
+    def pad():
+        def f(t: pa.Table) -> pa.Table:
+            part = (
+                pl.from_arrow(t.select(["node"]))
+                .select(
+                    (pl.col("node").hash(seed=SEED) % _CC_PARTS).cast(
+                        pl.Int32
+                    )
+                )
+                .to_series()
+                .to_numpy()
+            )
+            return pa.table(
+                {
+                    "__part": pa.array(part, pa.int32()),
+                    "node": t["node"],
+                    "label": t["label"],
+                }
+            )
+
+        return f
+
+    prev_sig = signature(labels)
+    for _ in range(CC_MAX_ROUNDS):
+        j = _hash_join(
+            edges, labels, on="a", right_on="node",
+            left_schema=edge_schema, right_schema=lbl_schema,
+        )
+
+        def msg(t: pa.Table) -> pa.Table:
+            # in-block combiner: min label per destination before the
+            # distributed min
+            return (
+                pl.from_arrow(t.select(["b", "label"]))
+                .rename({"b": "node"})
+                .group_by("node")
+                .agg(pl.col("label").min())
+                .to_arrow()
+                .cast(lbl_schema)
+            )
+
+        new_labels = (
+            j.map_batches(msg, batch_format="pyarrow")
+            .union(labels)
+            .map_batches(pad(), batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(min_cogroup, batch_format="pyarrow")
+            .repartition(parts)
+            .materialize()
+        )
+        sig_now = signature(new_labels)
+        labels = new_labels
+        if sig_now == prev_sig:
+            break
+        prev_sig = sig_now
+    else:  # pragma: no cover - diameter would have to exceed 64
+        raise RuntimeError("connected_components: no fixpoint in 64 rounds")
+
+    out = labels.map_batches(
+        lambda t: pa.table({"url": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+    return _sorted(_concat(out), "url")

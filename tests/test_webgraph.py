@@ -129,3 +129,47 @@ def test_crossmodal_recall_matches_bruteforce(ray_session, sf_small):
         assert rank == ref[pid]
         for k in (1, 5, 10):
             assert got[f"hit{k}"][i].as_py() == int(rank <= k)
+
+
+def test_connected_components_matches_union_find(graph_corpus):
+    """Distributed hash-min CC equals a single-process union-find over the
+    same symmetrized edge set (labels = min url per component), and every
+    component label is a member of its own component."""
+    from spider_ray.functions.webgraph import q_connected_components
+
+    out = q_connected_components(graph_corpus)
+
+    wg = pq.read_table(
+        graph_corpus + "/web_graph.parquet", columns=["url", "outlinks"]
+    )
+    urls = wg["url"].to_pylist()
+    parent = {u: u for u in urls}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for u, links in zip(urls, wg["outlinks"].to_pylist()):
+        for l in links or []:
+            union(u, l["url"])
+    comp = {}
+    for u in urls:
+        comp.setdefault(find(u), []).append(u)
+    expected = {}
+    for members in comp.values():
+        m = min(members)
+        for u in members:
+            expected[u] = m
+
+    got = dict(zip(out["url"].to_pylist(), out["component"].to_pylist()))
+    assert got == expected
+    labels = set(got.values())
+    assert all(got[l] == l for l in labels)  # label is its own rep
+    assert len(labels) >= 1
