@@ -592,6 +592,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # propagation to fixpoint) over the demo corpus outlink graph —
         # the scale form of dup_clusters' driver-side union-find
         "connected_components": _connected_components_query,
+        # crawler-trap detection: per-host URL-shape explosion stats +
+        # trap flag over a deterministic synthesized URL workload —
+        # SQL-oracled (integer rules, shared construction)
+        "trap_hosts": U.q_trap_hosts,
     }
     return q
 
@@ -2162,6 +2166,42 @@ def oracle_sql() -> dict[str, str]:
             FROM walk ORDER BY o_custkey
         """,
         "bm25_scores": _bm25_oracle_sql(),
+        "trap_hosts": """
+            -- crawler-trap detection (urls.q_trap_hosts): the same
+            -- deterministic URL construction, then string-level
+            -- analysis (regex host, '/'-count depth, '?' detection) and
+            -- integer trap rules (4*n_query >= 3*n_urls OR depth >= 8)
+            WITH u AS (
+                SELECT 'http://h' || CAST(user_id % 50 AS VARCHAR)
+                       || '.example/'
+                       || repeat('s/', CAST(
+                              CASE WHEN (user_id % 50) % 7 = 0
+                                   THEN event_id % 11
+                                   ELSE event_id % 4 END AS INTEGER))
+                       || 'p'
+                       || CASE WHEN event_id % 3 = 0
+                               OR ((user_id % 50) % 5 = 1
+                                   AND event_id % 4 != 3)
+                          THEN '?sid=' || CAST(event_id % 7 AS VARCHAR)
+                          ELSE '' END AS url
+                FROM events),
+            parsed AS (
+                SELECT regexp_extract(url, '^https?://([^/?]+)', 1)
+                           AS host,
+                       CAST(length(url) - length(replace(url, '/', ''))
+                            AS BIGINT) - 2 AS depth,
+                       CASE WHEN position('?' IN url) > 0
+                            THEN 1 ELSE 0 END AS has_q
+                FROM u)
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(sum(has_q) AS BIGINT) AS n_query,
+                   max(depth) AS max_depth,
+                   CAST(CASE WHEN 4 * sum(has_q) >= 3 * count(*)
+                             OR max(depth) >= 8
+                        THEN 1 ELSE 0 END AS INTEGER) AS trap
+            FROM parsed GROUP BY host ORDER BY host
+        """,
         "connected_components": f"""
             -- undirected CC: the engine's hash-min label-propagation
             -- FIXPOINT is schedule-independent (min node id reachable),

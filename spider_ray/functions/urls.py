@@ -177,3 +177,118 @@ def q_ip_url_split(sf_dir: str) -> pa.Table:
         _concat(tagged.map_batches(project, batch_format="pyarrow")),
         "doc_id",
     )
+
+
+# --------------------------------------------------------------------------
+# crawler-trap detection
+# --------------------------------------------------------------------------
+
+TRAP_HOST_MOD = 50  # synthetic workload: 50 hosts
+TRAP_MAX_DEPTH = 8  # a host whose deepest URL reaches this is a trap
+# query-ratio rule: 4 * n_query >= 3 * n_urls (75%+ parameterized URLs)
+TRAP_Q_NUM, TRAP_Q_DEN = 4, 3
+
+
+def q_trap_hosts(sf_dir: str) -> pa.Table:
+    """Crawler-trap detection: per-host URL-shape statistics that flag
+    hosts whose URL space is exploding — the signal a frontier scheduler
+    uses to throttle calendar/session-id/infinite-path traps before they
+    eat the crawl budget (the batch analog of the reference's per-host
+    load/depth guards: M3 depth caps + M9's depth≤2 emission policy).
+
+    Deterministic URL workload synthesized per event row (construction
+    replicated verbatim in the SQL oracle, the q_url_canonicalize
+    pattern), then ANALYZED as strings with the real kernels: host via
+    regex, path depth via '/'-counting, parameterization via '?'
+    detection. Per-host aggregate: n_urls / n_query / max_depth, trap =
+    75%+ parameterized OR max_depth ≥ TRAP_MAX_DEPTH — all integer
+    arithmetic. Per-block polars partials (bounded by hosts-per-block)
+    → native distributed groupby merge; output O(hosts), sorted."""
+    import polars as pl
+    import ray
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    seg = {i: "s/" * i for i in range(11)}
+    # host-correlated workload (otherwise every host's max depth
+    # saturates and the flag is degenerate): hosts ≡0 (mod 7) grow deep
+    # calendar-style paths; hosts ≡1 (mod 5) parameterize ~3/4 of their
+    # URLs (session-id trap); everything else stays shallow
+
+    def build_and_parse(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            hid=pl.col("user_id") % TRAP_HOST_MOD,
+        ).with_columns(
+            url=(
+                pl.lit("http://h")
+                + pl.col("hid").cast(pl.String)
+                + pl.lit(".example/")
+                + pl.when(pl.col("hid") % 7 == 0)
+                .then(pl.col("event_id") % 11)
+                .otherwise(pl.col("event_id") % 4)
+                .replace_strict(seg, return_dtype=pl.String)
+                + pl.lit("p")
+                + pl.when(
+                    (pl.col("event_id") % 3 == 0)
+                    | (
+                        (pl.col("hid") % 5 == 1)
+                        & (pl.col("event_id") % 4 != 3)
+                    )
+                )
+                .then(
+                    pl.lit("?sid=")
+                    + (pl.col("event_id") % 7).cast(pl.String)
+                )
+                .otherwise(pl.lit(""))
+            )
+        )
+        # analysis uses only the STRING — the workload columns never
+        # leak into the statistics
+        parsed = df.select(
+            host=pl.col("url").str.extract(r"^https?://([^/?]+)", 1),
+            depth=pl.col("url")
+            .str.count_matches("/", literal=True)
+            .cast(pl.Int64)
+            - 2,
+            has_q=pl.col("url")
+            .str.contains("?", literal=True)
+            .cast(pl.Int64),
+        )
+        part = parsed.group_by("host").agg(
+            n_urls=pl.len().cast(pl.Int64),
+            n_query=pl.col("has_q").sum(),
+            max_depth=pl.col("depth").max(),
+        )
+        return part.to_arrow()
+
+    parts = ds.map_batches(build_and_parse, batch_format="pyarrow")
+    merged = parts.groupby("host").aggregate(
+        ray.data.aggregate.Sum("n_urls", alias_name="n_urls"),
+        ray.data.aggregate.Sum("n_query", alias_name="n_query"),
+        ray.data.aggregate.Max("max_depth", alias_name="max_depth"),
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            trap=(
+                (
+                    TRAP_Q_NUM * pl.col("n_query")
+                    >= TRAP_Q_DEN * pl.col("n_urls")
+                )
+                | (pl.col("max_depth") >= TRAP_MAX_DEPTH)
+            ).cast(pl.Int32)
+        )
+        return df.to_arrow().cast(
+            pa.schema(
+                [
+                    ("host", pa.string()),
+                    ("n_urls", pa.int64()),
+                    ("n_query", pa.int64()),
+                    ("max_depth", pa.int64()),
+                    ("trap", pa.int32()),
+                ]
+            )
+        )
+
+    return _sorted(
+        _concat(merged.map_batches(flag, batch_format="pyarrow")), "host"
+    )

@@ -155,3 +155,25 @@ def test_canonicalize_parts_columns_consistent_with_canon():
         assert host == m.group(2)
         assert path == m.group(4)
         assert query == m.group(5)
+
+
+def test_trap_hosts_rules(ray_session, sf_small):
+    """Trap flag must equal the integer rules applied to the aggregated
+    stats, the workload must be non-degenerate (both flag values
+    present at sf0.01-like host counts is data-dependent; here assert
+    rule consistency + determinism + host coverage)."""
+    import polars as pl
+
+    from spider_ray.functions import urls as U
+
+    out = pl.from_arrow(U.q_trap_hosts(sf_small))
+    assert out.height > 0
+    expect = (
+        (U.TRAP_Q_NUM * out["n_query"] >= U.TRAP_Q_DEN * out["n_urls"])
+        | (out["max_depth"] >= U.TRAP_MAX_DEPTH)
+    ).cast(pl.Int32)
+    assert (out["trap"] == expect).all()
+    assert (out["n_query"] <= out["n_urls"]).all()
+    assert (out["max_depth"] >= 0).all()
+    assert out["host"].str.starts_with("h").all()
+    assert U.q_trap_hosts(sf_small).equals(U.q_trap_hosts(sf_small))
