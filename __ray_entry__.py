@@ -596,6 +596,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trap flag over a deterministic synthesized URL workload —
         # SQL-oracled (integer rules, shared construction)
         "trap_hosts": U.q_trap_hosts,
+        # bounded-memory approximate per-group quantiles via the
+        # deterministic hash-gated sample sketch — SQL-oracled EXACTLY
+        # (the gate replays; no error-band hand-waving)
+        "approx_quantiles": K.q_approx_quantiles,
     }
     return q
 
@@ -2166,6 +2170,37 @@ def oracle_sql() -> dict[str, str]:
             FROM walk ORDER BY o_custkey
         """,
         "bm25_scores": _bm25_oracle_sql(),
+        "approx_quantiles": """
+            -- exact replay of the hash-gated sample sketch
+            -- (sketch.q_approx_quantiles): mix64(event_id, {seed}) %
+            -- stride == 0 gate, then DuckDB's quantile_disc (the same
+            -- ceil(q*n)-1 selector as the engine, verified by the
+            -- quantiles oracle)
+            WITH par AS (
+                SELECT greatest(1, (count(*) + {tm1}) // {target})
+                    AS stride FROM events),
+            s1 AS (
+                SELECT event_id, event_type, value,
+                       CAST((CAST(event_id AS HUGEINT) * 2654435761
+                             + {seed})
+                            % 18446744073709551616 AS UBIGINT) AS u
+                FROM events),
+            s2 AS (SELECT event_id, event_type, value,
+                          xor(u, u >> 29) AS u FROM s1),
+            s3 AS (SELECT event_id, event_type, value,
+                          CAST((CAST(u AS HUGEINT) * 2246822519)
+                               % 18446744073709551616 AS UBIGINT) AS u
+                   FROM s2),
+            s4 AS (SELECT event_type, value, xor(u, u >> 32) AS u FROM s3),
+            samp AS (
+                SELECT event_type, value FROM s4
+                WHERE u % (SELECT stride FROM par) = 0)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_sample,
+                   quantile_disc(value, 0.5) AS median_est,
+                   quantile_disc(value, 0.95) AS p95_est
+            FROM samp GROUP BY event_type ORDER BY event_type
+        """.format(seed=K.AQ_SEED, target=K.AQ_TARGET, tm1=K.AQ_TARGET - 1),
         "trap_hosts": """
             -- crawler-trap detection (urls.q_trap_hosts): the same
             -- deterministic URL construction, then string-level

@@ -301,3 +301,79 @@ def q_bloom_anti_join(sf_dir: str) -> pa.Table:
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+# --------------------------------------------------------------------------
+# approximate quantiles (deterministic hash-gated sample sketch)
+# --------------------------------------------------------------------------
+
+AQ_SEED = 20260822
+# bounded sample per job: stride = ceil(n / AQ_TARGET) caps the collected
+# sample regardless of corpus size (the IVF training-gate discipline)
+AQ_TARGET = 100_000
+
+
+def q_approx_quantiles(sf_dir: str) -> pa.Table:
+    """Approximate per-group quantiles at BOUNDED memory: a deterministic
+    hash-gated uniform sample (keep rows with mix64(event_id, AQ_SEED) %
+    stride == 0, stride = ceil(n/AQ_TARGET)) feeds the exact discrete-
+    quantile selector per group. Mergeable by construction — the sample
+    union of two shards is the sample of their union (same gate) — and,
+    unlike a randomized KLL, every kept row is a pure function of its id,
+    so the DuckDB oracle replays the sketch EXACTLY instead of asserting
+    an error band. Sampling error (~1/√(n/stride) quantile displacement)
+    is pytest-bounded separately at a forced-small AQ_TARGET.
+
+    Scale: the gate is one vectorized filter per block (only ~AQ_TARGET
+    rows total survive to the shuffle); the per-group final is the
+    q_quantiles map_groups selector. Output (event_type, n_sample,
+    median_est, p95_est) sorted by group."""
+    import math as _math
+
+    import polars as pl
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    n_total = read_table(sf_dir, "events", columns=["event_id"]).count()
+    stride = max(1, -(-n_total // AQ_TARGET))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (mix64_int(ids, AQ_SEED) % np.uint64(stride)) == 0
+        return batch.filter(pa.array(keep)).select(
+            ["event_type", "value"]
+        )
+
+    def quant(group: pa.Table) -> pa.Table:
+        v = (
+            pc.cast(group["value"], pa.float64())
+            .to_numpy(zero_copy_only=False)
+            .copy()
+        )
+        v.sort()
+        n = len(v)
+
+        def disc(q: float) -> float:
+            return float(v[max(0, _math.ceil(q * n) - 1)])
+
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group["event_type"][0].as_py()], pa.string()
+                ),
+                "n_sample": pa.array([n], pa.int64()),
+                "median_est": pa.array([disc(0.5)], pa.float64()),
+                "p95_est": pa.array([disc(0.95)], pa.float64()),
+            }
+        )
+
+    from spider_ray.pipelines.relational import _concat, _sorted
+
+    out = (
+        ds.map_batches(gate, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(quant, batch_format="pyarrow")
+    )
+    return _sorted(_concat(out), "event_type")

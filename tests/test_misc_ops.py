@@ -322,3 +322,39 @@ def test_partial_final_agg_empty_input(ray_session):
     )
     assert out.num_rows == 0
     assert out.schema.names == ["k", "s"]
+
+
+def test_approx_quantiles_error_bound(ray_session, sf_mid, monkeypatch):
+    """Force a real subsample (AQ_TARGET=500 at 5000 events → stride 10)
+    and bound the estimate's RANK displacement vs the exact quantile:
+    the estimated median/p95 must sit within ±15 percentage points of
+    its target rank in the full per-group distribution. Also pins
+    determinism and the n_sample ≈ n/stride shape."""
+    import numpy as np
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from spider_ray.functions import sketch as K
+
+    monkeypatch.setattr(K, "AQ_TARGET", 500)
+    out = pl.from_arrow(K.q_approx_quantiles(sf_mid))
+    assert out.height > 0
+    full = pl.from_arrow(
+        pq.read_table(
+            sf_mid + "/events.parquet", columns=["event_type", "value"]
+        )
+    )
+    for row in out.iter_rows(named=True):
+        vals = np.sort(
+            full.filter(pl.col("event_type") == row["event_type"])[
+                "value"
+            ].to_numpy()
+        )
+        n = len(vals)
+        for est, q in ((row["median_est"], 0.5), (row["p95_est"], 0.95)):
+            rank = np.searchsorted(vals, est) / n
+            assert abs(rank - q) < 0.15, (row["event_type"], q, rank)
+        # sample is a real subsample, not the full group
+        assert 0 < row["n_sample"] < n
+    again = pl.from_arrow(K.q_approx_quantiles(sf_mid))
+    assert again.equals(out)
