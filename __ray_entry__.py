@@ -600,6 +600,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic hash-gated sample sketch — SQL-oracled EXACTLY
         # (the gate replays; no error-band hand-waving)
         "approx_quantiles": K.q_approx_quantiles,
+        # frozen-weight quality classifier (batched model-inference
+        # shape: broadcast weights, vectorized per-batch dot) —
+        # SQL-oracled bit-exact via exact-binary-fraction weights
+        "quality_logit": T.q_quality_logit,
     }
     return q
 
@@ -2170,6 +2174,33 @@ def oracle_sql() -> dict[str, str]:
             FROM walk ORDER BY o_custkey
         """,
         "bm25_scores": _bm25_oracle_sql(),
+        "quality_logit": """
+            -- frozen linear quality model (text.q_quality_logit): the
+            -- float decision multiplied through by 256*n_chars -- pure
+            -- int64 on both engines, agreement by construction
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(len(regexp_extract_all(text, '\\S+'))
+                           AS BIGINT) AS n_tokens,
+                       CAST(len(regexp_extract_all(text,
+                           '[!-/:-@\\[-`{{-~]')) AS BIGINT) AS n_punct,
+                       CAST(len(regexp_extract_all(text, '[0-9]'))
+                           AS BIGINT) AS n_digit
+                FROM documents),
+            lg AS (
+                SELECT doc_id,
+                       {wtnc} * n_tokens * n_chars
+                       + ({wnc}) * n_chars
+                       + ({wp}) * n_punct
+                       + ({wd}) * n_digit AS score
+                FROM f)
+            SELECT doc_id, score,
+                   CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END
+                       AS INTEGER) AS keep
+            FROM lg ORDER BY doc_id
+        """.format(wtnc=T.QL_W_TOK_NC, wnc=T.QL_W_NC, wp=T.QL_W_PUNCT,
+                   wd=T.QL_W_DIGIT),
         "approx_quantiles": """
             -- exact replay of the hash-gated sample sketch
             -- (sketch.q_approx_quantiles): mix64(event_id, {seed}) %

@@ -528,3 +528,70 @@ def q_bm25_scores(sf_dir: str) -> pa.Table:
     return _sorted(
         _concat(ds.map_batches(score, batch_format="pyarrow")), "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# frozen-weight quality classifier gate (model-scoring filter shape)
+# --------------------------------------------------------------------------
+
+# Frozen linear model over the q_quality_scores features — the
+# "worthless-page classifier" (M13 analog) as an actual scoring stage:
+# weights broadcast once, batched inference inside map_batches. The
+# float form (-0.5 + (2/256)*n_tokens - 2*punct_ratio - 1.5*digit_ratio
+# >= 0) is evaluated EXACTLY by multiplying the decision through by
+# 256*n_chars (> 0): score = 2*n_tokens*n_chars - 128*n_chars
+# - 512*n_punct - 384*n_digit, keep = score >= 0 — pure int64, no float
+# anywhere, so engine/SQL agreement is by construction (a round-6 float
+# logit hit the banker's-vs-half-away divergence on EXACT half-grid
+# values; integers have no grid).
+QL_W_TOK_NC = 2     # 2 * n_tokens * n_chars
+QL_W_NC = -128      # -128 * n_chars            (the -0.5 bias * 256)
+QL_W_PUNCT = -512   # -512 * n_punct            (-2 * punct_ratio * 256*nc)
+QL_W_DIGIT = -384   # -384 * n_digit            (-1.5 * digit_ratio * 256*nc)
+
+
+def q_quality_logit(sf_dir: str) -> pa.Table:
+    """Model-scored quality gate in EXACT integer arithmetic: the frozen
+    linear classifier's decision, scaled by 256*n_chars (see the weight
+    block above) — the batched-model-inference shape (weights broadcast,
+    per-batch vectorized dot) whose SQL replay is exact by construction.
+    Output (doc_id, score, keep) sorted by doc_id; score is the scaled
+    integer logit (sign-equivalent to the float model)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def infer(batch: pa.Table) -> pa.Table:
+        lf = pl.from_arrow(batch).with_columns(
+            n_chars=pl.col("text").str.len_chars().cast(pl.Int64),
+            n_tokens=pl.col("text")
+            .str.count_matches(tk.NONWS_PAT)
+            .cast(pl.Int64),
+            n_punct=pl.col("text")
+            .str.count_matches(r"[!-/:-@\[-`{-~]")
+            .cast(pl.Int64),
+            n_digit=pl.col("text").str.count_matches(r"[0-9]").cast(pl.Int64),
+        )
+        nt = lf["n_tokens"].to_numpy().astype(np.int64)
+        nc = lf["n_chars"].to_numpy().astype(np.int64)
+        np_ = lf["n_punct"].to_numpy().astype(np.int64)
+        nd = lf["n_digit"].to_numpy().astype(np.int64)
+        score = (
+            QL_W_TOK_NC * nt * nc
+            + QL_W_NC * nc
+            + QL_W_PUNCT * np_
+            + QL_W_DIGIT * nd
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pa.array(score, pa.int64()),
+                "keep": pa.array(
+                    (score >= 0).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    return _sorted(
+        _concat(ds.map_batches(infer, batch_format="pyarrow")), "doc_id"
+    )

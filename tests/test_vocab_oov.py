@@ -139,3 +139,36 @@ def test_bm25_scores_flat_recompute(ray_session, sf_small):
     assert all(
         any(term in tk for tk in toks) for term in T.BM25_TERMS
     )
+
+
+def test_quality_logit_sign_equals_float_model(ray_session, sf_small):
+    """The integer-scaled score's SIGN must equal the float model's
+    decision (the scaling argument: multiply by 256*n_chars > 0), and
+    the gate must be non-degenerate on this corpus."""
+    import numpy as np
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from spider_ray.functions import text as T
+    from spider_ray.kernels import tokens as tk
+
+    out = pl.from_arrow(T.q_quality_logit(sf_small))
+    docs = pl.from_arrow(
+        pq.read_table(sf_small + "/documents.parquet",
+                      columns=["doc_id", "text"])
+    ).sort("doc_id")
+    feats = docs.with_columns(
+        nc=pl.col("text").str.len_chars().cast(pl.Int64),
+        nt=pl.col("text").str.count_matches(tk.NONWS_PAT).cast(pl.Int64),
+        np_=pl.col("text").str.count_matches(r"[!-/:-@\[-`{-~]").cast(pl.Int64),
+        nd=pl.col("text").str.count_matches(r"[0-9]").cast(pl.Int64),
+    )
+    logit = (
+        -0.5
+        + (2.0 / 256.0) * feats["nt"].to_numpy()
+        - 2.0 * (feats["np_"].to_numpy() / feats["nc"].to_numpy())
+        - 1.5 * (feats["nd"].to_numpy() / feats["nc"].to_numpy())
+    )
+    assert (out["keep"].to_numpy() == (logit >= 0)).all()
+    kept = int(out["keep"].sum())
+    assert 0 < kept < out.height
