@@ -52,6 +52,15 @@ def main(argv: list[str] | None = None) -> int:
     o.add_argument("--corpus", required=True)
     o.add_argument("--shards", type=int, default=8)
 
+    gc = sub.add_parser(
+        "gc-checkpoints",
+        help="retention GC for a stopped crawl's out dir: drop ckpt + "
+             "next_candidates of all but the newest N done generations "
+             "(data sinks untouched; resume reads only the newest)",
+    )
+    gc.add_argument("--out", required=True)
+    gc.add_argument("--keep", type=int, default=2)
+
     w = sub.add_parser(
         "shard-write",
         help="(re)write the image store as the WebDataset-style shard "
@@ -97,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
             args.out, n_pages=args.pages, n_hosts=args.hosts, seed=args.seed
         )
         print(json.dumps(paths))
+        return 0
+
+    if args.cmd == "gc-checkpoints":
+        from spider_ray.pipelines.crawl import gc_checkpoints
+
+        print(json.dumps(gc_checkpoints(args.out, keep=args.keep)))
         return 0
 
     if args.cmd == "oracle":

@@ -1048,3 +1048,58 @@ def run_crawl(
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+def gc_checkpoints(out_dir: str, keep: int = 2) -> dict:
+    """Checkpoint retention GC for a long-running / resumed crawl.
+
+    Resume (see ``run_crawl``) reads exactly ONE generation's recovery
+    state: the latest ``_DONE`` gen's ``ckpt/`` (pickled shard
+    schedulers + ``wave_start.txt``) and its ``next_candidates`` sink.
+    Every EARLIER gen's ckpt + next_candidates is dead weight that
+    accumulates forever on a 10^10-URL crawl (each ckpt is O(seen/shard)
+    — the dominant state). This removes them for all but the newest
+    ``keep`` DONE generations, NEVER touching data sinks (status /
+    images / metrics) or any gen without a ``_DONE`` marker (an
+    in-flight or killed attempt still needed for wipe-and-retry).
+
+    Returns ``{"removed_gens": [...], "bytes_freed": int}``. Safe to run
+    while the crawl is stopped (the intended window: between a graceful
+    stop and its resume) and idempotent."""
+    import shutil as _shutil
+
+    done_gens = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("gen=")
+        and os.path.exists(os.path.join(out_dir, d, "_DONE"))
+    )
+    removed, freed = [], 0
+    for g in done_gens[:-keep] if keep > 0 else done_gens[:-1]:
+        gen_dir = os.path.join(out_dir, f"gen={g}")
+        targets = [os.path.join(gen_dir, "ckpt")] + [
+            os.path.join(gen_dir, f)
+            for f in os.listdir(gen_dir)
+            if f == "next_candidates.parquet"
+            or (
+                f.startswith("next_candidates.part")
+                and f.endswith(".parquet")
+            )
+        ]
+        got_one = False
+        for t in targets:
+            if os.path.isdir(t):
+                freed += sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(t)
+                    for f in fs
+                )
+                _shutil.rmtree(t)
+                got_one = True
+            elif os.path.isfile(t):
+                freed += os.path.getsize(t)
+                os.remove(t)
+                got_one = True
+        if got_one:
+            removed.append(g)
+    return {"removed_gens": removed, "bytes_freed": freed}

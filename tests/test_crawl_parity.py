@@ -551,3 +551,42 @@ def _ray_get_refs(ds):
     import ray
 
     return ray.get(ds.materialize().to_arrow_refs())
+
+
+def test_gc_checkpoints_then_resume(corpus, oracle_out, ray_session):
+    """Checkpoint GC removes earlier gens' ckpt + next_candidates but the
+    crawl still resumes byte-equal: only the LATEST done gen's recovery
+    state is ever read."""
+    from spider_ray.pipelines.crawl import gc_checkpoints, run_crawl
+
+    out = "/tmp/spider_ray_test_gc_resume"
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, max_gens=3)
+    done = sorted(
+        d for d in os.listdir(out)
+        if d.startswith("gen=")
+        and os.path.exists(os.path.join(out, d, "_DONE"))
+    )
+    assert len(done) >= 3
+    res = gc_checkpoints(out, keep=1)
+    assert res["bytes_freed"] > 0
+    assert res["removed_gens"] == [int(d.split("=")[1]) for d in done[:-1]]
+    # earlier ckpts gone, the newest intact; data sinks untouched
+    for d in done[:-1]:
+        assert not os.path.exists(os.path.join(out, d, "ckpt"))
+        assert os.path.exists(os.path.join(out, d, "status.parquet"))
+    assert os.path.exists(os.path.join(out, done[-1], "ckpt"))
+    # idempotent
+    res2 = gc_checkpoints(out, keep=1)
+    assert res2["removed_gens"] == [] and res2["bytes_freed"] == 0
+    # resume to completion: combined output equals the golden run
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, resume=True)
+    eng = _engine_rows(out, "status.parquet")
+    gold = oracle_out["crawl_order"]
+    assert len(eng) == len(gold)
+    for e, g in zip(eng, gold):
+        assert (e["url"], e["fetch_ts"], e["status"]) == (
+            g["url"], g["fetch_ts"], g["status"]
+        )
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert seen == oracle_out["seen"]
