@@ -45,3 +45,44 @@ def test_roundtrip_and_pruned_read(ray_session, tmp_path):
     tbl = pa.Table.from_pylist(pruned.take_all())
     assert set(tbl.column_names) == {"image_id", "phash"}
     assert sorted(tbl["phash"].to_pylist()) == [7, 9]
+
+
+def test_tsv_roundtrip_and_pruned_read(ray_session, tmp_path):
+    """Headerless TSV sink → positional-named read with column pruning
+    (the reference's TSV exchange format)."""
+    import ray as _ray
+
+    from spider_ray.sources import tables as TT
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"], "c": [1.5, 2.5, 3.5]})
+    out = str(tmp_path / "tsv")
+    TT.write_tsv(_ray.data.from_arrow(t), out)
+    back = (
+        TT.read_tsv(out, column_names=["a", "b", "c"], columns=["a", "b"])
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    assert list(back.columns) == ["a", "b"]
+    assert back["a"].tolist() == [1, 2, 3]
+    assert back["b"].tolist() == ["x", "y", "z"]
+
+
+def test_jsonl_read_pruned(ray_session, tmp_path):
+    import json
+
+    from spider_ray.sources import tables as TT
+
+    d = tmp_path / "jl"
+    d.mkdir()
+    with open(d / "part.jsonl", "w") as f:
+        for r in [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]:
+            f.write(json.dumps(r) + "\n")
+    out = (
+        TT.read_jsonl(str(d), columns=["a"])
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["a"]
+    assert out["a"].tolist() == [1, 2]
