@@ -604,6 +604,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shape: broadcast weights, vectorized per-batch dot) —
         # SQL-oracled bit-exact via exact-binary-fraction weights
         "quality_logit": T.q_quality_logit,
+        # distinct-set INTERSECT (both-halves customer activity) — the
+        # set-op class next to union_dedup; SQL-oracled
+        "intersect_keys": R.q_intersect_keys,
     }
     return q
 
@@ -2174,6 +2177,14 @@ def oracle_sql() -> dict[str, str]:
             FROM walk ORDER BY o_custkey
         """,
         "bm25_scores": _bm25_oracle_sql(),
+        "intersect_keys": """
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-01-01'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            ORDER BY custkey
+        """,
         "quality_logit": """
             -- frozen linear quality model (text.q_quality_logit): the
             -- float decision multiplied through by 256*n_chars -- pure

@@ -1022,3 +1022,58 @@ def _concat(ds: ray.data.Dataset, schema: pa.Schema | None = None) -> pa.Table:
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+def q_intersect_keys(sf_dir: str) -> pa.Table:
+    """Distinct-set INTERSECT: customers active in BOTH halves of the
+    order history (before/after 1995-01-01) — the set-operation class
+    next to D1's union-dedup. One pass: each block emits its DISTINCT
+    (custkey, side) pairs (per-block combiner, so at most 2·|distinct|
+    rows per block reach the shuffle), then a native groupby(custkey)
+    keeps keys whose side-span covers both halves (min=0 AND max=1) —
+    no join, no driver-side set. Output (custkey) sorted."""
+    import numpy as np
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def tag_distinct(batch: pa.Table) -> pa.Table:
+        cut = pa.scalar("1995-01-01").cast(
+            batch.schema.field("o_orderdate").type
+        )
+        side = pc.cast(
+            pc.greater_equal(batch["o_orderdate"], cut), pa.int64()
+        )
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                    "side": side,
+                }
+            )
+        ).unique()
+        return df.to_arrow().cast(
+            pa.schema([("custkey", pa.int64()), ("side", pa.int64())])
+        )
+
+    agg = (
+        ds.map_batches(tag_distinct, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(
+            ray.data.aggregate.Min("side", alias_name="lo"),
+            ray.data.aggregate.Max("side", alias_name="hi"),
+        )
+    )
+
+    def keep_both(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t["lo"], pa.scalar(0, pa.int64())),
+            pc.equal(t["hi"], pa.scalar(1, pa.int64())),
+        )
+        return t.filter(mask).select(["custkey"])
+
+    return _sorted(
+        _concat(agg.map_batches(keep_both, batch_format="pyarrow")),
+        "custkey",
+    )

@@ -105,3 +105,24 @@ def test_entry_smoke(ray_session):
     # flagship = crawl order log with a stable schema
     for col in ("url", "host", "fetch_ts", "gen", "status"):
         assert col in df.columns
+
+
+def test_intersect_keys_matches_set_algebra(ray_session, sf_small):
+    """Engine INTERSECT equals driver-side set algebra over the raw
+    table, and no key outside either half appears."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.relational import q_intersect_keys
+
+    out = q_intersect_keys(sf_small)["custkey"].to_pylist()
+    t = pq.read_table(
+        sf_small + "/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    import datetime
+
+    cut = datetime.datetime(1995, 1, 1)
+    early, late = set(), set()
+    for k, d in zip(t["o_custkey"].to_pylist(), t["o_orderdate"].to_pylist()):
+        (early if d < cut else late).add(k)
+    assert out == sorted(early & late)
+    assert len(out) > 0
