@@ -2179,10 +2179,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _bm25_oracle_sql(),
         "intersect_keys": """
             SELECT o_custkey AS custkey FROM orders
-            WHERE o_orderdate < TIMESTAMP '1995-01-01'
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'
             INTERSECT
             SELECT o_custkey FROM orders
-            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
             ORDER BY custkey
         """,
         "quality_logit": """

@@ -1026,7 +1026,7 @@ _register_all()
 
 def q_intersect_keys(sf_dir: str) -> pa.Table:
     """Distinct-set INTERSECT: customers active in BOTH halves of the
-    order history (before/after 1995-01-01) — the set-operation class
+    order history (before/after 1998-01-01) — the set-operation class
     next to D1's union-dedup. One pass: each block emits its DISTINCT
     (custkey, side) pairs (per-block combiner, so at most 2·|distinct|
     rows per block reach the shuffle), then a native groupby(custkey)
@@ -1039,7 +1039,7 @@ def q_intersect_keys(sf_dir: str) -> pa.Table:
     )
 
     def tag_distinct(batch: pa.Table) -> pa.Table:
-        cut = pa.scalar("1995-01-01").cast(
+        cut = pa.scalar("1998-01-01").cast(
             batch.schema.field("o_orderdate").type
         )
         side = pc.cast(

@@ -120,7 +120,7 @@ def test_intersect_keys_matches_set_algebra(ray_session, sf_small):
     )
     import datetime
 
-    cut = datetime.datetime(1995, 1, 1)
+    cut = datetime.datetime(1998, 1, 1)
     early, late = set(), set()
     for k, d in zip(t["o_custkey"].to_pylist(), t["o_orderdate"].to_pylist()):
         (early if d < cut else late).add(k)
