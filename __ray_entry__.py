@@ -607,6 +607,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct-set INTERSECT (both-halves customer activity) — the
         # set-op class next to union_dedup; SQL-oracled
         "intersect_keys": R.q_intersect_keys,
+        # skew-salted dimension join (hot key spread over salt buckets,
+        # dimension row replicated per bucket) — SQL-oracled; salt-
+        # invariance vs the unsalted join pinned in tests
+        "salted_join": R.q_salted_join,
     }
     return q
 
@@ -2184,6 +2188,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders
             WHERE o_orderdate >= TIMESTAMP '1998-01-01'
             ORDER BY custkey
+        """,
+        "salted_join": """
+            -- the salted join's OUTPUT is salt-invariant, so the
+            -- oracle is the plain join + aggregate
+            WITH l AS (
+                SELECT CASE WHEN o_custkey % 10 = 0 THEN 0
+                            ELSE o_custkey % 100 END AS skew_key,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                           AS cents
+                FROM orders),
+            r AS (
+                SELECT t.k AS skew_key,
+                       'g' || CAST(t.k AS VARCHAR) AS grp
+                FROM range(100) t(k))
+            SELECT r.grp,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(l.cents) AS BIGINT) AS sum_cents
+            FROM l JOIN r USING (skew_key)
+            GROUP BY r.grp ORDER BY grp
         """,
         "quality_logit": """
             -- frozen linear quality model (text.q_quality_logit): the

@@ -53,12 +53,25 @@ def _hash_join(
     left_schema: pa.Schema,
     right_schema: pa.Schema,
     rename: dict[str, str] | None = None,
+    hot_keys: frozenset | None = None,
+    salt: int = 1,
 ) -> ray.data.Dataset:
     """Distributed inner hash join via the partition-cogroup pattern: tag
     each side with ``part = hash64(key) % JOIN_PARTITIONS``, pad both sides
     to one shared schema (side tag + nulls for the other side's columns),
     union, ``groupby(part)``, and join the two sides inside each partition
     group with a vectorized polars join.
+
+    **Skew salting** (the brief's "salt hot keys"): pass ``hot_keys`` (a
+    small frozenset of key values) and ``salt`` = S > 1 to spread each
+    hot key over S partitions — LEFT hot rows get part = (hash + i) %
+    P with i cycling 0..S-1 (any spreading is correct: the join result
+    is bucket-invariant), and RIGHT hot rows are REPLICATED once per
+    salt bucket. Shuffle volume grows only by (S-1)·|right hot rows| —
+    for a dimension-table right side that is S-1 extra rows per hot
+    key — while the hot partition's left volume drops by S×. Non-hot
+    keys are untouched, so ``salt=1``/``hot_keys=None`` is the plain
+    join.
 
     This deliberately avoids ``Dataset.join``: its aggregator-actor pool
     deadlocks at low CPU counts under the default memory reservation and
@@ -87,15 +100,41 @@ def _hash_join(
 
     def pad(key: str, side: int):
         def f(t: pa.Table) -> pa.Table:
-            part = (
+            u = (
                 pl.from_arrow(t.select([key]))
-                .select(
-                    (pl.col(key).hash(seed=SEED) % JOIN_PARTITIONS)
-                    .cast(pl.Int32)
-                )
+                .select(pl.col(key).hash(seed=SEED))
                 .to_series()
                 .to_numpy()
+                .astype(np.uint64)
             )
+            if hot_keys is not None and salt > 1:
+                hot = np.isin(
+                    t[key].to_numpy(zero_copy_only=False),
+                    np.array(sorted(hot_keys)),
+                )
+                if side == 1 and hot.any():
+                    # replicate right hot rows once per salt bucket
+                    idx = np.flatnonzero(hot)
+                    rep = np.concatenate(
+                        [np.arange(t.num_rows)] + [idx] * (salt - 1)
+                    )
+                    offs = np.concatenate(
+                        [np.zeros(t.num_rows, np.uint64)]
+                        + [
+                            np.full(len(idx), i, np.uint64)
+                            for i in range(1, salt)
+                        ]
+                    )
+                    t = t.take(pa.array(rep))
+                    u = u[rep] + offs
+                elif side == 0 and hot.any():
+                    # spread left hot rows across the salt buckets
+                    u = u + np.where(
+                        hot,
+                        (np.arange(t.num_rows) % salt).astype(np.uint64),
+                        np.uint64(0),
+                    )
+            part = (u % np.uint64(JOIN_PARTITIONS)).astype(np.int32)
             cols = {"__part": pa.array(part, pa.int32()),
                     "__side": pa.array(np.full(t.num_rows, side, np.int8))}
             for f_ in union_schema:

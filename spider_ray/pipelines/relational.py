@@ -1077,3 +1077,71 @@ def q_intersect_keys(sf_dir: str) -> pa.Table:
         _concat(agg.map_batches(keep_both, batch_format="pyarrow")),
         "custkey",
     )
+
+
+SALT_HOT_KEYS = frozenset({0})
+SALT_FACTOR = 8
+
+
+def q_salted_join(sf_dir: str) -> pa.Table:
+    """Skew-salted dimension join — the brief's "salt hot keys" as a
+    first-class relational primitive. The workload plants a hot key:
+    skew_key = 0 for every 10th customer's orders (~10% of the fact
+    table on ONE key), else o_custkey % 100. The dimension side (100
+    rows, grp = 'g<key>') joins through ``dedup._hash_join(hot_keys=
+    {0}, salt=8)``: left hot rows spread over 8 salt buckets, the right
+    hot row replicated once per bucket — the hot partition's fact
+    volume drops 8× for 7 extra dimension rows of shuffle. Join output
+    aggregates per grp (bounded: 100 keys) — n_orders + exact-cents
+    sum. Result is salt-invariant (pinned in tests against salt=1) and
+    SQL-oracled bit-exact."""
+    import numpy as np
+
+    from spider_ray.functions.dedup import _hash_join
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(
+            skew_key=pl.when(pl.col("o_custkey") % 10 == 0)
+            .then(0)
+            .otherwise(pl.col("o_custkey") % 100)
+            .cast(pl.Int64),
+            cents=_cents("o_totalprice"),
+        )
+        return df.to_arrow()
+
+    left = ds.map_batches(keyed, batch_format="pyarrow")
+    dim = pa.table(
+        {
+            "skew_key": pa.array(list(range(100)), pa.int64()),
+            "grp": pa.array([f"g{k}" for k in range(100)], pa.string()),
+        }
+    )
+    right = ray.data.from_arrow(dim)
+    l_schema = pa.schema([("skew_key", pa.int64()), ("cents", pa.int64())])
+    r_schema = pa.schema([("skew_key", pa.int64()), ("grp", pa.string())])
+    j = _hash_join(
+        left, right, on="skew_key", right_on="skew_key",
+        left_schema=l_schema, right_schema=r_schema,
+        hot_keys=SALT_HOT_KEYS, salt=SALT_FACTOR,
+    )
+    agg = j.groupby("grp").aggregate(
+        ray.data.aggregate.Count(alias_name="n_orders"),
+        ray.data.aggregate.Sum("cents", alias_name="sum_cents"),
+    )
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "grp": t["grp"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(agg.map_batches(conform, batch_format="pyarrow")), "grp"
+    )

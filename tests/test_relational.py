@@ -126,3 +126,34 @@ def test_intersect_keys_matches_set_algebra(ray_session, sf_small):
         (early if d < cut else late).add(k)
     assert out == sorted(early & late)
     assert len(out) > 0
+
+
+def test_salted_join_salt_invariant_and_spreads(ray_session, sf_small, monkeypatch):
+    """The salted join's output equals the unsalted join (bucket
+    invariance), and the salt math actually spreads a hot key over
+    SALT_FACTOR distinct partitions."""
+    import numpy as np
+    import polars as pl
+
+    import spider_ray.pipelines.relational as R
+    from spider_ray.functions.dedup import JOIN_PARTITIONS
+    from spider_ray.kernels.hashing import SEED
+
+    salted = R.q_salted_join(sf_small)
+    monkeypatch.setattr(R, "SALT_FACTOR", 1)
+    plain = R.q_salted_join(sf_small)
+    assert salted.equals(plain)
+    # the hot key really is hot (its group dominates)
+    g0 = salted.to_pylist()
+    hot = next(r for r in g0 if r["grp"] == "g0")
+    assert hot["n_orders"] > 3 * max(
+        r["n_orders"] for r in g0 if r["grp"] != "g0"
+    )
+    # spreading math: (hash + i) % P hits SALT_FACTOR distinct partitions
+    u = int(
+        pl.DataFrame({"k": [0]})
+        .select(pl.col("k").cast(pl.Int64).hash(seed=SEED))
+        .item()
+    )
+    parts = {(u + i) % JOIN_PARTITIONS for i in range(8)}
+    assert len(parts) == 8
