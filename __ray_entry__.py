@@ -611,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dimension row replicated per bucket) — SQL-oracled; salt-
         # invariance vs the unsalted join pinned in tests
         "salted_join": R.q_salted_join,
+        # LEFT OUTER join through the partition-cogroup (unmatched left
+        # rows keep null payload) + bounded match-status aggregate
+        "left_join_nulls": R.q_left_join_nulls,
     }
     return q
 
@@ -2188,6 +2191,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders
             WHERE o_orderdate >= TIMESTAMP '1998-01-01'
             ORDER BY custkey
+        """,
+        "left_join_nulls": """
+            WITH l AS (
+                SELECT o_custkey AS custkey,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                           AS cents
+                FROM orders),
+            r AS (
+                SELECT c_custkey AS custkey,
+                       's' || CAST(c_custkey % 5 AS VARCHAR) AS segment
+                FROM customer WHERE c_custkey % 3 = 0)
+            SELECT coalesce(r.segment, 'unmatched') AS segment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(l.cents) AS BIGINT) AS sum_cents
+            FROM l LEFT JOIN r USING (custkey)
+            GROUP BY coalesce(r.segment, 'unmatched') ORDER BY segment
         """,
         "salted_join": """
             -- the salted join's OUTPUT is salt-invariant, so the

@@ -55,6 +55,7 @@ def _hash_join(
     rename: dict[str, str] | None = None,
     hot_keys: frozenset | None = None,
     salt: int = 1,
+    how: str = "inner",
 ) -> ray.data.Dataset:
     """Distributed inner hash join via the partition-cogroup pattern: tag
     each side with ``part = hash64(key) % JOIN_PARTITIONS``, pad both sides
@@ -71,7 +72,10 @@ def _hash_join(
     for a dimension-table right side that is S-1 extra rows per hot
     key — while the hot partition's left volume drops by S×. Non-hot
     keys are untouched, so ``salt=1``/``hot_keys=None`` is the plain
-    join.
+    join. ``how="left"`` keeps unmatched left rows with null payload
+    (LEFT OUTER) — correct under salting too: a left row's partition
+    holds its key's right replica iff the key exists on the right at
+    all.
 
     This deliberately avoids ``Dataset.join``: its aggregator-actor pool
     deadlocks at low CPU counts under the default memory reservation and
@@ -167,7 +171,7 @@ def _hash_join(
         df = pl.from_arrow(group)
         l = df.filter(pl.col("__side") == 0).select(l_names)
         r = df.filter(pl.col("__side") == 1).select([on] + p_names)
-        out = l.join(r, on=on, how="inner").rename(
+        out = l.join(r, on=on, how=how).rename(
             {k: v for k, v in rename.items() if k in p_names}
         )
         return out.to_arrow().select(out_schema.names).cast(out_schema)

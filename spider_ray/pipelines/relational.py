@@ -1145,3 +1145,91 @@ def q_salted_join(sf_dir: str) -> pa.Table:
     return _sorted(
         _concat(agg.map_batches(conform, batch_format="pyarrow")), "grp"
     )
+
+
+def q_left_join_nulls(sf_dir: str) -> pa.Table:
+    """LEFT OUTER join at scale (completes the join family next to
+    inner/anti/asof/range/broadcast): orders LEFT JOIN a sparse
+    dimension (only every 3rd customer carries a segment row), then a
+    bounded aggregate over the match status — per segment (NULL →
+    'unmatched'), order count + exact-cents sum. Unmatched left rows
+    survive with null payload through the partition-cogroup
+    (``dedup._hash_join(how="left")``); nothing is driver-side."""
+    from spider_ray.functions.dedup import _hash_join
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(
+                custkey=pl.col("o_custkey").cast(pl.Int64),
+                cents=_cents("o_totalprice"),
+            )
+            .to_arrow()
+        )
+
+    left = ds.map_batches(keyed, batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def dim(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch)
+            .filter(pl.col("c_custkey") % 3 == 0)
+            .select(
+                custkey=pl.col("c_custkey").cast(pl.Int64),
+                segment=pl.lit("s")
+                + (pl.col("c_custkey") % 5).cast(pl.String),
+            )
+        )
+        return df.to_arrow()
+
+    right = cust.map_batches(dim, batch_format="pyarrow")
+    j = _hash_join(
+        left, right, on="custkey", right_on="custkey",
+        left_schema=pa.schema(
+            [("custkey", pa.int64()), ("cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("custkey", pa.int64()), ("segment", pa.string())]
+        ),
+        how="left",
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            segment=pl.col("segment").fill_null("unmatched")
+        )
+        return (
+            df.group_by("segment")
+            .agg(
+                n_orders=pl.len().cast(pl.Int64),
+                sum_cents=pl.col("cents").sum(),
+            )
+            .to_arrow()
+        )
+
+    agg = (
+        j.map_batches(bucket, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(
+            ray.data.aggregate.Sum("n_orders", alias_name="n_orders"),
+            ray.data.aggregate.Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "segment": t["segment"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(agg.map_batches(conform, batch_format="pyarrow")),
+        "segment",
+    )
