@@ -614,6 +614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LEFT OUTER join through the partition-cogroup (unmatched left
         # rows keep null payload) + bounded match-status aggregate
         "left_join_nulls": R.q_left_join_nulls,
+        # CUBE: all 4 grouping sets from one scan (rollup discipline
+        # extended to the full lattice)
+        "cube": R.q_cube,
     }
     return q
 
@@ -1583,6 +1586,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY ROLLUP(n_name, s_name)
             ORDER BY n_name NULLS LAST, s_name NULLS LAST
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       / CAST(100 AS DOUBLE) AS revenue
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
         """,
         "heavy_hitters": """
             SELECT user_id, count(*) AS n_events

@@ -1233,3 +1233,48 @@ def q_left_join_nulls(sf_dir: str) -> pa.Table:
         _concat(agg.map_batches(conform, batch_format="pyarrow")),
         "segment",
     )
+
+
+def q_cube(sf_dir: str) -> pa.Table:
+    """CUBE aggregate — revenue over ALL 4 grouping sets of
+    (returnflag, linestatus) from ONE scan: the detail level is a
+    partial/final aggregate (bounded: ≤ flags × statuses keys); the
+    (flag), (status) and () levels re-aggregate the tiny detail
+    partials, never the raw data (the q_rollup discipline extended to
+    the full lattice)."""
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def partial(lf):
+        return lf.group_by("l_returnflag", "l_linestatus").agg(
+            n_items=pl.len(), cents=_cents("l_extendedprice").sum()
+        )
+
+    cols = ["l_returnflag", "l_linestatus", "n_items", "revenue"]
+
+    def final(lf):
+        detail = lf.group_by("l_returnflag", "l_linestatus").agg(
+            n_items=pl.col("n_items").sum(), revenue=pl.col("cents").sum()
+        )
+        by_flag = detail.group_by("l_returnflag").agg(
+            n_items=pl.col("n_items").sum(),
+            revenue=pl.col("revenue").sum(),
+        ).with_columns(l_linestatus=pl.lit(None, dtype=pl.Utf8))
+        by_status = detail.group_by("l_linestatus").agg(
+            n_items=pl.col("n_items").sum(),
+            revenue=pl.col("revenue").sum(),
+        ).with_columns(l_returnflag=pl.lit(None, dtype=pl.Utf8))
+        tot = detail.select(
+            n_items=pl.col("n_items").sum(),
+            revenue=pl.col("revenue").sum(),
+        ).with_columns(
+            l_returnflag=pl.lit(None, dtype=pl.Utf8),
+            l_linestatus=pl.lit(None, dtype=pl.Utf8),
+        )
+        return pl.concat(
+            [s.select(cols) for s in (detail, by_flag, by_status, tot)]
+        ).sort(cols[:2], nulls_last=True)
+
+    return _scale_cols(partial_final_agg(li, partial, final), {"revenue": 100})
