@@ -157,3 +157,56 @@ def test_salted_join_salt_invariant_and_spreads(ray_session, sf_small, monkeypat
     )
     parts = {(u + i) % JOIN_PARTITIONS for i in range(8)}
     assert len(parts) == 8
+
+
+def test_left_join_nulls_accounting(ray_session, sf_small):
+    """Matched + unmatched order counts must cover the whole fact table,
+    and unmatched must be exactly the orders of non-%3 customers."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.relational import q_left_join_nulls
+
+    out = q_left_join_nulls(sf_small).to_pylist()
+    t = pq.read_table(sf_small + "/orders.parquet", columns=["o_custkey"])
+    keys = t["o_custkey"].to_pylist()
+    import pyarrow.parquet as _pq
+
+    cust = set(
+        k for k in _pq.read_table(
+            sf_small + "/customer.parquet", columns=["c_custkey"]
+        )["c_custkey"].to_pylist()
+        if k % 3 == 0
+    )
+    expect_unmatched = sum(1 for k in keys if k not in cust)
+    total = sum(r["n_orders"] for r in out)
+    got_unmatched = next(
+        (r["n_orders"] for r in out if r["segment"] == "unmatched"), 0
+    )
+    assert total == len(keys)
+    assert got_unmatched == expect_unmatched
+
+
+def test_cube_levels_consistent(ray_session, sf_small):
+    """Every CUBE level must re-sum to the grand total."""
+    import polars as pl
+
+    from spider_ray.pipelines.relational import q_cube
+
+    out = pl.from_arrow(q_cube(sf_small))
+    tot = out.filter(
+        pl.col("l_returnflag").is_null() & pl.col("l_linestatus").is_null()
+    )
+    assert tot.height == 1
+    detail = out.filter(
+        pl.col("l_returnflag").is_not_null()
+        & pl.col("l_linestatus").is_not_null()
+    )
+    for lvl in (
+        out.filter(pl.col("l_returnflag").is_not_null()
+                   & pl.col("l_linestatus").is_null()),
+        out.filter(pl.col("l_returnflag").is_null()
+                   & pl.col("l_linestatus").is_not_null()),
+        detail,
+    ):
+        assert lvl["n_items"].sum() == tot["n_items"][0]
+        assert abs(lvl["revenue"].sum() - tot["revenue"][0]) < 1e-6
