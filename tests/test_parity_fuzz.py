@@ -67,3 +67,64 @@ def test_crawl_parity_wide_topology(ray_session):
         num_shards=5,
         fetch_concurrency=6,
     )
+
+
+def test_hash_join_salted_left_fuzz(ray_session):
+    """Fuzz the new _hash_join paths (hot-key salting × how=left/inner)
+    against a polars ground-truth join over random skewed key sets."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import ray as _ray
+
+    from spider_ray.functions.dedup import _hash_join
+
+    rng = np.random.default_rng(20260820)
+    for trial in range(8):
+        n_left = int(rng.integers(1, 400))
+        keys = rng.integers(0, 12, n_left)
+        if trial % 2:
+            # plant a hot key: half the rows on key 0
+            keys[: n_left // 2] = 0
+        left_t = pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "v": pa.array(rng.integers(0, 1000, n_left), pa.int64()),
+            }
+        )
+        r_keys = np.unique(rng.integers(0, 12, int(rng.integers(1, 12))))
+        right_t = pa.table(
+            {
+                "k": pa.array(r_keys, pa.int64()),
+                "p": pa.array(
+                    [f"p{int(k)}" for k in r_keys], pa.string()
+                ),
+            }
+        )
+        how = "left" if trial % 3 == 0 else "inner"
+        salt = [1, 2, 8][trial % 3]
+        j = _hash_join(
+            _ray.data.from_arrow(left_t),
+            _ray.data.from_arrow(right_t),
+            on="k", right_on="k",
+            left_schema=left_t.schema,
+            right_schema=right_t.schema,
+            hot_keys=frozenset({0}), salt=salt, how=how,
+        )
+        got = (
+            pl.from_arrow(
+                pa.concat_tables(
+                    _ray.get(j.materialize().to_arrow_refs()),
+                    promote_options="default",
+                )
+            )
+            .sort(["k", "v", "p"], nulls_last=True)
+            .select(["k", "v", "p"])
+        )
+        want = (
+            pl.from_arrow(left_t)
+            .join(pl.from_arrow(right_t), on="k", how=how)
+            .sort(["k", "v", "p"], nulls_last=True)
+            .select(["k", "v", "p"])
+        )
+        assert got.equals(want), (trial, how, salt)
