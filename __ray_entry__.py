@@ -617,6 +617,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUBE: all 4 grouping sets from one scan (rollup discipline
         # extended to the full lattice)
         "cube": R.q_cube,
+        # ordered view→click→purchase funnel (chained-min semantics,
+        # hash-partitioned by user, O(partitions) final)
+        "funnel": R.q_funnel,
     }
     return q
 
@@ -1586,6 +1589,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY ROLLUP(n_name, s_name)
             ORDER BY n_name NULLS LAST, s_name NULLS LAST
+        """,
+        "funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= v.t1
+                GROUP BY e.user_id),
+            p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+                GROUP BY e.user_id)
+            SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+                   CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+                   CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
         """,
         "cube": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_items,

@@ -1278,3 +1278,75 @@ def q_cube(sf_dir: str) -> pa.Table:
         ).sort(cols[:2], nulls_last=True)
 
     return _scale_cols(partial_final_agg(li, partial, final), {"revenue": 100})
+
+
+def q_funnel(sf_dir: str) -> pa.Table:
+    """Ordered-funnel analysis — how many users completed
+    view → click → purchase IN ORDER (each later stage's first
+    qualifying event must not precede the previous stage's): the
+    log-analysis-family representative (the reference's descoped
+    log_analysis library computes exactly this family of per-user
+    sequential reports). Chained-min semantics: t1 = min ts(view),
+    t2 = min ts(click ≥ t1), t3 = min ts(purchase ≥ t2).
+
+    Shape: events hash-partitioned by user (one shuffle); each
+    partition computes its users' t1/t2/t3 VECTORIZED (three polars
+    filter+group_by passes, no per-user Python) and emits a 1-row
+    partial count; the final is an O(partitions) sum. Output one row
+    (n_view, n_click, n_purchase) — monotone non-increasing."""
+    ds = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"]
+    )
+
+    def pad(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).filter(
+            pl.col("event_type").is_in(["view", "click", "purchase"])
+        )
+        return df.with_columns(
+            part=(pl.col("user_id") % 32).cast(pl.Int32)
+        ).to_arrow()
+
+    def funnel_group(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        v = (
+            df.filter(pl.col("event_type") == "view")
+            .group_by("user_id")
+            .agg(t1=pl.col("ts").min())
+        )
+        c = (
+            df.filter(pl.col("event_type") == "click")
+            .join(v, on="user_id")
+            .filter(pl.col("ts") >= pl.col("t1"))
+            .group_by("user_id")
+            .agg(t2=pl.col("ts").min())
+        )
+        p = (
+            df.filter(pl.col("event_type") == "purchase")
+            .join(c, on="user_id")
+            .filter(pl.col("ts") >= pl.col("t2"))
+            .group_by("user_id")
+            .agg(t3=pl.col("ts").min())
+        )
+        return pa.table(
+            {
+                "n_view": pa.array([v.height], pa.int64()),
+                "n_click": pa.array([c.height], pa.int64()),
+                "n_purchase": pa.array([p.height], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(pad, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(funnel_group, batch_format="pyarrow")
+    )
+    t = _concat(parts)
+    return pa.table(
+        {
+            "n_view": pa.array([int(pc.sum(t["n_view"]).as_py() or 0)], pa.int64()),
+            "n_click": pa.array([int(pc.sum(t["n_click"]).as_py() or 0)], pa.int64()),
+            "n_purchase": pa.array(
+                [int(pc.sum(t["n_purchase"]).as_py() or 0)], pa.int64()
+            ),
+        }
+    )

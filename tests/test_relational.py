@@ -210,3 +210,36 @@ def test_cube_levels_consistent(ray_session, sf_small):
     ):
         assert lvl["n_items"].sum() == tot["n_items"][0]
         assert abs(lvl["revenue"].sum() - tot["revenue"][0]) < 1e-6
+
+
+def test_funnel_monotone_and_flat_recompute(ray_session, sf_small):
+    """Funnel stages are monotone non-increasing and equal a flat
+    single-process chained-min recompute."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.relational import q_funnel
+
+    out = q_funnel(sf_small).to_pylist()[0]
+    assert out["n_view"] >= out["n_click"] >= out["n_purchase"] > 0
+    t = pq.read_table(
+        sf_small + "/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    t1, t2, t3 = {}, {}, {}
+    rows = sorted(
+        zip(t["user_id"].to_pylist(), t["ts"].to_pylist(),
+            t["event_type"].to_pylist()),
+        key=lambda r: r[1],
+    )
+    for u, ts, et in rows:
+        if et == "view":
+            t1.setdefault(u, ts)
+    for u, ts, et in rows:
+        if et == "click" and u in t1 and ts >= t1[u]:
+            t2.setdefault(u, ts)
+    for u, ts, et in rows:
+        if et == "purchase" and u in t2 and ts >= t2[u]:
+            t3.setdefault(u, ts)
+    assert (out["n_view"], out["n_click"], out["n_purchase"]) == (
+        len(t1), len(t2), len(t3)
+    )
