@@ -620,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered view→click→purchase funnel (chained-min semantics,
         # hash-partitioned by user, O(partitions) final)
         "funnel": R.q_funnel,
+        # cohort retention matrix (first-active-week cohorts × offset)
+        "retention": R.q_retention,
     }
     return q
 
@@ -1589,6 +1591,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY ROLLUP(n_name, s_name)
             ORDER BY n_name NULLS LAST, s_name NULLS LAST
+        """,
+        "retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+                FROM events),
+            coh AS (
+                SELECT user_id, min(week) AS cohort
+                FROM uw GROUP BY user_id)
+            SELECT coh.cohort AS cohort_week,
+                   uw.week - coh.cohort AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN coh USING (user_id)
+            GROUP BY cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
         """,
         "funnel": """
             WITH v AS (

@@ -1350,3 +1350,89 @@ def q_funnel(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def q_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix — the second classic log-analysis report
+    next to :func:`q_funnel`: users bucketed by their FIRST active week
+    (cohort), counted per (cohort, week-offset) of later activity.
+    Weeks are integer epoch-seconds // 604800 (identical arithmetic in
+    both engines). Three bounded shuffles: distinct (user, week) pairs
+    (native groupby over per-block uniques), per-user cohort = min week
+    (native groupby), a hash-join of pairs onto cohorts, and the final
+    (cohort, offset) count — all O(users·weeks) at most, nothing
+    driver-side."""
+    from spider_ray.functions.dedup import _hash_join
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(batch)
+            .select(
+                user_id=pl.col("user_id").cast(pl.Int64),
+                week=(pl.col("ts").dt.epoch(time_unit="s") // 604800)
+                .cast(pl.Int64),
+            )
+            .unique()
+        )
+        return df.to_arrow()
+
+    pairs = (
+        read_table(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(weeks, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(ray.data.aggregate.Count(alias_name="_n"))
+        .map_batches(
+            lambda t: t.select(["user_id", "week"]),
+            batch_format="pyarrow",
+        )
+    )
+    cohorts = (
+        pairs.groupby("user_id")
+        .aggregate(ray.data.aggregate.Min("week", alias_name="cohort"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "cohort": pc.cast(t["cohort"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j = _hash_join(
+        pairs, cohorts, on="user_id", right_on="user_id",
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("week", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("cohort", pa.int64())]
+        ),
+    )
+
+    def offset(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": t["cohort"],
+                "week_offset": pc.subtract(t["week"], t["cohort"]),
+            }
+        )
+
+    agg = (
+        j.map_batches(offset, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(ray.data.aggregate.Count(alias_name="n_users"))
+    )
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": pc.cast(t["cohort_week"], pa.int64()),
+                "week_offset": pc.cast(t["week_offset"], pa.int64()),
+                "n_users": pc.cast(t["n_users"], pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(agg.map_batches(conform, batch_format="pyarrow")),
+        ["cohort_week", "week_offset"],
+    )

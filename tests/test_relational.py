@@ -243,3 +243,34 @@ def test_funnel_monotone_and_flat_recompute(ray_session, sf_small):
     assert (out["n_view"], out["n_click"], out["n_purchase"]) == (
         len(t1), len(t2), len(t3)
     )
+
+
+def test_retention_matrix_invariants(ray_session, sf_small):
+    """Offset-0 of each cohort counts the whole cohort; every retention
+    count ≤ its cohort size; total distinct (user, week) pairs covered."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.relational import q_retention
+
+    out = pl.from_arrow(q_retention(sf_small))
+    assert out.height > 1
+    assert (out["week_offset"] >= 0).all()
+    sizes = dict(
+        out.filter(pl.col("week_offset") == 0)
+        .select("cohort_week", "n_users")
+        .iter_rows()
+    )
+    for c, _o, n in out.iter_rows():
+        assert n <= sizes[c]
+    # coverage: sum of all cells == distinct (user, week) pairs
+    t = pq.read_table(
+        sf_small + "/events.parquet", columns=["user_id", "ts"]
+    )
+    import datetime
+
+    pairs = {
+        (u, int(ts.timestamp()) // 604800)
+        for u, ts in zip(t["user_id"].to_pylist(), t["ts"].to_pylist())
+    }
+    assert out["n_users"].sum() == len(pairs)
