@@ -259,6 +259,15 @@ def _connected_components_query(sf_dir: str) -> Any:
     return q_connected_components("/tmp/spider_ray_phash_corpus")
 
 
+def _triangle_count_query(sf_dir: str) -> Any:
+    """Triangle count over the demo corpus outlink graph (oriented
+    wedge join) — SQL-oracled via the same 3-way lexicographic join."""
+    from spider_ray.functions.webgraph import q_triangle_count
+
+    _images_store(sf_dir)
+    return q_triangle_count("/tmp/spider_ray_phash_corpus")
+
+
 def _image_filter_query(sf_dir: str) -> Any:
     """LAION-style metadata/caption/payload gate with per-reason reject
     bitmask over the input_hint image table (SQL-oracled bit-exact)."""
@@ -622,6 +631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": R.q_funnel,
         # cohort retention matrix (first-active-week cohorts × offset)
         "retention": R.q_retention,
+        # triangle count over the outlink graph (oriented wedge join)
+        "triangle_count": _triangle_count_query,
     }
     return q
 
@@ -2369,6 +2380,26 @@ def oracle_sql() -> dict[str, str]:
                              OR max(depth) >= 8
                         THEN 1 ELSE 0 END AS INTEGER) AS trap
             FROM parsed GROUP BY host ORDER BY host
+        """,
+        "triangle_count": f"""
+            -- oriented wedge join (webgraph.q_triangle_count): a<b<c
+            -- counts each triangle once
+            WITH e0 AS (SELECT url AS u, x.l.url AS v
+                        FROM (SELECT url, unnest(outlinks) AS l
+                              FROM '{wg_path}') x),
+            canon AS (
+                SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                FROM e0 WHERE u != v),
+            w AS (
+                SELECT e1.a, e1.b, e2.b AS c
+                FROM canon e1 JOIN canon e2
+                ON e2.a = e1.b AND e2.b > e1.b)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM canon)
+                       AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM w JOIN canon e3
+                    ON e3.a = w.a AND e3.b = w.c) AS n_triangles
         """,
         "connected_components": f"""
             -- undirected CC: the engine's hash-min label-propagation

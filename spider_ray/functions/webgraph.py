@@ -605,3 +605,123 @@ def q_connected_components(corpus: str) -> pa.Table:
         batch_format="pyarrow",
     )
     return _sorted(_concat(out), "url")
+
+
+# --------------------------------------------------------------------------
+# triangle_count
+# --------------------------------------------------------------------------
+
+def q_triangle_count(corpus: str) -> pa.Table:
+    """Triangle count over the undirected outlink graph — the
+    clustering-structure statistic next to PageRank/CC, by the standard
+    distributed ORIENTED WEDGE JOIN: canonicalize edges a<b (distinct),
+    build wedges a<b<c with one edge⋈edge hash-join on the middle
+    vertex, then verify the closing (a,c) edge with a second hash-join
+    on a composite key. Lexicographic orientation counts every triangle
+    exactly once and bounds wedge fan-out by each vertex's
+    HIGHER-ordered degree. Output one row (n_edges, n_wedges,
+    n_triangles) — all exact int64, trivially SQL-replayable."""
+    from spider_ray.functions.dedup import _hash_join
+
+    wg = _read_web_graph(corpus, ["url", "outlinks"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .explode("outlinks")
+            .drop_nulls("outlinks")
+            .select(
+                u=pl.col("url"), v=pl.col("outlinks").struct.field("url")
+            )
+            .filter(pl.col("u") != pl.col("v"))
+        )
+        df = df.select(
+            a=pl.when(pl.col("u") < pl.col("v"))
+            .then(pl.col("u"))
+            .otherwise(pl.col("v")),
+            b=pl.when(pl.col("u") < pl.col("v"))
+            .then(pl.col("v"))
+            .otherwise(pl.col("u")),
+        ).unique()
+        return df.to_arrow().cast(
+            pa.schema([("a", pa.string()), ("b", pa.string())])
+        )
+
+    # global distinct canonical edges (per-block unique + one groupby)
+    edges = _compact(
+        wg.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        )
+    )
+    e_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    # wedges a<b<c: join (a,b) against (mid,c) on the middle vertex —
+    # the right side is pre-renamed so payload names stay disjoint
+    def as_mid(t: pa.Table) -> pa.Table:
+        return pa.table({"mid": t["a"], "c": t["b"]})
+
+    right = edges.map_batches(as_mid, batch_format="pyarrow")
+    w = _hash_join(
+        edges, right, on="b", right_on="mid",
+        left_schema=e_schema,
+        right_schema=pa.schema([("mid", pa.string()), ("c", pa.string())]),
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(pl.col("c") > pl.col("b"))
+        return (
+            df.select(
+                key=pl.col("a") + pl.lit("\x00") + pl.col("c"),
+                b=pl.col("b"),
+            )
+            .to_arrow()
+            .cast(pa.schema([("key", pa.string()), ("b", pa.string())]))
+        )
+
+    wedges = w.map_batches(orient, batch_format="pyarrow")
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .select(
+                key=pl.col("a") + pl.lit("\x00") + pl.col("b"),
+                one=pl.lit(1, dtype=pl.Int64),
+            )
+            .to_arrow()
+            .cast(pa.schema([("key", pa.string()), ("one", pa.int64())]))
+        )
+
+    closing = edges.map_batches(edge_keys, batch_format="pyarrow")
+    tri = _hash_join(
+        wedges, closing, on="key", right_on="key",
+        left_schema=pa.schema([("key", pa.string()), ("b", pa.string())]),
+        right_schema=pa.schema([("key", pa.string()), ("one", pa.int64())]),
+    )
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    n_tri = int(
+        sum(
+            _concat(
+                tri.map_batches(count_rows, batch_format="pyarrow")
+            )["n"].to_pylist()
+        )
+    )
+    n_wedge = int(
+        sum(
+            _concat(
+                wedges.map_batches(count_rows, batch_format="pyarrow")
+            )["n"].to_pylist()
+        )
+    )
+    n_edge = edges.count()
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edge], pa.int64()),
+            "n_wedges": pa.array([n_wedge], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )

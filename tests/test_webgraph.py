@@ -173,3 +173,35 @@ def test_connected_components_matches_union_find(graph_corpus):
     labels = set(got.values())
     assert all(got[l] == l for l in labels)  # label is its own rep
     assert len(labels) >= 1
+
+
+def test_triangle_count_matches_bruteforce(graph_corpus):
+    """Distributed oriented-wedge-join triangle count equals a
+    single-process adjacency-set count."""
+    from itertools import combinations
+
+    from spider_ray.functions.webgraph import q_triangle_count
+
+    out = q_triangle_count(graph_corpus).to_pylist()[0]
+    wg = pq.read_table(
+        graph_corpus + "/web_graph.parquet", columns=["url", "outlinks"]
+    )
+    adj = {}
+    for u, links in zip(wg["url"].to_pylist(), wg["outlinks"].to_pylist()):
+        for l in links or []:
+            v = l["url"]
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    edges = {
+        (min(u, v), max(u, v)) for u, nb in adj.items() for v in nb
+    }
+    tri = 0
+    for a, b in edges:
+        tri += sum(
+            1 for c in (adj[a] & adj[b]) if c > b
+        )
+    assert out["n_edges"] == len(edges)
+    assert out["n_triangles"] == tri
+    assert out["n_wedges"] >= out["n_triangles"]
