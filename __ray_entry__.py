@@ -633,6 +633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": R.q_retention,
         # triangle count over the outlink graph (oriented wedge join)
         "triangle_count": _triangle_count_query,
+        # SCD type-2 versioned dimension (validity intervals per key) —
+        # the warehouse twin of J6's keep-latest merge
+        "scd2": R.q_scd2,
     }
     return q
 
@@ -1602,6 +1605,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY ROLLUP(n_name, s_name)
             ORDER BY n_name NULLS LAST, s_name NULLS LAST
+        """,
+        "scd2": """
+            SELECT o_custkey AS custkey, o_orderkey,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS valid_to,
+                   CAST(CASE WHEN lead(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) IS NULL
+                        THEN 1 ELSE 0 END AS INTEGER) AS is_current
+            FROM orders
+            ORDER BY custkey, valid_from, o_orderkey
         """,
         "retention": """
             WITH uw AS (

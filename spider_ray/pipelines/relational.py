@@ -1436,3 +1436,55 @@ def q_retention(sf_dir: str) -> pa.Table:
         _concat(agg.map_batches(conform, batch_format="pyarrow")),
         ["cohort_week", "week_offset"],
     )
+
+
+def q_scd2(sf_dir: str) -> pa.Table:
+    """Slowly-changing-dimension type-2 versioning — the warehouse twin
+    of J6's keep-latest linkbase merge: every order opens a new VERSION
+    of its customer's state, valid from its own date until the next
+    version's date (NULL for the current one). Deterministic total
+    order per key: (o_orderdate, o_orderkey).
+
+    Shape: per-block rows carry a hash-partition key; the interval
+    construction (sort + shift(-1)) runs vectorized per partition in a
+    ``groupby(part).map_groups`` worker — the q_latest_record
+    distributed-final pattern, output O(orders), nothing driver-side.
+    Output (custkey, o_orderkey, valid_from, valid_to, is_current)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+
+    def pad(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .with_columns(part=(pl.col("o_custkey") % 32).cast(pl.Int32))
+            .to_arrow()
+        )
+
+    def versions(group: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(group)
+            .sort(["o_custkey", "o_orderdate", "o_orderkey"])
+            .with_columns(
+                valid_to=pl.col("o_orderdate")
+                .shift(-1)
+                .over("o_custkey", order_by=["o_orderdate", "o_orderkey"]),
+            )
+            .select(
+                custkey=pl.col("o_custkey").cast(pl.Int64),
+                o_orderkey=pl.col("o_orderkey").cast(pl.Int64),
+                valid_from=pl.col("o_orderdate"),
+                valid_to=pl.col("valid_to"),
+                is_current=pl.col("valid_to")
+                .is_null()
+                .cast(pl.Int32),
+            )
+        )
+        return df.to_arrow()
+
+    out = (
+        ds.map_batches(pad, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(versions, batch_format="pyarrow")
+    )
+    return _sorted(_concat(out), ["custkey", "valid_from", "o_orderkey"])

@@ -274,3 +274,30 @@ def test_retention_matrix_invariants(ray_session, sf_small):
         for u, ts in zip(t["user_id"].to_pylist(), t["ts"].to_pylist())
     }
     assert out["n_users"].sum() == len(pairs)
+
+
+def test_scd2_interval_invariants(ray_session, sf_small):
+    """Per key: exactly one current version; intervals chain exactly
+    (valid_to == next valid_from); every order appears once."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.relational import q_scd2
+
+    out = pl.from_arrow(q_scd2(sf_small))
+    n_orders = pq.read_metadata(sf_small + "/orders.parquet").num_rows
+    assert out.height == n_orders
+    assert out["o_orderkey"].n_unique() == n_orders
+    per = out.group_by("custkey").agg(
+        n_current=pl.col("is_current").sum(),
+        starts=pl.col("valid_from")
+        .sort_by(["valid_from", "o_orderkey"])
+        .alias("starts"),
+        ends=pl.col("valid_to")
+        .sort_by(["valid_from", "o_orderkey"])
+        .alias("ends"),
+    )
+    assert (per["n_current"] == 1).all()
+    for starts, ends in zip(per["starts"].to_list(), per["ends"].to_list()):
+        assert ends[-1] is None
+        assert ends[:-1] == starts[1:]
