@@ -259,6 +259,14 @@ def _connected_components_query(sf_dir: str) -> Any:
     return q_connected_components("/tmp/spider_ray_phash_corpus")
 
 
+def _aug_crop_plan_query(sf_dir: str) -> Any:
+    """Deterministic augmentation crop origins over the input_hint image
+    table — SQL-oracled bit-exact (geometry CTE + frozen mix64)."""
+    from spider_ray.functions.imageresize import q_aug_crop_plan
+
+    return q_aug_crop_plan(_images_store(sf_dir))
+
+
 def _triangle_count_query(sf_dir: str) -> Any:
     """Triangle count over the demo corpus outlink graph (oriented
     wedge join) — SQL-oracled via the same 3-way lexicographic join."""
@@ -636,6 +644,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SCD type-2 versioned dimension (validity intervals per key) —
         # the warehouse twin of J6's keep-latest merge
         "scd2": R.q_scd2,
+        # deterministic per-(epoch, image) random-crop augmentation plan
+        # (reproducible training streams; frozen mix64 origins within
+        # the cover-resize slack)
+        "aug_crop_plan": _aug_crop_plan_query,
     }
     return q
 
@@ -1103,6 +1115,69 @@ def oracle_sql() -> dict[str, str]:
                    (scaled_w - target_w) // 2 AS crop_x,
                    (scaled_h - target_h) // 2 AS crop_y
             FROM geom ORDER BY image_id
+        """,
+        "aug_crop_plan": f"""
+            -- deterministic augmentation crops: the resize_plan geometry
+            -- CTE (same frozen buckets/dims) + per-(image, epoch) frozen
+            -- mix64 origins modulo the cover slack (two seeds: x, y)
+            WITH proto(bucket_id, bw, bh, mult) AS (
+                VALUES (0, 1, 2, 3), (1, 2, 3, 2), (2, 1, 1, 6),
+                       (3, 3, 2, 3), (4, 2, 1, 6)),
+            dims(bucket_id, tw, th) AS (
+                VALUES (0, 32, 64), (1, 36, 54), (2, 45, 45),
+                       (3, 54, 36), (4, 64, 32)),
+            scored AS (
+                SELECT i.image_id,
+                       CAST(i.w AS BIGINT) AS w, CAST(i.h AS BIGINT) AS h,
+                       CAST(p.bucket_id AS BIGINT) AS bucket_id,
+                       abs(CAST(i.w AS BIGINT) * p.bh
+                           - CAST(i.h AS BIGINT) * p.bw) * p.mult AS score
+                FROM '{phash_images}' i CROSS JOIN proto p),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY image_id
+                           ORDER BY score, bucket_id) AS rn
+                FROM scored),
+            geom AS (
+                SELECT b.image_id, b.bucket_id,
+                       CASE WHEN b.w * d.th >= b.h * d.tw
+                            THEN (b.w * d.th) // b.h
+                            ELSE CAST(d.tw AS BIGINT) END
+                           - d.tw + 1 AS slack_w,
+                       CASE WHEN b.w * d.th >= b.h * d.tw
+                            THEN CAST(d.th AS BIGINT)
+                            ELSE (b.h * d.tw) // b.w END
+                           - d.th + 1 AS slack_h
+                FROM ranked b JOIN dims d ON d.bucket_id = b.bucket_id
+                WHERE b.rn = 1),
+            keyed AS (
+                SELECT g.*, t.e,
+                       CAST(regexp_extract(g.image_id, '(\\d+)$', 1)
+                            AS BIGINT) * 3 + t.e AS key
+                FROM geom g CROSS JOIN range(3) t(e)),
+            x1 AS (SELECT *, CAST((CAST(key AS HUGEINT) * 2654435761
+                        + 20260823) % 18446744073709551616 AS UBIGINT)
+                        AS u FROM keyed),
+            x2 AS (SELECT * REPLACE (xor(u, u >> 29) AS u) FROM x1),
+            x3 AS (SELECT * REPLACE (CAST((CAST(u AS HUGEINT)
+                        * 2246822519) % 18446744073709551616 AS UBIGINT)
+                        AS u) FROM x2),
+            x4 AS (SELECT *, xor(u, u >> 32) AS ux FROM x3),
+            y1 AS (SELECT image_id, e, bucket_id, slack_w, slack_h, ux,
+                        CAST((CAST(key AS HUGEINT) * 2654435761
+                        + 20260824) % 18446744073709551616 AS UBIGINT)
+                        AS u FROM x4),
+            y2 AS (SELECT * REPLACE (xor(u, u >> 29) AS u) FROM y1),
+            y3 AS (SELECT * REPLACE (CAST((CAST(u AS HUGEINT)
+                        * 2246822519) % 18446744073709551616 AS UBIGINT)
+                        AS u) FROM y2),
+            y4 AS (SELECT *, xor(u, u >> 32) AS uy FROM y3)
+            SELECT image_id, CAST(e AS BIGINT) AS epoch, bucket_id,
+                   CAST(ux % CAST(slack_w AS UBIGINT) AS BIGINT)
+                       AS crop_x,
+                   CAST(uy % CAST(slack_h AS UBIGINT) AS BIGINT)
+                       AS crop_y
+            FROM y4 ORDER BY image_id, epoch
         """,
         "image_shard_pack": f"""
             -- WebDataset-style greedy shard pack, reproduced as a lockstep

@@ -176,3 +176,66 @@ def resize_corpus(images_path: str, *, concurrency: int = 4):
         batch_size=64,
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# deterministic augmentation crop plan
+# --------------------------------------------------------------------------
+
+AUG_SEED = 20260823
+AUG_EPOCHS = 3
+
+
+def q_aug_crop_plan(images_path: str) -> pa.Table:
+    """Per-(epoch, image) RANDOM-crop origins for training augmentation —
+    deterministic, so a resumed/restarted training job reproduces the
+    exact same augmented stream (the reproducibility contract
+    epoch_shuffle gives the ORDER, extended to the pixels): origin =
+    mix64(seq·AUG_EPOCHS + epoch, seed) modulo the cover-resize slack
+    (scaled − target + 1 positions per axis; two independent frozen
+    seeds for x and y). Replaces :func:`q_resize_plan`'s CENTER crop at
+    train time; the geometry is the same frozen integer
+    ``resize_geometry``. One streamed pass, AUG_EPOCHS rows out per
+    image, all integer — SQL-oracled bit-exact."""
+    import polars as pl
+
+    from spider_ray.kernels.hashing import mix64_int
+
+    ds = read_images(images_path, columns=["image_id", "w", "h"])
+
+    def plan(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].cast(pa.string())
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k, tw, th, sw, sh, _cx, _cy = resize_geometry(w, h)
+        seq = (
+            pl.from_arrow(ids)
+            .str.extract(r"(\d+)$", 1)
+            .cast(pl.Int64)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n = len(seq)
+        slack_w = (sw - tw + 1).astype(np.int64)
+        slack_h = (sh - th + 1).astype(np.int64)
+        out_ids = np.repeat(np.arange(n), AUG_EPOCHS)
+        epochs = np.tile(np.arange(AUG_EPOCHS, dtype=np.int64), n)
+        key = seq[out_ids] * AUG_EPOCHS + epochs
+        ux = mix64_int(key, AUG_SEED)
+        uy = mix64_int(key, AUG_SEED + 1)
+        x = (ux % slack_w[out_ids].astype(np.uint64)).astype(np.int64)
+        y = (uy % slack_h[out_ids].astype(np.uint64)).astype(np.int64)
+        return pa.table(
+            {
+                "image_id": ids.take(pa.array(out_ids)),
+                "epoch": pa.array(epochs, pa.int64()),
+                "bucket_id": pa.array(k[out_ids], pa.int64()),
+                "crop_x": pa.array(x, pa.int64()),
+                "crop_y": pa.array(y, pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(ds.map_batches(plan, batch_format="pyarrow")),
+        ["image_id", "epoch"],
+    )

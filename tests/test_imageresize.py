@@ -217,3 +217,35 @@ def test_resize_geometry_properties():
         assert ((cx + tw - 1) * w) // sw <= w - 1
 
     check()
+
+
+def test_aug_crop_plan_in_slack_and_deterministic(store):
+    """Every augmentation crop origin sits inside the cover-resize
+    slack, epochs differ (the jitter is real), and the plan is
+    deterministic."""
+    import numpy as np
+    import polars as pl
+
+    from spider_ray.functions.imageresize import (
+        AUG_EPOCHS,
+        q_aug_crop_plan,
+        q_resize_plan,
+    )
+
+    plan = pl.from_arrow(q_aug_crop_plan(store))
+    geom = pl.from_arrow(q_resize_plan(store))
+    j = plan.join(geom, on="image_id", suffix="_g")
+    assert (j["bucket_id"] == j["bucket_id_g"]).all()
+    assert (j["crop_x"] >= 0).all() and (j["crop_y"] >= 0).all()
+    assert (j["crop_x"] <= j["scaled_w"] - j["target_w"]).all()
+    assert (j["crop_y"] <= j["scaled_h"] - j["target_h"]).all()
+    per = plan.group_by("image_id").agg(n=pl.len())
+    assert (per["n"] == AUG_EPOCHS).all()
+    # jitter across epochs is real for images with nonzero slack
+    slackful = j.filter(pl.col("scaled_w") > pl.col("target_w"))
+    if slackful.height:
+        var = slackful.group_by("image_id").agg(
+            nx=pl.col("crop_x").n_unique()
+        )
+        assert (var["nx"] > 1).any()
+    assert q_aug_crop_plan(store).equals(q_aug_crop_plan(store))
