@@ -259,6 +259,14 @@ def _connected_components_query(sf_dir: str) -> Any:
     return q_connected_components("/tmp/spider_ray_phash_corpus")
 
 
+def _crawl_delta_query(sf_dir: str) -> Any:
+    """Recrawl delta report over the demo image store (frozen snapshot-B
+    perturbation) — SQL-oracled via FULL OUTER JOIN."""
+    from spider_ray.functions.imagecurate import q_crawl_delta
+
+    return q_crawl_delta(_images_store(sf_dir))
+
+
 def _aug_crop_plan_query(sf_dir: str) -> Any:
     """Deterministic augmentation crop origins over the input_hint image
     table — SQL-oracled bit-exact (geometry CTE + frozen mix64)."""
@@ -648,6 +656,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (reproducible training streams; frozen mix64 origins within
         # the cover-resize slack)
         "aug_crop_plan": _aug_crop_plan_query,
+        # recrawl delta report: FULL OUTER cogroup of two snapshots →
+        # per-(host, status) added/removed/changed/same counts
+        "crawl_delta": _crawl_delta_query,
     }
     return q
 
@@ -1115,6 +1126,39 @@ def oracle_sql() -> dict[str, str]:
                    (scaled_w - target_w) // 2 AS crop_x,
                    (scaled_h - target_h) // 2 AS crop_y
             FROM geom ORDER BY image_id
+        """,
+        "crawl_delta": f"""
+            -- recrawl delta (imagecurate.q_crawl_delta): snapshot B =
+            -- frozen perturbation (drop seq%7=0, re-host seq%13=0 under
+            -- ?v=2, flip phash bit 0 on seq%5=0); FULL OUTER by id
+            WITH a AS (
+                SELECT image_id, CAST(phash AS BIGINT) AS pa_
+                FROM '{phash_images}'),
+            b AS (
+                SELECT CASE WHEN seq % 13 = 0
+                            THEN image_id || '?v=2'
+                            ELSE image_id END AS image_id,
+                       CASE WHEN seq % 5 = 0
+                            THEN xor(CAST(phash AS BIGINT), 1)
+                            ELSE CAST(phash AS BIGINT) END AS pb
+                FROM (
+                    SELECT image_id, phash,
+                           CAST(regexp_extract(image_id, '/i/(\\d+)$', 1)
+                               AS BIGINT) AS seq
+                    FROM '{phash_images}')
+                WHERE seq % 7 != 0),
+            j AS (
+                SELECT coalesce(a.image_id, b.image_id) AS image_id,
+                       a.pa_, b.pb
+                FROM a FULL OUTER JOIN b ON a.image_id = b.image_id)
+            SELECT regexp_extract(image_id, '^https?://([^/]+)', 1)
+                       AS host,
+                   CASE WHEN pa_ IS NULL THEN 'added'
+                        WHEN pb IS NULL THEN 'removed'
+                        WHEN pa_ != pb THEN 'changed'
+                        ELSE 'same' END AS status,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM j GROUP BY host, status ORDER BY host, status
         """,
         "aug_crop_plan": f"""
             -- deterministic augmentation crops: the resize_plan geometry

@@ -416,3 +416,146 @@ def q_image_decontaminate(
         _concat(tagged.map_batches(contaminated, batch_format="pyarrow")),
         "image_id",
     )
+
+
+# --------------------------------------------------------------------------
+# recrawl delta report
+# --------------------------------------------------------------------------
+
+# frozen perturbation deriving "snapshot B" from the store (shared
+# verbatim with the SQL oracle): every 7th image disappears (removed),
+# every 13th is re-hosted under a new id (old id removed + new id
+# added), every 5th changes pixels (phash flips bit 0)
+DELTA_DROP_MOD = 7
+DELTA_MOVE_MOD = 13
+DELTA_EDIT_MOD = 5
+
+
+def q_crawl_delta(images_path: str) -> pa.Table:
+    """Recrawl delta report — what changed between two crawl snapshots
+    of the image store: per-host counts of added / removed / changed /
+    same images. The comparison is a FULL OUTER cogroup by image_id
+    (tagged union → hash partition → per-partition polars full join
+    with key coalesce — the partition-cogroup shape extended to full
+    outer; neither snapshot is ever collected), then a bounded
+    per-(host, status) aggregate. Snapshot B is derived from the store
+    by the frozen perturbation above so the oracle replays it exactly;
+    in production both sides are real generation outputs."""
+    import polars as pl
+
+    from spider_ray.kernels.hashing import SEED
+    from spider_ray.pipelines.relational import _concat, _sorted
+    from spider_ray.sources.lance_io import read_images
+
+    P = 32
+    ds_a = read_images(images_path, columns=["image_id", "phash"])
+    ds_b = read_images(images_path, columns=["image_id", "phash"])
+
+    def derive_b(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            seq=pl.col("image_id").str.extract(r"/i/(\d+)$", 1).cast(
+                pl.Int64
+            )
+        )
+        df = df.filter(pl.col("seq") % DELTA_DROP_MOD != 0).with_columns(
+            image_id=pl.when(pl.col("seq") % DELTA_MOVE_MOD == 0)
+            .then(pl.col("image_id") + pl.lit("?v=2"))
+            .otherwise(pl.col("image_id")),
+            phash=pl.when(pl.col("seq") % DELTA_EDIT_MOD == 0)
+            .then(pl.col("phash").cast(pl.Int64) ^ 1)
+            .otherwise(pl.col("phash").cast(pl.Int64)),
+        )
+        return df.select(["image_id", "phash"]).to_arrow().cast(
+            pa.schema([("image_id", pa.string()), ("phash", pa.int64())])
+        )
+
+    def pad(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            part = (
+                pl.from_arrow(t.select(["image_id"]))
+                .select(
+                    (pl.col("image_id").hash(seed=SEED) % P).cast(
+                        pl.Int32
+                    )
+                )
+                .to_series()
+                .to_numpy()
+            )
+            return pa.table(
+                {
+                    "__part": pa.array(part, pa.int32()),
+                    "__side": pa.array(
+                        np.full(t.num_rows, side, np.int8)
+                    ),
+                    "image_id": t["image_id"],
+                    "phash": t["phash"].cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    tagged = (
+        ds_a.map_batches(pad(0), batch_format="pyarrow")
+        .union(
+            ds_b.map_batches(derive_b, batch_format="pyarrow").map_batches(
+                pad(1), batch_format="pyarrow"
+            )
+        )
+    )
+
+    def diff(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        a = df.filter(pl.col("__side") == 0).select(
+            "image_id", pa_=pl.col("phash")
+        )
+        b = df.filter(pl.col("__side") == 1).select(
+            "image_id", pb=pl.col("phash")
+        )
+        j = a.join(b, on="image_id", how="full", coalesce=True)
+        j = j.with_columns(
+            status=pl.when(pl.col("pa_").is_null())
+            .then(pl.lit("added"))
+            .when(pl.col("pb").is_null())
+            .then(pl.lit("removed"))
+            .when(pl.col("pa_") != pl.col("pb"))
+            .then(pl.lit("changed"))
+            .otherwise(pl.lit("same")),
+            host=pl.col("image_id").str.extract(
+                r"^https?://([^/]+)", 1
+            ),
+        )
+        return (
+            j.group_by("host", "status")
+            .agg(n=pl.len().cast(pl.Int64))
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        ("host", pa.string()),
+                        ("status", pa.string()),
+                        ("n", pa.int64()),
+                    ]
+                )
+            )
+        )
+
+    agg = (
+        tagged.groupby("__part")
+        .map_groups(diff, batch_format="pyarrow")
+        .groupby(["host", "status"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"],
+                "status": t["status"],
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(agg.map_batches(conform, batch_format="pyarrow")),
+        ["host", "status"],
+    )

@@ -202,3 +202,53 @@ def test_image_decontaminate_controlled(tmp_path_factory, ray_session):
     assert got["img00001"]["min_dist"] == 3
     assert got["img00001"]["n_matches"] == 1
     assert got["img00002"]["min_dist"] == IMG_DECON_TAU
+
+
+def test_crawl_delta_accounting(ray_session):
+    """added = re-hosted survivors; removed = drops + re-host old ids;
+    changed/same partition the stable ids; totals reconcile with the
+    frozen perturbation mods."""
+    import polars as pl
+
+    from spider_ray.functions.imagecurate import (
+        DELTA_DROP_MOD,
+        DELTA_EDIT_MOD,
+        DELTA_MOVE_MOD,
+        q_crawl_delta,
+    )
+    from spider_ray.sources.lance_io import resolve_images
+    from spider_ray.sources.webgen import generate
+    import os
+
+    corpus = "/tmp/spider_ray_delta_test_corpus"
+    if not os.path.exists(os.path.join(corpus, "images.parquet")):
+        generate(corpus, n_pages=400, n_hosts=8, seed=11)
+    store = resolve_images(os.path.join(corpus, "images"))
+    out = pl.from_arrow(q_crawl_delta(store))
+    tot = dict(
+        out.group_by("status").agg(pl.col("n").sum()).iter_rows()
+    )
+    import pyarrow.parquet as pq
+
+    seqs = (
+        pl.from_arrow(
+            pq.read_table(
+                os.path.join(corpus, "images.parquet"),
+                columns=["image_id"],
+            )
+        )["image_id"]
+        .str.extract(r"/i/(\d+)$", 1)
+        .cast(pl.Int64)
+        .to_list()
+    )
+    dropped = {s for s in seqs if s % DELTA_DROP_MOD == 0}
+    moved = {
+        s for s in seqs
+        if s % DELTA_MOVE_MOD == 0 and s not in dropped
+    }
+    stable = [s for s in seqs if s not in dropped and s not in moved]
+    changed = sum(1 for s in stable if s % DELTA_EDIT_MOD == 0)
+    assert tot.get("added", 0) == len(moved)
+    assert tot.get("removed", 0) == len(dropped) + len(moved)
+    assert tot.get("changed", 0) == changed
+    assert tot.get("same", 0) == len(stable) - changed
