@@ -284,6 +284,25 @@ def _triangle_count_query(sf_dir: str) -> Any:
     return q_triangle_count("/tmp/spider_ray_phash_corpus")
 
 
+def _anchor_text_query(sf_dir: str) -> Any:
+    """Per-target anchor-text aggregation over the demo corpus outlink
+    graph (offline_analyze anchor merge) — inlink count, distinct source
+    hosts, plurality anchor; SQL-oracled via UNNEST + window row_number."""
+    from spider_ray.functions.webgraph import q_anchor_text
+
+    _images_store(sf_dir)
+    return q_anchor_text("/tmp/spider_ray_phash_corpus")
+
+
+def _recrawl_schedule_query(sf_dir: str) -> Any:
+    """Adaptive per-URL revisit plan from the snapshot delta (halve on
+    change, double on no-change, clamped; priority bands) — SQL-oracled
+    bit-exact via the same frozen perturbation + integer arithmetic."""
+    from spider_ray.functions.imagecurate import q_recrawl_schedule
+
+    return q_recrawl_schedule(_images_store(sf_dir))
+
+
 def _image_filter_query(sf_dir: str) -> Any:
     """LAION-style metadata/caption/payload gate with per-reason reject
     bitmask over the input_hint image table (SQL-oracled bit-exact)."""
@@ -659,6 +678,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recrawl delta report: FULL OUTER cogroup of two snapshots →
         # per-(host, status) added/removed/changed/same counts
         "crawl_delta": _crawl_delta_query,
+        # per-target anchor-text aggregation (linkbase side table):
+        # inlink count, distinct source hosts, plurality anchor
+        "anchor_text": _anchor_text_query,
+        # adaptive revisit plan from the snapshot delta (halve/double/
+        # clamp + priority bands — the scheduler's recrawl queue input)
+        "recrawl_schedule": _recrawl_schedule_query,
     }
     return q
 
@@ -687,6 +712,12 @@ def oracle_sql() -> dict[str, str]:
     from spider_ray.functions.imageshard import BAL_SEED
 
     assert BAL_SEED == 20260821
+
+    # frozen revisit constants, shared verbatim with imagecurate
+    from spider_ray.functions import imagecurate as ICU
+
+    assert (ICU.REVISIT_BASE, ICU.REVISIT_MIN, ICU.REVISIT_MAX,
+            ICU.REVISIT_PREV_MOD) == (86_400, 3_600, 604_800, 8)
 
     # shared by the image-curation oracles: the exact phash pair graph
     # (same tau as functions/imagecurate.PHASH_TAU) and the gate input
@@ -1159,6 +1190,93 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'same' END AS status,
                    CAST(count(*) AS BIGINT) AS n
             FROM j GROUP BY host, status ORDER BY host, status
+        """,
+        "anchor_text": f"""
+            -- per-target anchor aggregation (webgraph.q_anchor_text):
+            -- url_preprocess cleanup (trim, drop empty, strip ONE
+            -- trailing '#' then ONE trailing '/'), then per-dst inlink
+            -- count, distinct source hosts, plurality anchor (count
+            -- desc, lexical asc tie-break)
+            WITH ex AS (
+                SELECT host AS src_host, UNNEST(outlinks) AS ol
+                FROM '{wg_path}'),
+            e AS (
+                SELECT src_host,
+                       regexp_replace(regexp_replace(
+                           trim(ol.url), '#$', ''), '/$', '') AS dst,
+                       ol.anchor AS anchor
+                FROM ex WHERE trim(ol.url) <> ''),
+            per AS (
+                SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
+                       CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+                FROM e GROUP BY dst),
+            a AS (
+                SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+                FROM e GROUP BY dst, anchor),
+            top AS (
+                SELECT dst, anchor, n, row_number() OVER (
+                           PARTITION BY dst
+                           ORDER BY n DESC, anchor ASC) AS rn
+                FROM a)
+            SELECT per.dst AS url, per.n_inlinks, per.n_hosts,
+                   top.anchor AS top_anchor, top.n AS top_anchor_n
+            FROM per JOIN top ON per.dst = top.dst AND top.rn = 1
+            ORDER BY url
+        """,
+        "recrawl_schedule": f"""
+            -- adaptive revisit plan (imagecurate.q_recrawl_schedule):
+            -- same frozen snapshot-B perturbation as crawl_delta; live
+            -- rows only; prev = 3600 << (seq % 8) planted workload;
+            -- added → 86400, changed → max(3600, prev // 2),
+            -- same → min(604800, prev * 2); priority bands 0/1/2
+            WITH a AS (
+                SELECT image_id, CAST(phash AS BIGINT) AS pa_
+                FROM '{phash_images}'),
+            b AS (
+                SELECT CASE WHEN seq % 13 = 0
+                            THEN image_id || '?v=2'
+                            ELSE image_id END AS image_id,
+                       CASE WHEN seq % 5 = 0
+                            THEN xor(CAST(phash AS BIGINT), 1)
+                            ELSE CAST(phash AS BIGINT) END AS pb
+                FROM (
+                    SELECT image_id, phash,
+                           CAST(regexp_extract(image_id, '/i/(\\d+)$', 1)
+                               AS BIGINT) AS seq
+                    FROM '{phash_images}')
+                WHERE seq % 7 != 0),
+            j AS (
+                SELECT coalesce(a.image_id, b.image_id) AS image_id,
+                       a.pa_, b.pb
+                FROM a FULL OUTER JOIN b ON a.image_id = b.image_id),
+            s AS (
+                SELECT image_id,
+                       regexp_extract(image_id, '^https?://([^/]+)', 1)
+                           AS host,
+                       CASE WHEN pa_ IS NULL THEN 'added'
+                            WHEN pb IS NULL THEN 'removed'
+                            WHEN pa_ != pb THEN 'changed'
+                            ELSE 'same' END AS status,
+                       CAST(regexp_extract(image_id, '/i/(\\d+)', 1)
+                           AS BIGINT) AS seq
+                FROM j),
+            p AS (
+                SELECT image_id, host, status,
+                       3600 * (1 << CAST(seq % 8 AS INTEGER)) AS prev
+                FROM s WHERE status != 'removed'),
+            iv AS (
+                SELECT image_id, host, status,
+                       CASE WHEN status = 'added' THEN 86400
+                            WHEN status = 'changed'
+                                THEN greatest(3600, prev // 2)
+                            ELSE least(604800, prev * 2) END AS interval_s
+                FROM p)
+            SELECT image_id, host, status,
+                   CAST(interval_s AS BIGINT) AS interval_s,
+                   CAST(CASE WHEN interval_s <= 14400 THEN 0
+                             WHEN interval_s <= 86400 THEN 1
+                             ELSE 2 END AS INTEGER) AS priority
+            FROM iv ORDER BY image_id
         """,
         "aug_crop_plan": f"""
             -- deterministic augmentation crops: the resize_plan geometry

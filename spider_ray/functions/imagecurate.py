@@ -431,23 +431,19 @@ DELTA_MOVE_MOD = 13
 DELTA_EDIT_MOD = 5
 
 
-def q_crawl_delta(images_path: str) -> pa.Table:
-    """Recrawl delta report — what changed between two crawl snapshots
-    of the image store: per-host counts of added / removed / changed /
-    same images. The comparison is a FULL OUTER cogroup by image_id
-    (tagged union → hash partition → per-partition polars full join
-    with key coalesce — the partition-cogroup shape extended to full
-    outer; neither snapshot is ever collected), then a bounded
-    per-(host, status) aggregate. Snapshot B is derived from the store
-    by the frozen perturbation above so the oracle replays it exactly;
-    in production both sides are real generation outputs."""
+def _delta_tagged(images_path: str, P: int = 32):
+    """Side-tagged, hash-partitioned union of snapshot A (the store as
+    read) and snapshot B (the frozen perturbation above) — the shared
+    front half of the recrawl delta/schedule queries. Each block carries
+    ``__part`` (hash(image_id) % P) and ``__side`` (0=A, 1=B) so a
+    ``groupby(__part).map_groups`` downstream sees both sides of every
+    key in one group (FULL OUTER partition-cogroup); neither snapshot is
+    ever collected."""
     import polars as pl
 
     from spider_ray.kernels.hashing import SEED
-    from spider_ray.pipelines.relational import _concat, _sorted
     from spider_ray.sources.lance_io import read_images
 
-    P = 32
     ds_a = read_images(images_path, columns=["image_id", "phash"])
     ds_b = read_images(images_path, columns=["image_id", "phash"])
 
@@ -494,7 +490,7 @@ def q_crawl_delta(images_path: str) -> pa.Table:
 
         return f
 
-    tagged = (
+    return (
         ds_a.map_batches(pad(0), batch_format="pyarrow")
         .union(
             ds_b.map_batches(derive_b, batch_format="pyarrow").map_batches(
@@ -503,27 +499,49 @@ def q_crawl_delta(images_path: str) -> pa.Table:
         )
     )
 
+
+def _delta_status(group: pa.Table):
+    """Per-partition FULL OUTER join of the two tagged sides with the
+    per-key delta ``status`` (added/removed/changed/same) and ``host``
+    computed — returns a polars frame, shared by the delta queries."""
+    import polars as pl
+
+    df = pl.from_arrow(group)
+    a = df.filter(pl.col("__side") == 0).select(
+        "image_id", pa_=pl.col("phash")
+    )
+    b = df.filter(pl.col("__side") == 1).select(
+        "image_id", pb=pl.col("phash")
+    )
+    j = a.join(b, on="image_id", how="full", coalesce=True)
+    return j.with_columns(
+        status=pl.when(pl.col("pa_").is_null())
+        .then(pl.lit("added"))
+        .when(pl.col("pb").is_null())
+        .then(pl.lit("removed"))
+        .when(pl.col("pa_") != pl.col("pb"))
+        .then(pl.lit("changed"))
+        .otherwise(pl.lit("same")),
+        host=pl.col("image_id").str.extract(r"^https?://([^/]+)", 1),
+    )
+
+
+def q_crawl_delta(images_path: str) -> pa.Table:
+    """Recrawl delta report — what changed between two crawl snapshots
+    of the image store: per-host counts of added / removed / changed /
+    same images. The comparison is a FULL OUTER cogroup by image_id
+    (tagged union → hash partition → per-partition polars full join
+    with key coalesce — the partition-cogroup shape extended to full
+    outer; neither snapshot is ever collected), then a bounded
+    per-(host, status) aggregate. Snapshot B is derived from the store
+    by the frozen perturbation above so the oracle replays it exactly;
+    in production both sides are real generation outputs."""
+    import polars as pl
+
+    tagged = _delta_tagged(images_path)
+
     def diff(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group)
-        a = df.filter(pl.col("__side") == 0).select(
-            "image_id", pa_=pl.col("phash")
-        )
-        b = df.filter(pl.col("__side") == 1).select(
-            "image_id", pb=pl.col("phash")
-        )
-        j = a.join(b, on="image_id", how="full", coalesce=True)
-        j = j.with_columns(
-            status=pl.when(pl.col("pa_").is_null())
-            .then(pl.lit("added"))
-            .when(pl.col("pb").is_null())
-            .then(pl.lit("removed"))
-            .when(pl.col("pa_") != pl.col("pb"))
-            .then(pl.lit("changed"))
-            .otherwise(pl.lit("same")),
-            host=pl.col("image_id").str.extract(
-                r"^https?://([^/]+)", 1
-            ),
-        )
+        j = _delta_status(group)
         return (
             j.group_by("host", "status")
             .agg(n=pl.len().cast(pl.Int64))
@@ -559,3 +577,96 @@ def q_crawl_delta(images_path: str) -> pa.Table:
         _concat(agg.map_batches(conform, batch_format="pyarrow")),
         ["host", "status"],
     )
+
+
+# adaptive revisit constants (frozen, shared verbatim with the SQL
+# oracle). The reference revisits every page on a fixed max_duration =
+# 86,400 s clock (crawler2/general_crawler/scheduler.cc:22-24); the
+# adaptive form below is the standard change-rate refinement (Cho &
+# Garcia-Molina, "Effective Page Refresh Policies for Web Crawlers"):
+# halve the interval when the page changed, double it when it did not,
+# clamp to [REVISIT_MIN, REVISIT_MAX]. The PREVIOUS interval is a
+# planted deterministic workload (REVISIT_MIN << (seq % 8)) so both
+# clamps get exercised and the SQL oracle replays it bit-exact; in
+# production it comes from the scheduler's per-URL state table.
+REVISIT_BASE = 86_400
+REVISIT_MIN = 3_600
+REVISIT_MAX = 604_800
+REVISIT_PREV_MOD = 8
+
+
+def q_recrawl_schedule(images_path: str) -> pa.Table:
+    """Adaptive recrawl schedule — the per-URL revisit plan a frontier
+    scheduler emits after comparing two crawl snapshots: new URLs enter
+    at the base (daily) interval, changed URLs halve their previous
+    interval, unchanged URLs double it, both clamped, and every row gets
+    an integer priority band (0 = hot, soonest revisit) that the permit
+    scheduler consumes directly. Removed URLs leave the schedule.
+
+    Same FULL OUTER partition-cogroup front half as
+    :func:`q_crawl_delta` (one hash shuffle, no driver materialization);
+    the per-row interval/priority math is vectorized integer arithmetic
+    inside the same ``map_groups`` pass. Output: one row per live URL,
+    sorted by image_id."""
+    import polars as pl
+
+    tagged = _delta_tagged(images_path)
+
+    out_schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("host", pa.string()),
+            ("status", pa.string()),
+            ("interval_s", pa.int64()),
+            ("priority", pa.int32()),
+        ]
+    )
+
+    def schedule(group: pa.Table) -> pa.Table:
+        j = _delta_status(group).filter(pl.col("status") != "removed")
+        j = j.with_columns(
+            seq=pl.col("image_id")
+            .str.extract(r"/i/(\d+)", 1)
+            .cast(pl.Int64)
+        ).with_columns(
+            # 2^(seq % 8) ≤ 128 — float pow is exact there; cast back
+            prev=(
+                pl.lit(REVISIT_MIN, dtype=pl.Int64)
+                * (2 ** (pl.col("seq") % REVISIT_PREV_MOD)).cast(pl.Int64)
+            )
+        )
+        j = j.with_columns(
+            interval_s=pl.when(pl.col("status") == "added")
+            .then(pl.lit(REVISIT_BASE, dtype=pl.Int64))
+            .when(pl.col("status") == "changed")
+            .then(
+                pl.max_horizontal(
+                    pl.lit(REVISIT_MIN, dtype=pl.Int64),
+                    pl.col("prev") // 2,
+                )
+            )
+            .otherwise(
+                pl.min_horizontal(
+                    pl.lit(REVISIT_MAX, dtype=pl.Int64),
+                    pl.col("prev") * 2,
+                )
+            )
+        ).with_columns(
+            priority=pl.when(pl.col("interval_s") <= 4 * REVISIT_MIN)
+            .then(pl.lit(0, dtype=pl.Int32))
+            .when(pl.col("interval_s") <= REVISIT_BASE)
+            .then(pl.lit(1, dtype=pl.Int32))
+            .otherwise(pl.lit(2, dtype=pl.Int32))
+        )
+        return (
+            j.select(
+                ["image_id", "host", "status", "interval_s", "priority"]
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    out = tagged.groupby("__part").map_groups(
+        schedule, batch_format="pyarrow"
+    )
+    return _sorted(_concat(out), "image_id")

@@ -725,3 +725,114 @@ def q_triangle_count(corpus: str) -> pa.Table:
             "n_triangles": pa.array([n_tri], pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# anchor_text
+# --------------------------------------------------------------------------
+
+ANCHOR_PARTS = 32  # hash-partition fan-out for the per-target reduce
+
+
+def q_anchor_text(corpus: str) -> pa.Table:
+    """Per-target anchor-text aggregation over the outlink graph — the
+    linkbase side-table the reference's offline analyzer builds by merging
+    every page's outgoing ``(url, anchor)`` pairs into the target page's
+    graph record (crawler/offline_analyze/offline_analyze_util.cc:10-46
+    ``url_preprocess`` cleanup + offline_analyze_test.cc anchor-merge
+    flow; crawler2/general_crawler/extractor.cc emits the pairs at parse
+    time). Anchor text pointing AT a page is a classic relevance signal —
+    this is the aggregation that makes it queryable.
+
+    Target-URL cleanup follows url_preprocess exactly: trim whitespace,
+    drop empties, strip ONE trailing ``#`` then ONE trailing ``/``.
+
+    Distributed shape: one streamed explode pass over pruned columns with
+    per-block PARTIAL counts by (dst, anchor, src_host) — the combiner
+    that keeps the shuffle proportional to distinct triples, not raw
+    edges — then ONE hash-partition reduce by dst
+    (``groupby(__part).map_groups``) computing per-target totals,
+    distinct referring hosts, and the plurality anchor (count desc,
+    lexical asc tie-break). The driver never holds the edge set; output
+    is one row per linked-to URL."""
+    wg = _read_web_graph(corpus, ["host", "outlinks"])
+
+    part_schema = pa.schema(
+        [
+            ("__part", pa.int32()),
+            ("dst", pa.string()),
+            ("anchor", pa.string()),
+            ("src_host", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .explode("outlinks")
+            .drop_nulls("outlinks")
+            .select(
+                src_host=pl.col("host"),
+                dst=pl.col("outlinks").struct.field("url").str.strip_chars(),
+                anchor=pl.col("outlinks").struct.field("anchor"),
+            )
+            .filter(pl.col("dst") != "")
+            # url_preprocess: one trailing '#' strip, then one trailing '/'
+            .with_columns(
+                dst=pl.col("dst")
+                .str.replace(r"#$", "")
+                .str.replace(r"/$", "")
+            )
+            .group_by(["dst", "anchor", "src_host"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .with_columns(
+                __part=(pl.col("dst").hash(seed=SEED) % ANCHOR_PARTS).cast(
+                    pl.Int32
+                )
+            )
+            .select(["__part", "dst", "anchor", "src_host", "n"])
+        )
+        return df.to_arrow().cast(part_schema)
+
+    out_schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("n_inlinks", pa.int64()),
+            ("n_hosts", pa.int64()),
+            ("top_anchor", pa.string()),
+            ("top_anchor_n", pa.int64()),
+        ]
+    )
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        per = df.group_by("dst").agg(
+            n_inlinks=pl.col("n").sum(),
+            n_hosts=pl.col("src_host").n_unique().cast(pl.Int64),
+        )
+        anchors = df.group_by(["dst", "anchor"]).agg(n=pl.col("n").sum())
+        top = (
+            anchors.sort(
+                ["dst", "n", "anchor"], descending=[False, True, False]
+            )
+            .group_by("dst", maintain_order=True)
+            .first()
+            .rename({"anchor": "top_anchor", "n": "top_anchor_n"})
+        )
+        return (
+            per.join(top, on="dst")
+            .rename({"dst": "url"})
+            .select(
+                ["url", "n_inlinks", "n_hosts", "top_anchor", "top_anchor_n"]
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    agg = (
+        wg.map_batches(explode, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+    return _sorted(_concat(agg), "url")

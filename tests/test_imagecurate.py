@@ -252,3 +252,74 @@ def test_crawl_delta_accounting(ray_session):
     assert tot.get("removed", 0) == len(dropped) + len(moved)
     assert tot.get("changed", 0) == changed
     assert tot.get("same", 0) == len(stable) - changed
+
+
+def test_recrawl_schedule_rules(ray_session):
+    """Adaptive revisit rules: removed URLs leave the plan; added rows
+    enter at REVISIT_BASE; changed rows halve prev (floored at
+    REVISIT_MIN); same rows double prev (capped at REVISIT_MAX) — with
+    both clamps actually exercised by the planted prev workload — and
+    priority bands follow the frozen thresholds."""
+    import os
+
+    import polars as pl
+
+    from spider_ray.functions.imagecurate import (
+        REVISIT_BASE,
+        REVISIT_MAX,
+        REVISIT_MIN,
+        REVISIT_PREV_MOD,
+        q_crawl_delta,
+        q_recrawl_schedule,
+    )
+    from spider_ray.sources.lance_io import resolve_images
+    from spider_ray.sources.webgen import generate
+
+    corpus = "/tmp/spider_ray_delta_test_corpus"
+    if not os.path.exists(os.path.join(corpus, "images.parquet")):
+        generate(corpus, n_pages=400, n_hosts=8, seed=11)
+    store = resolve_images(os.path.join(corpus, "images"))
+    out = pl.from_arrow(q_recrawl_schedule(store))
+
+    assert set(out["status"].unique()) <= {"added", "changed", "same"}
+    # row count reconciles with the delta report's live statuses
+    delta = pl.from_arrow(q_crawl_delta(store))
+    live = (
+        delta.filter(pl.col("status") != "removed")["n"].sum()
+    )
+    assert out.height == live
+
+    seq = out["image_id"].str.extract(r"/i/(\d+)", 1).cast(pl.Int64)
+    prev = REVISIT_MIN * (2 ** (seq % REVISIT_PREV_MOD)).cast(pl.Int64)
+    expect = (
+        pl.when(out["status"] == "added")
+        .then(pl.lit(REVISIT_BASE, dtype=pl.Int64))
+        .when(out["status"] == "changed")
+        .then(
+            pl.max_horizontal(
+                pl.lit(REVISIT_MIN, dtype=pl.Int64), prev // 2
+            )
+        )
+        .otherwise(
+            pl.min_horizontal(pl.lit(REVISIT_MAX, dtype=pl.Int64), prev * 2)
+        )
+    )
+    df = pl.DataFrame({"got": out["interval_s"]}).with_columns(
+        want=expect
+    )
+    assert (df["got"] == df["want"]).all()
+    # both clamps exercised
+    assert (out["interval_s"] == REVISIT_MIN).any() or (
+        out.filter(pl.col("status") == "changed")["interval_s"].min()
+        == REVISIT_MIN
+    )
+    assert out["interval_s"].max() == REVISIT_MAX
+    # priority bands
+    iv = out["interval_s"]
+    want_p = (
+        pl.when(iv <= 4 * REVISIT_MIN).then(0)
+        .when(iv <= REVISIT_BASE).then(1)
+        .otherwise(2)
+    )
+    dfp = pl.DataFrame({"p": out["priority"]}).with_columns(w=want_p)
+    assert (dfp["p"] == dfp["w"].cast(pl.Int32)).all()

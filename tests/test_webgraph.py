@@ -205,3 +205,56 @@ def test_triangle_count_matches_bruteforce(graph_corpus):
     assert out["n_edges"] == len(edges)
     assert out["n_triangles"] == tri
     assert out["n_wedges"] >= out["n_triangles"]
+
+
+def test_anchor_text_matches_bruteforce(ray_session, graph_corpus):
+    """Distributed anchor aggregation equals a single-process polars
+    reference over the raw outlink table (counts, distinct hosts, and
+    the plurality anchor with the count-desc/lexical-asc tie-break)."""
+    import os
+
+    import polars as pl
+
+    from spider_ray.functions.webgraph import q_anchor_text
+
+    out = pl.from_arrow(q_anchor_text(graph_corpus))
+    raw = pl.from_arrow(
+        pq.read_table(
+            os.path.join(graph_corpus, "web_graph.parquet"),
+            columns=["host", "outlinks"],
+        )
+    )
+    e = (
+        raw.explode("outlinks")
+        .drop_nulls("outlinks")
+        .select(
+            src_host=pl.col("host"),
+            dst=pl.col("outlinks").struct.field("url").str.strip_chars()
+            .str.replace(r"#$", "")
+            .str.replace(r"/$", ""),
+            anchor=pl.col("outlinks").struct.field("anchor"),
+        )
+        .filter(pl.col("dst") != "")
+    )
+    per = e.group_by("dst").agg(
+        n_inlinks=pl.len().cast(pl.Int64),
+        n_hosts=pl.col("src_host").n_unique().cast(pl.Int64),
+    )
+    top = (
+        e.group_by(["dst", "anchor"])
+        .agg(n=pl.len().cast(pl.Int64))
+        .sort(["dst", "n", "anchor"], descending=[False, True, False])
+        .group_by("dst", maintain_order=True)
+        .first()
+        .rename({"anchor": "top_anchor", "n": "top_anchor_n"})
+    )
+    ref = (
+        per.join(top, on="dst")
+        .rename({"dst": "url"})
+        .select(["url", "n_inlinks", "n_hosts", "top_anchor", "top_anchor_n"])
+        .sort("url")
+    )
+    assert out.sort("url").equals(ref)
+    # workload selectivity: some target must have a true plurality anchor
+    assert (out["top_anchor_n"] > 1).any()
+    assert (out["n_hosts"] > 1).any()
