@@ -303,6 +303,24 @@ def _recrawl_schedule_query(sf_dir: str) -> Any:
     return q_recrawl_schedule(_images_store(sf_dir))
 
 
+def _host_graph_query(sf_dir: str) -> Any:
+    """Host-level link graph (cross-host edge counts + distinct linking
+    pages) over the demo corpus — SQL-oracled via UNNEST + group-by."""
+    from spider_ray.functions.webgraph import q_host_graph
+
+    _images_store(sf_dir)
+    return q_host_graph("/tmp/spider_ray_phash_corpus")
+
+
+def _format_sniff_query(sf_dir: str) -> Any:
+    """Payload integrity gate: magic-byte format sniff + container-header
+    geometry vs declared columns, frozen first-byte-flip corruption
+    workload — SQL-oracled bit-exact via hex() arithmetic."""
+    from spider_ray.functions.imagecurate import q_format_sniff
+
+    return q_format_sniff(_images_store(sf_dir))
+
+
 def _image_filter_query(sf_dir: str) -> Any:
     """LAION-style metadata/caption/payload gate with per-reason reject
     bitmask over the input_hint image table (SQL-oracled bit-exact)."""
@@ -684,6 +702,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # adaptive revisit plan from the snapshot delta (halve/double/
         # clamp + priority bands — the scheduler's recrawl queue input)
         "recrawl_schedule": _recrawl_schedule_query,
+        # host-level link graph: cross-host edge counts + distinct
+        # linking pages (the scheduler's per-host structure + the
+        # standard shuffle-skew diagnostic)
+        "host_graph": _host_graph_query,
+        # payload integrity gate: magic-byte sniff + header geometry vs
+        # declared fmt/w/h (quarantine before the decode pool)
+        "format_sniff": _format_sniff_query,
+        # per-user inter-event-time stats (the LAG window class; exact
+        # int64 µs aggregates)
+        "interevent_gaps": R.q_interevent_gaps,
     }
     return q
 
@@ -1277,6 +1305,91 @@ def oracle_sql() -> dict[str, str]:
                              WHEN interval_s <= 86400 THEN 1
                              ELSE 2 END AS INTEGER) AS priority
             FROM iv ORDER BY image_id
+        """,
+        "host_graph": f"""
+            -- host-level link graph (webgraph.q_host_graph): collapse
+            -- URL edges to cross-host (src_host, dst_host) with link
+            -- counts + distinct linking pages
+            WITH ex AS (
+                SELECT url AS src_url, host AS src_host,
+                       UNNEST(outlinks) AS ol
+                FROM '{wg_path}'),
+            e AS (
+                SELECT src_host, src_url,
+                       regexp_extract(ol.url, '^https?://([^/]+)', 1)
+                           AS dst_host
+                FROM ex),
+            f AS (
+                SELECT * FROM e
+                WHERE dst_host IS NOT NULL AND dst_host != ''
+                  AND dst_host != src_host)
+            SELECT src_host, dst_host,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages
+            FROM f GROUP BY src_host, dst_host
+            ORDER BY src_host, dst_host
+        """,
+        "format_sniff": f"""
+            -- payload integrity gate (imagecurate.q_format_sniff):
+            -- magic-byte sniff (PNG 89504E47 / QIM1 51494D31 — the
+            -- from-scratch lossy stand-in), container-header w/h (PNG
+            -- IHDR bytes 17-24 big-endian; QIM1 ">II" bytes 5-12) vs
+            -- declared fmt/w/h; frozen first-byte-flip corruption on
+            -- seq % 17 = 0
+            WITH x AS (
+                SELECT image_id, fmt,
+                       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                       hex("bytes") AS hx,
+                       CAST(regexp_extract(image_id, '/i/(\\d+)$', 1)
+                           AS BIGINT) AS seq
+                FROM '{phash_images}'),
+            s AS (
+                SELECT image_id, fmt, w, h, hx,
+                       CASE WHEN seq % 17 = 0 THEN 'unknown'
+                            WHEN left(hx, 8) = '89504E47' THEN 'png'
+                            WHEN left(hx, 8) = '51494D31' THEN 'jpeg'
+                            ELSE 'unknown' END AS sniffed
+                FROM x),
+            d AS (
+                SELECT image_id, fmt, w, h, sniffed,
+                       CASE WHEN sniffed = 'png'
+                                THEN CAST(('0x' || substr(hx, 33, 8))
+                                    AS BIGINT)
+                            WHEN sniffed = 'jpeg'
+                                THEN CAST(('0x' || substr(hx, 9, 8))
+                                    AS BIGINT)
+                            ELSE NULL END AS hdr_w,
+                       CASE WHEN sniffed = 'png'
+                                THEN CAST(('0x' || substr(hx, 41, 8))
+                                    AS BIGINT)
+                            WHEN sniffed = 'jpeg'
+                                THEN CAST(('0x' || substr(hx, 17, 8))
+                                    AS BIGINT)
+                            ELSE NULL END AS hdr_h
+                FROM s)
+            SELECT image_id, fmt, sniffed, hdr_w, hdr_h,
+                   CAST(CASE WHEN sniffed = fmt AND hdr_w = w
+                                  AND hdr_h = h
+                             THEN 1 ELSE 0 END AS INTEGER) AS ok
+            FROM d ORDER BY image_id
+        """,
+        "interevent_gaps": """
+            -- per-user inter-event gaps (relational.q_interevent_gaps):
+            -- LAG over (ts, event_id) within user; exact int64 µs
+            -- count/min/max/sum (no float mean)
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "aug_crop_plan": f"""
             -- deterministic augmentation crops: the resize_plan geometry

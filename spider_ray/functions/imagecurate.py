@@ -670,3 +670,117 @@ def q_recrawl_schedule(images_path: str) -> pa.Table:
         schedule, batch_format="pyarrow"
     )
     return _sorted(_concat(out), "image_id")
+
+
+# --------------------------------------------------------------------------
+# format sniff (payload integrity gate)
+# --------------------------------------------------------------------------
+
+# frozen transfer-corruption workload (shared verbatim with the SQL
+# oracle): every 17th image arrives with its first byte flipped — the
+# truncation/bit-rot case a fetch pipeline must catch before decode
+# (the reference bounds and truncates payloads at the transfer layer,
+# crawler/crawl/page_crawler_callback.cc:21-33, and drops undecodable
+# bodies at handle time; sniffing magic bytes BEFORE decode is the
+# batch-side equivalent).
+FMT_CORRUPT_MOD = 17
+
+_PNG_MAGIC = np.frombuffer(b"\x89PNG", np.uint8)
+_QIM_MAGIC = np.frombuffer(b"QIM1", np.uint8)  # the from-scratch lossy
+# codec standing in for JPEG (kernels/imaging.py) — its container header
+
+
+def q_format_sniff(images_path: str) -> pa.Table:
+    """Payload integrity gate: sniff each image's ACTUAL container format
+    from its magic bytes, pull width/height out of the container header
+    (PNG IHDR big-endian at bytes 17-24; the QIM1 stand-in's ``>II`` at
+    bytes 5-12), and flag rows where the sniffed format or header
+    geometry contradicts the table's declared ``fmt``/``w``/``h`` —
+    corrupt or mislabeled rows must be dropped before the decode pool
+    ever sees them. One embarrassingly-parallel streamed pass; the byte
+    work is vectorized numpy over the Arrow binary buffer (no per-row
+    Python). Output one row per image, ``ok=0`` rows are the quarantine
+    set."""
+    import polars as pl
+
+    ds = read_images(
+        images_path, columns=["image_id", "bytes", "fmt", "w", "h"]
+    )
+
+    out_schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("fmt", pa.string()),
+            ("sniffed", pa.string()),
+            ("hdr_w", pa.int64()),
+            ("hdr_h", pa.int64()),
+            ("ok", pa.int32()),
+        ]
+    )
+
+    def sniff(t: pa.Table) -> pa.Table:
+        b = t["bytes"].combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        odt = np.int64 if pa.types.is_large_binary(b.type) else np.int32
+        off = (
+            np.frombuffer(b.buffers()[1], odt)[
+                b.offset : b.offset + len(b) + 1
+            ].astype(np.int64)
+        )
+        data = np.frombuffer(b.buffers()[2], np.uint8)
+        starts = off[:-1]
+        # every image is ≥ 24 bytes (13-byte QIM1 header + payload /
+        # 8-byte PNG magic + IHDR); guard anyway
+        lens = off[1:] - off[:-1]
+        idx = starts[:, None] + np.arange(24)[None, :]
+        idx = np.minimum(idx, int(off[-1]) - 1)
+        hdr = data[idx]  # (n, 24) header window per row
+        seq = (
+            pl.from_arrow(t.select(["image_id"]))["image_id"]
+            .str.extract(r"/i/(\d+)$", 1)
+            .cast(pl.Int64)
+            .to_numpy()
+        )
+        corrupt = (seq % FMT_CORRUPT_MOD) == 0
+        magic = hdr[:, :4].copy()
+        magic[corrupt, 0] ^= 0xFF  # the planted first-byte flip
+        is_png = (magic == _PNG_MAGIC).all(axis=1) & (lens >= 24)
+        is_qim = (magic == _QIM_MAGIC).all(axis=1) & (lens >= 13)
+
+        def be32(col: int) -> np.ndarray:
+            h32 = hdr[:, col : col + 4].astype(np.int64)
+            return (h32[:, 0] << 24) | (h32[:, 1] << 16) | (
+                h32[:, 2] << 8
+            ) | h32[:, 3]
+
+        hdr_w = np.where(is_png, be32(16), np.where(is_qim, be32(4), 0))
+        hdr_h = np.where(is_png, be32(20), np.where(is_qim, be32(8), 0))
+        known = is_png | is_qim
+        sniffed = np.where(
+            is_png, "png", np.where(is_qim, "jpeg", "unknown")
+        )
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fmt = np.asarray(t["fmt"].to_pylist())
+        ok = known & (sniffed == fmt) & (hdr_w == w) & (hdr_h == h)
+        return pa.table(
+            {
+                "image_id": t["image_id"].cast(pa.string()),
+                "fmt": t["fmt"].cast(pa.string()),
+                "sniffed": pa.array(sniffed.tolist(), pa.string()),
+                "hdr_w": pa.array(
+                    [int(v) if k else None for v, k in zip(hdr_w, known)],
+                    pa.int64(),
+                ),
+                "hdr_h": pa.array(
+                    [int(v) if k else None for v, k in zip(hdr_h, known)],
+                    pa.int64(),
+                ),
+                "ok": pa.array(ok.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return _sorted(
+        _concat(ds.map_batches(sniff, batch_format="pyarrow")), "image_id"
+    )

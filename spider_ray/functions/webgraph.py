@@ -836,3 +836,92 @@ def q_anchor_text(corpus: str) -> pa.Table:
         .map_groups(reduce_part, batch_format="pyarrow")
     )
     return _sorted(_concat(agg), "url")
+
+
+# --------------------------------------------------------------------------
+# host_graph
+# --------------------------------------------------------------------------
+
+def q_host_graph(corpus: str) -> pa.Table:
+    """Host-level link graph — collapse the URL-level outlink graph to
+    directed (src_host → dst_host) edges with link counts and distinct
+    linking pages, CROSS-host edges only. This is the per-host structure
+    the reference's scheduler consumes everywhere it reasons about hosts
+    rather than URLs (host_stat.cc per-host URL stats, the host_load
+    control table, linkbase locality keys); the host graph is also the
+    standard skew diagnostic — a hot dst_host row is exactly a shuffle
+    hot key.
+
+    Same combiner discipline as :func:`q_anchor_text`: per-block PARTIAL
+    counts by (src_host, dst_host, src_url) bound the shuffle by
+    distinct triples; one hash-partition reduce by the host pair sums
+    link counts and counts distinct source pages."""
+    wg = _read_web_graph(corpus, ["url", "host", "outlinks"])
+
+    part_schema = pa.schema(
+        [
+            ("__part", pa.int32()),
+            ("src_host", pa.string()),
+            ("dst_host", pa.string()),
+            ("src_url", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .explode("outlinks")
+            .drop_nulls("outlinks")
+            .select(
+                src_host=pl.col("host"),
+                src_url=pl.col("url"),
+                dst_host=pl.col("outlinks")
+                .struct.field("url")
+                .str.extract(r"^https?://([^/]+)", 1),
+            )
+            .filter(
+                pl.col("dst_host").is_not_null()
+                & (pl.col("dst_host") != pl.col("src_host"))
+            )
+            .group_by(["src_host", "dst_host", "src_url"])
+            .agg(n=pl.len().cast(pl.Int64))
+            .with_columns(
+                __part=(
+                    (pl.col("src_host") + pl.lit("\x00") + pl.col("dst_host"))
+                    .hash(seed=SEED)
+                    % ANCHOR_PARTS
+                ).cast(pl.Int32)
+            )
+            .select(["__part", "src_host", "dst_host", "src_url", "n"])
+        )
+        return df.to_arrow().cast(part_schema)
+
+    out_schema = pa.schema(
+        [
+            ("src_host", pa.string()),
+            ("dst_host", pa.string()),
+            ("n_links", pa.int64()),
+            ("n_src_pages", pa.int64()),
+        ]
+    )
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(group)
+            .group_by(["src_host", "dst_host"])
+            .agg(
+                n_links=pl.col("n").sum(),
+                n_src_pages=pl.col("src_url").n_unique().cast(pl.Int64),
+            )
+            .select(["src_host", "dst_host", "n_links", "n_src_pages"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    agg = (
+        wg.map_batches(explode, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+    return _sorted(_concat(agg), ["src_host", "dst_host"])

@@ -775,6 +775,45 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     return _sorted(_concat(out), "user_id")
 
 
+def q_interevent_gaps(sf_dir: str) -> pa.Table:
+    """Per-user inter-event-time statistics — the LAG/LEAD window class
+    (time-between-actions is the standard engagement statistic next to
+    sessionization, and the reference's per-host fetch scheduler reasons
+    about inter-request gaps the same way). Distributed
+    ``groupby(user).map_groups``: sort within the user by (ts, event_id),
+    vectorized diff, then exact int64 aggregates (count/min/max/sum of
+    the gap in µs — sum+count instead of a float mean keeps the row
+    hash exact). Users with fewer than two events have no gap and no
+    row. Per-key windows never cross partitions, so no global sort."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def gaps(group: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(group)
+            .sort(["ts", "event_id"])
+            .with_columns(
+                gap=pl.col("ts")
+                .diff()
+                .over("user_id")
+                .dt.total_microseconds()
+            )
+            .drop_nulls("gap")
+        )
+        return (
+            df.group_by("user_id")
+            .agg(
+                n_gaps=pl.len().cast(pl.Int64),
+                min_gap_us=pl.col("gap").min().cast(pl.Int64),
+                max_gap_us=pl.col("gap").max().cast(pl.Int64),
+                sum_gap_us=pl.col("gap").sum().cast(pl.Int64),
+            )
+            .to_arrow()
+        )
+
+    out = ds.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+    return _sorted(_concat(out), "user_id")
+
+
 def q_running_total(sf_dir: str) -> pa.Table:
     """Cumulative revenue per customer in order-date order — the running
     window aggregate, as a distributed ``groupby(key).map_groups`` with a

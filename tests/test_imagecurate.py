@@ -323,3 +323,40 @@ def test_recrawl_schedule_rules(ray_session):
     )
     dfp = pl.DataFrame({"p": out["priority"]}).with_columns(w=want_p)
     assert (dfp["p"] == dfp["w"].cast(pl.Int32)).all()
+
+
+def test_format_sniff_integrity(ray_session):
+    """Magic-byte sniff: exactly the planted seq%17 rows quarantine as
+    unknown/ok=0; every clean row's sniffed format matches the declared
+    fmt and the container-header w/h equal the table's columns (the
+    from-scratch encoders write real headers)."""
+    import os
+
+    import polars as pl
+
+    from spider_ray.functions.imagecurate import (
+        FMT_CORRUPT_MOD,
+        q_format_sniff,
+    )
+    from spider_ray.sources.lance_io import resolve_images
+    from spider_ray.sources.webgen import generate
+
+    corpus = "/tmp/spider_ray_delta_test_corpus"
+    if not os.path.exists(os.path.join(corpus, "images.parquet")):
+        generate(corpus, n_pages=400, n_hosts=8, seed=11)
+    store = resolve_images(os.path.join(corpus, "images"))
+    out = pl.from_arrow(q_format_sniff(store))
+    seq = out["image_id"].str.extract(r"/i/(\d+)$", 1).cast(pl.Int64)
+    corrupt = (seq % FMT_CORRUPT_MOD) == 0
+    bad = out.filter(corrupt)
+    assert (bad["sniffed"] == "unknown").all()
+    assert (bad["ok"] == 0).all()
+    assert bad["hdr_w"].is_null().all()
+    clean = out.filter(~corrupt)
+    assert (clean["ok"] == 1).all()
+    assert (clean["sniffed"] == clean["fmt"]).all()
+    # header geometry is REAL (parsed from the encoded container) — the
+    # ok flag above already asserts it equals the declared columns
+    assert clean["hdr_w"].null_count() == 0
+    assert bad.height == seq.filter(corrupt).len()
+    assert bad.height > 0

@@ -301,3 +301,38 @@ def test_scd2_interval_invariants(ray_session, sf_small):
     for starts, ends in zip(per["starts"].to_list(), per["ends"].to_list()):
         assert ends[-1] is None
         assert ends[:-1] == starts[1:]
+
+
+def test_interevent_gaps_matches_bruteforce(ray_session):
+    """Distributed per-user LAG gaps equal a single-process polars window
+    reference (count/min/max/sum of µs gaps; single-event users have no
+    row)."""
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.relational import q_interevent_gaps
+
+    sf = "/root/testdata/sf0.001"
+    out = pl.from_arrow(q_interevent_gaps(sf))
+    ev = pl.from_arrow(
+        pq.read_table(
+            f"{sf}/events.parquet", columns=["user_id", "event_id", "ts"]
+        )
+    )
+    ref = (
+        ev.sort(["ts", "event_id"])
+        .with_columns(
+            gap=pl.col("ts").diff().over("user_id").dt.total_microseconds()
+        )
+        .drop_nulls("gap")
+        .group_by("user_id")
+        .agg(
+            n_gaps=pl.len().cast(pl.Int64),
+            min_gap_us=pl.col("gap").min().cast(pl.Int64),
+            max_gap_us=pl.col("gap").max().cast(pl.Int64),
+            sum_gap_us=pl.col("gap").sum().cast(pl.Int64),
+        )
+        .sort("user_id")
+    )
+    assert out.sort("user_id").equals(ref)
+    assert (out["min_gap_us"] <= out["max_gap_us"]).all()

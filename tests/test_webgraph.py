@@ -258,3 +258,49 @@ def test_anchor_text_matches_bruteforce(ray_session, graph_corpus):
     # workload selectivity: some target must have a true plurality anchor
     assert (out["top_anchor_n"] > 1).any()
     assert (out["n_hosts"] > 1).any()
+
+
+def test_host_graph_matches_bruteforce(ray_session, graph_corpus):
+    """Distributed host-graph aggregation equals a single-process polars
+    reference: cross-host edges only, link counts + distinct source
+    pages per (src_host, dst_host)."""
+    import os
+
+    import polars as pl
+
+    from spider_ray.functions.webgraph import q_host_graph
+
+    out = pl.from_arrow(q_host_graph(graph_corpus))
+    raw = pl.from_arrow(
+        pq.read_table(
+            os.path.join(graph_corpus, "web_graph.parquet"),
+            columns=["url", "host", "outlinks"],
+        )
+    )
+    e = (
+        raw.explode("outlinks")
+        .drop_nulls("outlinks")
+        .select(
+            src_host=pl.col("host"),
+            src_url=pl.col("url"),
+            dst_host=pl.col("outlinks")
+            .struct.field("url")
+            .str.extract(r"^https?://([^/]+)", 1),
+        )
+        .filter(
+            pl.col("dst_host").is_not_null()
+            & (pl.col("dst_host") != pl.col("src_host"))
+        )
+    )
+    ref = (
+        e.group_by(["src_host", "dst_host"])
+        .agg(
+            n_links=pl.len().cast(pl.Int64),
+            n_src_pages=pl.col("src_url").n_unique().cast(pl.Int64),
+        )
+        .sort(["src_host", "dst_host"])
+    )
+    assert out.sort(["src_host", "dst_host"]).equals(ref)
+    # a page links the same target at most once (webgen in-page dedup)
+    assert (out["n_links"] >= out["n_src_pages"]).all()
+    assert out.height > 0
