@@ -303,6 +303,26 @@ def _recrawl_schedule_query(sf_dir: str) -> Any:
     return q_recrawl_schedule(_images_store(sf_dir))
 
 
+def _sitemap_corpus() -> str:
+    """Demo corpus for sitemap discovery — generated fresh (the phash
+    corpus cache predates the sitemaps table)."""
+    from spider_ray.sources.webgen import generate
+
+    return _build_once(
+        "/tmp/spider_ray_sitemap_corpus", "_DONE",
+        lambda d: generate(d, n_pages=2000, n_hosts=24, seed=42),
+    )
+
+
+def _sitemap_seeds_query(sf_dir: str) -> Any:
+    """Sitemap-driven seed discovery: robots Sitemap: declarations →
+    fetch join → 2-level index expansion → <loc> extraction → novelty
+    flag vs web_graph — SQL-oracled via regexp_extract_all + UNNEST."""
+    from spider_ray.functions.sitemap import q_sitemap_seeds
+
+    return q_sitemap_seeds(_sitemap_corpus())
+
+
 def _host_graph_query(sf_dir: str) -> Any:
     """Host-level link graph (cross-host edge counts + distinct linking
     pages) over the demo corpus — SQL-oracled via UNNEST + group-by."""
@@ -712,6 +732,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user inter-event-time stats (the LAG window class; exact
         # int64 µs aggregates)
         "interevent_gaps": R.q_interevent_gaps,
+        # sitemap-driven seed discovery: robots Sitemap: decls → fetch
+        # join → index expansion → <loc> → novelty flag vs web_graph
+        "sitemap_seeds": _sitemap_seeds_query,
     }
     return q
 
@@ -746,6 +769,11 @@ def oracle_sql() -> dict[str, str]:
 
     assert (ICU.REVISIT_BASE, ICU.REVISIT_MIN, ICU.REVISIT_MAX,
             ICU.REVISIT_PREV_MOD) == (86_400, 3_600, 604_800, 8)
+
+    sitemap_corpus = _sitemap_corpus()
+    sm_robots = os.path.join(sitemap_corpus, "robots.parquet")
+    sm_store = os.path.join(sitemap_corpus, "sitemaps.parquet")
+    sm_wg = os.path.join(sitemap_corpus, "web_graph.parquet")
 
     # shared by the image-curation oracles: the exact phash pair graph
     # (same tau as functions/imagecurate.PHASH_TAU) and the gate input
@@ -1390,6 +1418,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap) AS BIGINT) AS sum_gap_us
             FROM g WHERE gap IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        "sitemap_seeds": f"""
+            -- sitemap seed discovery (sitemap.q_sitemap_seeds): robots
+            -- Sitemap: declarations → fetch join → one round of
+            -- <sitemapindex> expansion → <loc> extraction → distinct
+            -- candidates flagged known=1 iff present in web_graph
+            WITH r AS (
+                SELECT host,
+                       UNNEST(regexp_extract_all(
+                           body, '(?i)sitemap:[ \t]*(\\S+)', 1)) AS sm_url
+                FROM '{sm_robots}'),
+            f1 AS (
+                SELECT r.host, s.body
+                FROM r JOIN '{sm_store}' s ON r.sm_url = s.url),
+            leaves1 AS (
+                SELECT host, body FROM f1
+                WHERE body NOT LIKE '%<sitemapindex%'),
+            idx AS (
+                SELECT host,
+                       UNNEST(regexp_extract_all(
+                           body, '<loc>([^<]+)</loc>', 1)) AS child
+                FROM f1 WHERE body LIKE '%<sitemapindex%'),
+            leaves2 AS (
+                SELECT i.host, s.body
+                FROM idx i JOIN '{sm_store}' s ON i.child = s.url
+                WHERE s.body NOT LIKE '%<sitemapindex%'),
+            leaves AS (
+                SELECT * FROM leaves1 UNION ALL SELECT * FROM leaves2),
+            candx AS (
+                SELECT host,
+                       UNNEST(regexp_extract_all(
+                           body, '<loc>([^<]+)</loc>', 1)) AS url
+                FROM leaves),
+            cand AS (SELECT DISTINCT host, url FROM candx)
+            SELECT c.host, c.url,
+                   CAST(CASE WHEN w.url IS NOT NULL THEN 1 ELSE 0 END
+                       AS INTEGER) AS known
+            FROM cand c
+            LEFT JOIN (SELECT url FROM '{sm_wg}') w ON c.url = w.url
+            ORDER BY c.host, c.url
         """,
         "aug_crop_plan": f"""
             -- deterministic augmentation crops: the resize_plan geometry

@@ -1067,3 +1067,140 @@ def q_dup_spans(sf_dir: str) -> pa.Table:
     t = _concat(out)
     t = t.select(["doc_id", "sum(dup)"]).rename_columns(["doc_id", "n_dup"])
     return _sorted(t, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# skew-aware join planning (auto-salting)
+# --------------------------------------------------------------------------
+
+HOT_KEY_FACTOR = 2  # a key is hot if it exceeds factor × the even share
+# (2× even share = the key's partition runs at least twice the average;
+# at most parts/2 keys can qualify, so the broadcast stays small)
+HOT_KEY_CAP = 64  # planner never broadcasts more than this many keys
+
+
+def detect_hot_keys(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    parts: int = JOIN_PARTITIONS,
+    factor: int = HOT_KEY_FACTOR,
+    cap: int = HOT_KEY_CAP,
+) -> tuple[frozenset, int]:
+    """Distributed heavy-key detection for join planning.
+
+    One streamed pass: per-block PARTIAL counts by ``key`` (the
+    combiner — shuffle volume is distinct keys per block, never rows),
+    one native groupby-sum, then keep keys whose global count exceeds
+    ``factor × (total / parts)`` — the even-share skew bound. At most
+    ``parts / factor`` keys can exceed that bound (their shares sum to
+    1), so the driver-side result is small BY CONSTRUCTION, independent
+    of the key cardinality; ``cap`` is a belt-and-braces ceiling.
+
+    Returns ``(hot_keys, suggested_salt)`` ready to feed
+    :func:`_hash_join`: salt is the hottest key's multiple of the even
+    share (its partition needs that many ways of spreading to come back
+    to even), clamped to [1, parts]. An empty frozenset means the key
+    distribution is fine and the plain join is the right plan — callers
+    pay the extra pass only when they suspect skew (it is one cheap
+    count-combine compared to the join's full shuffle)."""
+    partial_schema = pa.schema([("k", pa.string()), ("n", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select([key]))
+            .group_by(key)
+            .agg(n=pl.len().cast(pl.Int64))
+            .select(k=pl.col(key).cast(pl.String), n=pl.col("n"))
+            .to_arrow()
+            .cast(partial_schema)
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total = sum(
+        r["n"]
+        for r in counts.select_columns(["n"])
+        .map_batches(
+            lambda t: pa.table(
+                {"n": pa.array([pc_sum_i64(t["n"])], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    if total == 0:
+        return frozenset(), 1
+    even = max(1, total // parts)
+    bound = factor * even
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        m = pl.from_arrow(t).filter(pl.col("n") > bound)
+        return m.to_arrow().cast(
+            pa.schema([("k", pa.string()), ("n", pa.int64())])
+        )
+
+    hot_rows = _concat(
+        counts.map_batches(hot_only, batch_format="pyarrow"),
+        schema=pa.schema([("k", pa.string()), ("n", pa.int64())]),
+    )
+    hot = sorted(
+        zip(hot_rows["k"].to_pylist(), hot_rows["n"].to_pylist()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:cap]
+    if not hot:
+        return frozenset(), 1
+    salt = int(min(parts, max(2, -(-hot[0][1] // even))))
+    return frozenset(k for k, _ in hot), salt
+
+
+def pc_sum_i64(arr: pa.ChunkedArray | pa.Array) -> int:
+    import pyarrow.compute as pc
+
+    v = pc.sum(arr).as_py()
+    return int(v) if v is not None else 0
+
+
+def auto_salted_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    *,
+    detect_on: ray.data.Dataset | None = None,
+    how: str = "inner",
+    rename: dict[str, str] | None = None,
+) -> ray.data.Dataset:
+    """Skew-aware join: run :func:`detect_hot_keys` on the left side's
+    key column, then route through :func:`_hash_join` with the detected
+    ``hot_keys``/``salt`` (plain join when the distribution is even).
+    ``detect_on`` lets callers hand a cheaper key-only dataset for the
+    detection pass (e.g. the pre-projection input) — the join itself is
+    unchanged. Detection keys are matched as strings, mirroring
+    detect_hot_keys' canonical string cast."""
+    probe = detect_on if detect_on is not None else left
+    hot, salt = detect_hot_keys(probe, on)
+    if hot:
+        # _hash_join matches hot keys by value via np.isin on the raw
+        # column — convert back through the left key dtype
+        kt = left_schema.field(on).type
+        if pa.types.is_integer(kt):
+            hot = frozenset(int(k) for k in hot)
+    return _hash_join(
+        left,
+        right,
+        on=on,
+        right_on=right_on,
+        left_schema=left_schema,
+        right_schema=right_schema,
+        rename=rename,
+        hot_keys=hot if hot else None,
+        salt=salt,
+        how=how,
+    )

@@ -8,7 +8,10 @@ its oracle consume:
   latency_us;
 * ``images``     — the image store: (image_id, bytes, w, h, fmt, caption,
   phash) per BASELINE.json input_hint; bytes are real PNG / qimg encodings;
-* ``robots``     — (host, body) with all four robots_level classes;
+* ``robots``     — (host, body) with all four robots_level classes, each
+  robots-bearing host declaring ``Sitemap:`` (GYM2008 directive);
+* ``sitemaps``   — (url, body): per-host urlset XML (every 3rd page +
+  fresh URLs absent from web_graph); host 0 gets a 2-level sitemapindex;
 * ``host_ip``    — (host, ips list, ≥2 for some hosts);
 * ``host_load``  — (key, max_connections, max_qps, window) politeness budget;
 * ``frontier_seed`` — TaskItem-analog seed list.
@@ -186,8 +189,60 @@ def generate(
             body = "User-agent: *\nDisallow: /\n"
         else:
             body = "User-agent: *\nDisallow: /private/\nAllow: /p/**\n"
+        # every robots-bearing host declares its sitemap (GYM2008
+        # "Sitemap:" directive — the reference's robots parser accepts
+        # it, robotexclusionrulesparser.py:120,584; ours ignores it for
+        # rule purposes, so crawl semantics are unchanged)
+        body += f"Sitemap: http://{host}/sitemap.xml\n"
         robots_rows["host"].append(host)
         robots_rows["body"].append(body)
+
+    # sitemaps: one urlset per robots-bearing host listing every 3rd of
+    # its pages PLUS 1-3 deterministic "fresh" URLs the web_graph does
+    # not contain (the discovery value of sitemaps: pages the crawler
+    # has not seen). Host 0 publishes a 2-level sitemap INDEX instead
+    # (sitemapindex → two child urlsets) to exercise the nested fetch.
+    host_pages: dict[str, list[str]] = {}
+    for p, u in enumerate(urls):
+        host_pages.setdefault(page_host[p], []).append(u)
+
+    def _urlset(entries):
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>\n<urlset>'
+            + "".join(f"<url><loc>{u}</loc></url>" for u in entries)
+            + "</urlset>"
+        )
+
+    sm = {"url": [], "body": []}
+    for i, host in enumerate(hosts):
+        if i == 3:
+            continue  # no robots → no declared sitemap
+        pages = host_pages.get(host, [])
+        listed = [u for k, u in enumerate(pages) if k % 3 == 0]
+        hh = hash64_one(host)
+        fresh = [
+            f"http://{host}/fresh/{derive(hh, 300 + k) % 10_000}"
+            for k in range(1 + derive(hh, 299) % 3)
+        ]
+        entries = listed + fresh
+        top = f"http://{host}/sitemap.xml"
+        if i == 0 and len(entries) > 1:
+            mid = (len(entries) + 1) // 2
+            kids = [f"http://{host}/sitemap-{j}.xml" for j in range(2)]
+            sm["url"].append(top)
+            sm["body"].append(
+                '<?xml version="1.0" encoding="UTF-8"?>\n<sitemapindex>'
+                + "".join(
+                    f"<sitemap><loc>{k}</loc></sitemap>" for k in kids
+                )
+                + "</sitemapindex>"
+            )
+            for j, chunk in enumerate((entries[:mid], entries[mid:])):
+                sm["url"].append(kids[j])
+                sm["body"].append(_urlset(chunk))
+        else:
+            sm["url"].append(top)
+            sm["body"].append(_urlset(entries))
 
     # DNS: 1-3 deterministic IPs per host
     hi = {"host": [], "ips": []}
@@ -257,6 +312,12 @@ def generate(
             }
         ),
         "robots": pa.table(robots_rows),
+        "sitemaps": pa.table(
+            {
+                "url": pa.array(sm["url"], pa.string()),
+                "body": pa.array(sm["body"], pa.string()),
+            }
+        ),
         "host_ip": pa.table(
             {"host": pa.array(hi["host"]), "ips": pa.array(hi["ips"], pa.list_(pa.string()))}
         ),
