@@ -735,6 +735,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sitemap-driven seed discovery: robots Sitemap: decls → fetch
         # join → index expansion → <loc> → novelty flag vs web_graph
         "sitemap_seeds": _sitemap_seeds_query,
+        # the skew-salted join with the PLANNER detecting the hot key
+        # (detect_hot_keys → auto_salted_join); same oracle as
+        # salted_join — detection changes the plan, never the answer
+        "salted_join_auto": R.q_salted_join_auto,
     }
     return q
 
@@ -3205,6 +3209,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 10 ORDER BY query_id, cosine DESC, vec_id
         """,
     }
+    # the planner-chosen salt never changes the answer — same oracle
+    out["salted_join_auto"] = out["salted_join"]
     return {k: _ws(v) for k, v in out.items()}
 
 

@@ -69,12 +69,11 @@ def _extract_list(ds: ray.data.Dataset, src: str, pat: str, key: str,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def q_sitemap_seeds(corpus: str) -> pa.Table:
-    """Discover frontier seed candidates from robots-declared sitemaps
-    (see module docstring for the 5-stage distributed chain). Output one
-    row per distinct (host, url) candidate with ``known`` = 1 iff the
-    URL already exists in web_graph — ``known=0`` rows are the new
-    seeds."""
+def sitemap_candidates(corpus: str) -> pa.Table:
+    """Stages 1-4 of the discovery chain: distinct (host, url) seed
+    candidates from robots-declared sitemaps, sorted by (host, url) —
+    the deterministic order the crawl engine appends them to the seed
+    frontier (``run_crawl(sitemap_seeds=True)``)."""
     robots = ray.data.read_parquet(
         os.path.join(corpus, "robots.parquet"), columns=["host", "body"]
     )
@@ -135,6 +134,17 @@ def q_sitemap_seeds(corpus: str) -> pa.Table:
         .groupby(["host", "url"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
+    return _sorted(_concat(cands, schema=cand_schema), ["host", "url"])
+
+
+def q_sitemap_seeds(corpus: str) -> pa.Table:
+    """Discover frontier seed candidates from robots-declared sitemaps
+    (see module docstring for the 5-stage distributed chain). Output one
+    row per distinct (host, url) candidate with ``known`` = 1 iff the
+    URL already exists in web_graph — ``known=0`` rows are the new
+    seeds."""
+    cand_schema = pa.schema([("host", pa.string()), ("url", pa.string())])
+    cands = ray.data.from_arrow(sitemap_candidates(corpus))
 
     # 5. novelty flag: LEFT join against web_graph's (unique) URL column
     wg = ray.data.read_parquet(
@@ -178,3 +188,29 @@ def q_sitemap_seeds(corpus: str) -> pa.Table:
         _concat(flagged.map_batches(fill, batch_format="pyarrow")),
         ["host", "url"],
     )
+
+
+def augment_seeds(seeds: pa.Table, cand_urls: list[str]) -> pa.Table:
+    """Append sitemap-discovered URLs to a frontier_seed table (engine
+    and oracle share this mechanical step; each side supplies its OWN
+    independently-discovered ``cand_urls``, already in deterministic
+    (host, url) order). URLs textually present in the seed list are
+    skipped; appended rows carry the standard seed metadata (depth 0,
+    priority 5, empty referer) and the downstream canonicalize+seen
+    pass dedups any remaining aliases exactly like organic seeds."""
+    existing = set(seeds["url"].to_pylist())
+    add = [u for u in cand_urls if u not in existing]
+    if not add:
+        return seeds
+    n = len(add)
+    extra = pa.table(
+        {
+            "url": pa.array(add, pa.string()),
+            "resource_type": pa.array([1] * n),
+            "importance": pa.array([0.5] * n, pa.float64()),
+            "priority": pa.array([5] * n),
+            "depth": pa.array([0] * n),
+            "referer": pa.array([""] * n, pa.string()),
+        }
+    ).select(seeds.column_names)
+    return pa.concat_tables([seeds, extra.cast(seeds.schema)])

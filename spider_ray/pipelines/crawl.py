@@ -558,6 +558,7 @@ def run_crawl(
     host_ips: dict[str, list[str]] | None = None,
     hot_ips: tuple[str, ...] = (),
     result_handler=None,
+    sitemap_seeds: bool = False,
 ) -> dict:
     """Run (or resume) the crawl; writes per-gen parquet sinks under
     ``out_dir`` and returns summary paths + counters.
@@ -627,6 +628,7 @@ def run_crawl(
         "num_shards": num_shards,
         "hot_hosts": list(hot_hosts),
         "seen_capacity": seen_capacity,
+        "sitemap_seeds": bool(sitemap_seeds),
         "hash_canary": canary,
     }
     if resume and os.path.exists(cfg_path):
@@ -653,6 +655,23 @@ def run_crawl(
         with open(cfg_path, "w") as f:
             json.dump(cfg, f)
     c = load_corpus_control(corpus_dir)
+    if sitemap_seeds:
+        # sitemap-driven frontier seeding (robots Sitemap: directives →
+        # urlset/<sitemapindex> mining): the DISTRIBUTED discovery chain
+        # (functions/sitemap.py) appends its candidates to the seed
+        # frontier in deterministic (host, url) order; unknown (fresh)
+        # URLs 404-terminate like any dead link, already-crawled ones
+        # dedup through the canonicalize+seen pass. The oracle runs an
+        # independent single-process discovery (oracle.sitemap_seed_urls)
+        # — crawl parity under this flag tests the whole chain.
+        from spider_ray.functions.sitemap import (
+            augment_seeds,
+            sitemap_candidates,
+        )
+
+        c["seeds"] = augment_seeds(
+            c["seeds"], sitemap_candidates(corpus_dir)["url"].to_pylist()
+        )
     robots_ref = ray.put(c["robots"])
     # put the user handler once; every per-block task derefs the same object
     handler_ref = ray.put(result_handler) if result_handler is not None else None

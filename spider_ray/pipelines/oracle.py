@@ -89,14 +89,63 @@ def permit_sort_key(p) -> tuple:
     return (p.fetch_ts, p.priority, p.gen, p.seq, p.host)
 
 
+def sitemap_seed_urls(corpus_dir: str) -> list[str]:
+    """Single-process REFERENCE discovery of sitemap seed candidates —
+    deliberately independent of the engine's distributed chain
+    (functions/sitemap.py) so engine-vs-oracle crawl parity under
+    ``sitemap_seeds=True`` actually tests the discovery: robots
+    ``Sitemap:`` declarations, one round of ``<sitemapindex>``
+    expansion, ``<loc>`` extraction, distinct, sorted by (host, url)."""
+    import os
+    import re
+
+    robots = pq.read_table(
+        os.path.join(corpus_dir, "robots.parquet")
+    ).to_pylist()
+    store = {
+        r["url"]: r["body"]
+        for r in pq.read_table(
+            os.path.join(corpus_dir, "sitemaps.parquet")
+        ).to_pylist()
+    }
+    decl = re.compile(r"(?i)sitemap:[ \t]*(\S+)")
+    loc = re.compile(r"<loc>([^<]+)</loc>")
+    rows: set[tuple[str, str]] = set()
+    for r in robots:
+        for sm_url in decl.findall(r["body"]):
+            body = store.get(sm_url)
+            if body is None:
+                continue
+            leaves = (
+                [
+                    store[c]
+                    for c in loc.findall(body)
+                    if c in store and "<sitemapindex" not in store[c]
+                ]
+                if "<sitemapindex" in body
+                else [body]
+            )
+            for leaf in leaves:
+                for u in loc.findall(leaf):
+                    rows.add((r["host"], u))
+    return [u for _, u in sorted(rows)]
+
+
 def run_oracle(
     corpus_dir: str,
     num_shards: int = 4,
     max_gens: int = MAX_GENS,
     options: LoadOptions | None = None,
     hot_hosts: tuple[str, ...] = (),
+    sitemap_seeds: bool = False,
 ) -> dict:
     c = load_corpus(corpus_dir)
+    if sitemap_seeds:
+        from spider_ray.functions.sitemap import augment_seeds
+
+        c["seeds"] = augment_seeds(
+            c["seeds"], sitemap_seed_urls(corpus_dir)
+        )
     index = WebIndex(c["pages"], c["images"])
     meta = index.meta()
     shards = [

@@ -1167,6 +1167,10 @@ def q_salted_join(sf_dir: str) -> pa.Table:
         left_schema=l_schema, right_schema=r_schema,
         hot_keys=SALT_HOT_KEYS, salt=SALT_FACTOR,
     )
+    return _salted_join_finish(j)
+
+
+def _salted_join_finish(j) -> pa.Table:
     agg = j.groupby("grp").aggregate(
         ray.data.aggregate.Count(alias_name="n_orders"),
         ray.data.aggregate.Sum("cents", alias_name="sum_cents"),
@@ -1184,6 +1188,49 @@ def q_salted_join(sf_dir: str) -> pa.Table:
     return _sorted(
         _concat(agg.map_batches(conform, batch_format="pyarrow")), "grp"
     )
+
+
+def q_salted_join_auto(sf_dir: str) -> pa.Table:
+    """q_salted_join with the PLANNER choosing the salt: no hand-fed
+    hot-key set — ``dedup.detect_hot_keys`` finds the planted key from
+    one distributed count-combine pass over the fact side and
+    ``auto_salted_join`` routes the same partition-cogroup join with the
+    suggested salt. Same output (and the same SQL oracle) as the
+    hand-salted query — the planner's whole claim is that detection
+    changes the plan, never the answer."""
+    from spider_ray.functions.dedup import auto_salted_join
+
+    import numpy as np
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).select(
+            skew_key=pl.when(pl.col("o_custkey") % 10 == 0)
+            .then(0)
+            .otherwise(pl.col("o_custkey") % 100)
+            .cast(pl.Int64),
+            cents=_cents("o_totalprice"),
+        )
+        return df.to_arrow()
+
+    left = ds.map_batches(keyed, batch_format="pyarrow")
+    dim = pa.table(
+        {
+            "skew_key": pa.array(list(range(100)), pa.int64()),
+            "grp": pa.array([f"g{k}" for k in range(100)], pa.string()),
+        }
+    )
+    right = ray.data.from_arrow(dim)
+    l_schema = pa.schema([("skew_key", pa.int64()), ("cents", pa.int64())])
+    r_schema = pa.schema([("skew_key", pa.int64()), ("grp", pa.string())])
+    j = auto_salted_join(
+        left, right, on="skew_key", right_on="skew_key",
+        left_schema=l_schema, right_schema=r_schema,
+    )
+    return _salted_join_finish(j)
 
 
 def q_left_join_nulls(sf_dir: str) -> pa.Table:

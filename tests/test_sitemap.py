@@ -91,3 +91,76 @@ def test_sitemap_seeds_discovery_value(sm_corpus):
     assert idx_hosts, "no sitemapindex host generated"
     h0 = idx_hosts[0]["host"]
     assert out.filter(pl.col("host") == h0).height > 1
+
+
+SM_CRAWL_CORPUS = "/tmp/spider_ray_sm_crawl_corpus"
+SM_CRAWL_OUT = "/tmp/spider_ray_sm_crawl_out"
+
+
+def test_sitemap_seeded_crawl_parity_and_coverage(ray_session):
+    """run_crawl(sitemap_seeds=True) must (a) reproduce the oracle's
+    crawl order + seen set exactly when the oracle uses ITS independent
+    single-process discovery (the whole distributed chain is on the
+    parity path), and (b) strictly extend coverage vs the un-seeded
+    crawl (sitemaps list pages links alone don't reach)."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.crawl import read_sink, run_crawl
+    from spider_ray.pipelines.oracle import run_oracle
+    from spider_ray.sources.webgen import generate
+
+    # big enough that the depth-capped link BFS (M9: outlinks only emit
+    # below depth 2) leaves sitemap-listed pages unreached by links
+    shutil.rmtree(SM_CRAWL_CORPUS, ignore_errors=True)
+    generate(SM_CRAWL_CORPUS, n_pages=1400, n_hosts=12, seed=31)
+
+    def engine_rows(out_dir):
+        rows = []
+        for d in sorted(
+            glob.glob(os.path.join(out_dir, "gen=*")),
+            key=lambda p: int(p.split("=")[1]),
+        ):
+            rows.extend(read_sink(d, "status.parquet").to_pylist())
+        return rows
+
+    # seeded engine vs seeded oracle — full order/seen parity
+    out_sm = os.path.join(SM_CRAWL_OUT, "seeded")
+    shutil.rmtree(out_sm, ignore_errors=True)
+    run_crawl(
+        SM_CRAWL_CORPUS, out_sm, num_shards=2, fetch_concurrency=2,
+        sitemap_seeds=True,
+    )
+    gold = run_oracle(SM_CRAWL_CORPUS, num_shards=2, sitemap_seeds=True)
+    eng = engine_rows(out_sm)
+    assert len(eng) == len(gold["crawl_order"])
+    for e, g in zip(eng, gold["crawl_order"]):
+        assert (e["url"], e["fetch_ts"], e["status"], e["gen"]) == (
+            g["url"], g["fetch_ts"], g["status"], g["gen"]
+        )
+    seen_eng = pq.read_table(
+        os.path.join(out_sm, "seen.parquet")
+    ).to_pylist()
+    assert seen_eng == gold["seen"]
+
+    # coverage: seeded crawl reaches a strict superset of 200-fetched
+    # URLs vs the plain crawl on the same corpus
+    out_plain = os.path.join(SM_CRAWL_OUT, "plain")
+    shutil.rmtree(out_plain, ignore_errors=True)
+    run_crawl(
+        SM_CRAWL_CORPUS, out_plain, num_shards=2, fetch_concurrency=2
+    )
+    ok_sm = {r["url"] for r in eng if r["status"] == 200}
+    ok_plain = {
+        r["url"] for r in engine_rows(out_plain) if r["status"] == 200
+    }
+    assert ok_plain <= ok_sm
+    assert len(ok_sm) > len(ok_plain), (
+        "sitemap seeding discovered nothing new — workload lost its "
+        "orphan pages"
+    )
+    # fresh (sitemap-only) URLs were attempted and 404-terminated
+    tried = {r["url"] for r in eng}
+    assert any("/fresh/" in u for u in tried)
