@@ -29,9 +29,13 @@ MAJOR_AGENTS = ("baiduspider", "googlebot")
 
 @dataclass
 class RuleSet:
-    """Rules for one agent group: list of (allow, pattern)."""
+    """Rules for one agent group: list of (allow, pattern), plus the
+    group's Crawl-delay (GYM2008 category-4 directive — the reference's
+    parser collects it, robotexclusionrulesparser.py:120,584; ``None``
+    when the group declares none)."""
 
     rules: list[tuple[bool, str]] = field(default_factory=list)
+    crawl_delay: float | None = None
 
     def allowed(self, path: str) -> bool:
         best_len = -1
@@ -89,6 +93,17 @@ def parse_robots(body: str) -> dict[str, RuleSet]:
                 val = "/"
             for ua in current:
                 groups[ua].rules.append((allow, val))
+        elif key == "crawl-delay":
+            last_was_ua = False
+            if not current:
+                continue
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d > 0:
+                for ua in current:
+                    groups[ua].crawl_delay = d
         else:
             last_was_ua = False
     return groups
@@ -109,6 +124,18 @@ def _ruleset_for(groups: dict[str, RuleSet], agent: str) -> RuleSet | None:
 def agent_allowed(groups: dict[str, RuleSet], agent: str, path: str) -> bool:
     rs = _ruleset_for(groups, agent)
     return True if rs is None else rs.allowed(path)
+
+
+def crawl_delay_for(
+    groups: dict[str, RuleSet] | None, agent: str = OUR_AGENT
+) -> float | None:
+    """The Crawl-delay that applies to ``agent``: its best-matching UA
+    group's declaration (same precedence walk as rule matching), else
+    the ``*`` group's, else None."""
+    if groups is None:
+        return None
+    rs = _ruleset_for(groups, agent)
+    return rs.crawl_delay if rs is not None else None
 
 
 def robots_level(groups: dict[str, RuleSet] | None, path: str) -> int:

@@ -672,6 +672,11 @@ def run_crawl(
         c["seeds"] = augment_seeds(
             c["seeds"], sitemap_candidates(corpus_dir)["url"].to_pylist()
         )
+    # robots Crawl-delay → per-host QPS caps (shared derivation with the
+    # oracle: politeness parity by construction)
+    from spider_ray.state.load_controller import apply_crawl_delays
+
+    c["load_rows"] = apply_crawl_delays(c["load_rows"], c["robots"], options)
     robots_ref = ray.put(c["robots"])
     # put the user handler once; every per-block task derefs the same object
     handler_ref = ray.put(result_handler) if result_handler is not None else None

@@ -148,6 +148,9 @@ def run_oracle(
         )
     index = WebIndex(c["pages"], c["images"])
     meta = index.meta()
+    from spider_ray.state.load_controller import apply_crawl_delays
+
+    c["load_rows"] = apply_crawl_delays(c["load_rows"], c["robots"], options)
     shards = [
         ShardScheduler(s, num_shards, c["load_rows"], options)
         for s in range(num_shards)

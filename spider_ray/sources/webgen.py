@@ -189,6 +189,10 @@ def generate(
             body = "User-agent: *\nDisallow: /\n"
         else:
             body = "User-agent: *\nDisallow: /private/\nAllow: /p/**\n"
+        if i == 4:
+            # one host throttles via robots Crawl-delay (category-4
+            # directive): politeness honors min(budget, 1/delay) qps
+            body += "Crawl-delay: 2\n"
         # every robots-bearing host declares its sitemap (GYM2008
         # "Sitemap:" directive — the reference's robots parser accepts
         # it, robotexclusionrulesparser.py:120,584; ours ignores it for

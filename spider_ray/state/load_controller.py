@@ -190,3 +190,50 @@ class LoadController:
         self._state = {
             k: _KeyState(*v) for k, v in d["keys"].items()
         }
+
+
+def apply_crawl_delays(load_rows, robots, options: "LoadOptions | None" = None):
+    """Fold robots ``Crawl-delay`` declarations into the host_load
+    politeness rows — the GYM2008 category-4 directive the reference's
+    robots parser collects (robotexclusionrulesparser.py:120,584)
+    becomes a per-host QPS cap of ``1 / delay``, never RAISING an
+    operator-configured budget (min of the two). Hosts with a delay but
+    no explicit row get a new windowless row at the default connection
+    budget. Pure function of (rows, parsed robots) — the engine and the
+    oracle both route their load rows through it, so politeness parity
+    is by construction.
+
+    ``load_rows``: iterable of (key, max_connections, max_qps, window);
+    ``robots``: {host: parse_robots(body)} as both crawl paths build it.
+    """
+    from spider_ray.kernels.robots import crawl_delay_for
+
+    rows = [tuple(r) for r in load_rows]
+    delays = {}
+    for host in robots:
+        d = crawl_delay_for(robots[host])
+        if d and d > 0:
+            delays[host] = 1.0 / d
+    if not delays:
+        return rows
+    opt = options or LoadOptions()
+    default_mc = opt.default_max_connections
+    default_qps = opt.default_max_qps
+    for key, mc, qps, win in rows:
+        if key == "*" and not win:
+            default_mc, default_qps = int(mc), float(qps)
+            break
+    out = []
+    seen = set()
+    for key, mc, qps, win in rows:
+        if key in delays:
+            seen.add(key)
+            out.append((key, mc, min(float(qps), delays[key]), win))
+        else:
+            out.append((key, mc, qps, win))
+    for host in sorted(delays):
+        if host not in seen:
+            out.append(
+                (host, default_mc, min(default_qps, delays[host]), "")
+            )
+    return out
