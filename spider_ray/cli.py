@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--fetch-concurrency", type=int, default=8)
     c.add_argument("--max-gens", type=int, default=8)
     c.add_argument("--resume", action="store_true")
+    c.add_argument(
+        "--sitemap-seeds", action="store_true",
+        help="augment the seed frontier with robots-declared sitemap "
+             "URLs (distributed discovery chain) before gen 0",
+    )
     c.add_argument("--num-cpus", type=int, default=None)
     c.add_argument(
         "--hot-hosts", default="",
@@ -51,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
     o = sub.add_parser("oracle", help="run the single-process golden crawler")
     o.add_argument("--corpus", required=True)
     o.add_argument("--shards", type=int, default=8)
+
+    sm = sub.add_parser(
+        "sitemap-seeds",
+        help="list sitemap-discovered seed candidates for a corpus "
+             "(single-process reference walk)",
+    )
+    sm.add_argument("--corpus", required=True)
 
     gc = sub.add_parser(
         "gc-checkpoints",
@@ -112,6 +124,13 @@ def main(argv: list[str] | None = None) -> int:
         from spider_ray.pipelines.crawl import gc_checkpoints
 
         print(json.dumps(gc_checkpoints(args.out, keep=args.keep)))
+        return 0
+
+    if args.cmd == "sitemap-seeds":
+        from spider_ray.pipelines.oracle import sitemap_seed_urls
+
+        urls = sitemap_seed_urls(args.corpus)
+        print(json.dumps({"candidates": len(urls), "urls": urls[:20]}))
         return 0
 
     if args.cmd == "oracle":
@@ -203,6 +222,7 @@ def main(argv: list[str] | None = None) -> int:
         fetch_concurrency=args.fetch_concurrency,
         max_gens=args.max_gens,
         resume=args.resume,
+        sitemap_seeds=args.sitemap_seeds,
         hot_hosts=tuple(
             h.strip() for h in args.hot_hosts.split(",") if h.strip()
         ),
