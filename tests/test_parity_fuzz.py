@@ -128,3 +128,42 @@ def test_hash_join_salted_left_fuzz(ray_session):
             .select(["k", "v", "p"])
         )
         assert got.equals(want), (trial, how, salt)
+
+
+@pytest.mark.parametrize("seed,n_pages,n_hosts", [(13, 400, 7), (77, 500, 9)])
+def test_crawl_parity_sitemap_seeded_fuzz(
+    ray_session, seed, n_pages, n_hosts
+):
+    """Sitemap-seeded parity as a family of instances: the engine's
+    DISTRIBUTED discovery chain must agree with the oracle's independent
+    single-process walk on every corpus shape, all the way through crawl
+    order + seen set."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.crawl import run_crawl
+    from tests.test_crawl_parity import _engine_rows
+
+    tag = f"sm{seed}"
+    corpus = f"{BASE}_corpus_{tag}"
+    out = f"{BASE}_out_{tag}"
+    shutil.rmtree(corpus, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    generate(corpus, n_pages=n_pages, n_hosts=n_hosts, seed=seed)
+    gold = run_oracle(corpus, num_shards=3, sitemap_seeds=True)
+    run_crawl(
+        corpus, out, num_shards=3, fetch_concurrency=3,
+        sitemap_seeds=True,
+    )
+    eng = _engine_rows(out, "status.parquet")
+    assert len(eng) == len(gold["crawl_order"]), tag
+    for e, g in zip(eng, gold["crawl_order"]):
+        assert (e["url"], e["fetch_ts"], e["status"], e["gen"]) == (
+            g["url"], g["fetch_ts"], g["status"], g["gen"]
+        ), tag
+    seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
+    assert seen == gold["seen"], tag
+    shutil.rmtree(corpus, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)

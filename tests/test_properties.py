@@ -156,3 +156,48 @@ def test_binpack_total_assignment(ws, n_bins):
     bins = greedy_binpack(weights, n_bins)
     assert len(bins) == len(weights)
     assert all(0 <= b < n_bins for b in bins)
+
+
+_ROBOTS_LINES = st.lists(
+    st.one_of(
+        st.sampled_from(
+            [
+                "User-agent: *",
+                "User-agent: spiderbot",
+                "User-agent: Baiduspider",
+                "Disallow: /private/",
+                "Disallow:",
+                "Allow: /p/**",
+                "Allow:",
+                "Crawl-delay: 2",
+                "Crawl-delay: 0.5",
+                "Crawl-delay: -3",
+                "Crawl-delay: nope",
+                "Sitemap: http://h.example.com/sitemap.xml",
+                "# comment",
+                "",
+                "garbage line without colon",
+                "Unknown: directive",
+            ]
+        ),
+        st.text(max_size=30),
+    ),
+    max_size=25,
+)
+
+
+@given(_ROBOTS_LINES)
+@settings(max_examples=200, deadline=None)
+def test_parse_robots_total_and_delay_sane(lines):
+    """parse_robots is TOTAL over arbitrary junk (never raises), and any
+    crawl delay it reports is a positive finite float that appears as a
+    Crawl-delay directive value in the body."""
+    from spider_ray.kernels.robots import crawl_delay_for, parse_robots
+
+    body = "\n".join(lines)
+    groups = parse_robots(body)
+    for agent in ("spiderbot", "baiduspider", "nobody"):
+        d = crawl_delay_for(groups, agent)
+        assert d is None or (d > 0 and d == d)
+        if d is not None:
+            assert "crawl-delay" in body.lower()
