@@ -55,6 +55,13 @@ QUERY_NAMES = [
     "bucket_balance",
     "semantic_dedup",
     "hard_negatives",
+    # continuation-session additions (demo-corpus link/payload ops +
+    # the planner-routed skew join at sf scale)
+    "anchor_text",
+    "host_graph",
+    "format_sniff",
+    "sitemap_seeds",
+    "salted_join_auto",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"
