@@ -739,6 +739,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (detect_hot_keys → auto_salted_join); same oracle as
         # salted_join — detection changes the plan, never the answer
         "salted_join_auto": R.q_salted_join_auto,
+        # BPE tokenizer TRAINING (Sennrich merge loop on the distributed
+        # word-frequency table; rows-only — iterative argmax is not SQL)
+        "bpe_train": T.q_bpe_train,
+        # and its transform: broadcast merge table → per-lang exact
+        # subword stats (rows-only; invariants pytest-pinned)
+        "bpe_segment": T.q_bpe_segment,
     }
     return q
 

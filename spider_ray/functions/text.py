@@ -595,3 +595,227 @@ def q_quality_logit(sf_dir: str) -> pa.Table:
     return _sorted(
         _concat(ds.map_batches(infer, batch_format="pyarrow")), "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (fit) + segmentation (transform)
+# --------------------------------------------------------------------------
+
+# Sennrich, Haddow & Birch 2016 ("Neural Machine Translation of Rare
+# Words with Subword Units"): train byte-pair-encoding merges on the
+# corpus WORD-FREQUENCY table, not the raw text — the freq table is the
+# sufficient statistic, so the distributed part is exactly the
+# vocab_oov-style count shuffle and the merge loop runs over a bounded
+# top-W table. All constants frozen; every tie-break deterministic.
+BPE_TRAIN_WORDS = 4000  # top-W words by (count desc, word asc)
+BPE_TRAIN_MERGES = 80  # merge-table size
+BPE_EOW = "</w>"  # end-of-word sentinel symbol (never a corpus char)
+
+
+def _bpe_train_from_freqs(
+    words: list[str], counts: list[int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """The reference merge loop (single-process over the bounded freq
+    table): repeatedly merge the most frequent adjacent symbol pair
+    (ties -> lexicographically smallest (left, right)). Returns
+    [(left, right, pair_count), ...] in merge order."""
+    seqs = [tuple(w) + (BPE_EOW,) for w in words]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for seq, c in zip(seqs, counts):
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        (la, rb), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((la, rb, n))
+        tok = la + rb
+        out = []
+        for seq in seqs:
+            if la not in seq:
+                out.append(seq)
+                continue
+            s = []
+            i = 0
+            while i < len(seq):
+                if (
+                    i + 1 < len(seq)
+                    and seq[i] == la
+                    and seq[i + 1] == rb
+                ):
+                    s.append(tok)
+                    i += 2
+                else:
+                    s.append(seq[i])
+                    i += 1
+            out.append(tuple(s))
+        seqs = out
+    return merges
+
+
+def _word_freq_topw(sf_dir: str, w: int) -> pa.Table:
+    """Distributed word-frequency fit: per-block partial counts ->
+    native groupby sum -> distributed (count desc, word asc) top-W.
+    Only W rows reach the driver."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(batch)
+            .select(word=pl.col("text").str.extract_all(tk.NONWS_PAT))
+            .explode("word")
+            .drop_nulls()
+            .group_by("word")
+            .agg(n=pl.len().cast(pl.Int64))
+            .to_arrow()
+            .cast(pa.schema([("word", pa.string()), ("n", pa.int64())]))
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+    def negate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "word": t["word"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "neg_n": pc.negate(pc.cast(t["n"], pa.int64())),
+            }
+        )
+
+    top = (
+        counts.map_batches(negate, batch_format="pyarrow")
+        .sort(["neg_n", "word"])
+        .limit(w)
+    )
+    return _concat(top).select(["word", "n"])
+
+
+def q_bpe_train(sf_dir: str) -> pa.Table:
+    """Train a BPE merge table on the documents corpus: distributed
+    word-frequency shuffle (the fit's only corpus-sized step), bounded
+    top-W table to the driver, deterministic Sennrich merge loop.
+    Output one row per merge: (rank, left, right, merged, pair_count).
+    Not SQL-expressible (iterative argmax) — rows-only at the driver;
+    pytest pins the table against an independent reference loop and the
+    segmentation invariants."""
+    freqs = _word_freq_topw(sf_dir, BPE_TRAIN_WORDS)
+    merges = _bpe_train_from_freqs(
+        freqs["word"].to_pylist(),
+        freqs["n"].to_pylist(),
+        BPE_TRAIN_MERGES,
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "merged": pa.array(
+                [m[0] + m[1] for m in merges], pa.string()
+            ),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
+def bpe_encode(word: str, rank: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first BPE segmentation of one word (the
+    standard apply rule: repeatedly merge the pair with the smallest
+    merge rank until none applies)."""
+    seq = list(word) + [BPE_EOW]
+    while len(seq) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(seq) - 1):
+            r = rank.get((seq[i], seq[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return seq
+
+
+def q_bpe_segment(sf_dir: str) -> pa.Table:
+    """Transform side of the BPE fit: broadcast the trained merge table
+    (``ray.put`` once), segment every document, and report per-lang
+    exact-integer subword statistics. Per block, each DISTINCT word is
+    encoded once (the dominant cost is bounded by per-block vocabulary,
+    not tokens) and token counts re-join the word multiplicities
+    vectorized. Rows-only (the fit is not SQL-expressible); pytest pins
+    invariants (merges only shorten: chars+1 >= subwords >= 1; totals
+    reconcile with whitespace token counts)."""
+    import ray
+
+    merges = q_bpe_train(sf_dir)
+    rank = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges["left"].to_pylist(), merges["right"].to_pylist())
+        )
+    }
+    rank_ref = ray.put(rank)
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def seg(batch: pa.Table) -> pa.Table:
+        rk = ray.get(rank_ref)
+        df = (
+            pl.from_arrow(batch)
+            .select(
+                pl.col("lang"),
+                word=pl.col("text").str.extract_all(tk.NONWS_PAT),
+            )
+            .explode("word")
+            .drop_nulls()
+            .group_by(["lang", "word"])
+            .agg(n=pl.len().cast(pl.Int64))
+        )
+        toks = [len(bpe_encode(w, rk)) for w in df["word"].to_list()]
+        df = df.with_columns(subwords=pl.Series(toks, dtype=pl.Int64))
+        out = df.group_by("lang").agg(
+            n_words=pl.col("n").sum(),
+            n_subwords=(pl.col("n") * pl.col("subwords")).sum(),
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_words", pa.int64()),
+                    ("n_subwords", pa.int64()),
+                ]
+            )
+        )
+
+    agg = (
+        ds.map_batches(seg, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            ray.data.aggregate.Sum("n_words", alias_name="n_words"),
+            ray.data.aggregate.Sum("n_subwords", alias_name="n_subwords"),
+        )
+    )
+
+    def conform(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_words": pc.cast(t["n_words"], pa.int64()),
+                "n_subwords": pc.cast(t["n_subwords"], pa.int64()),
+            }
+        )
+
+    return _sorted(
+        _concat(agg.map_batches(conform, batch_format="pyarrow")), "lang"
+    )
