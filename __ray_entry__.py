@@ -745,6 +745,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and its transform: broadcast merge table → per-lang exact
         # subword stats (rows-only; invariants pytest-pinned)
         "bpe_segment": T.q_bpe_segment,
+        # VAD-style energy segmentation over REAL-decoded PCM WAV
+        # (frame-energy runs; burst layout replayed exactly in SQL)
+        "audio_segments": M.q_audio_segments,
     }
     return q
 
@@ -3217,6 +3220,18 @@ def oracle_sql() -> dict[str, str]:
     }
     # the planner-chosen salt never changes the answer — same oracle
     out["salted_join_auto"] = out["salted_join"]
+    # audio VAD: the burst layout is a pure function of doc_id and the
+    # 10 ms frames align with burst boundaries, so every output column
+    # replays exactly (K = 1+doc_id%4 bursts of 60 ms tone + 40 ms
+    # silence); the engine still derives them from the decoded waveform
+    out["audio_segments"] = """
+        SELECT 'clip' || CAST(doc_id AS VARCHAR) AS clip_id,
+               CAST(1 + doc_id % 4 AS BIGINT) AS n_segments,
+               CAST(60 * (1 + doc_id % 4) AS BIGINT) AS active_ms,
+               CAST(0 AS BIGINT) AS first_start_ms,
+               CAST(100 * (doc_id % 4) + 60 AS BIGINT) AS last_end_ms
+        FROM documents ORDER BY clip_id
+    """
     return {k: _ws(v) for k, v in out.items()}
 
 

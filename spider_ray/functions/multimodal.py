@@ -502,3 +502,125 @@ def q_clip_align(sf_dir: str) -> pa.Table:
         .map_groups(gate, batch_format="pyarrow")
     )
     return _sorted(_concat(out), "pair_id")
+
+
+def segment_energy(
+    x: np.ndarray, frame: int = 80, threshold: float = 1e-4
+) -> list[tuple[int, int]]:
+    """Energy-based voice-activity segmentation (the classic frame-energy
+    VAD): split the waveform into ``frame``-sample frames, mark frames
+    with mean square energy above ``threshold`` active, return the
+    [start_frame, end_frame) spans of contiguous active runs. Vectorized
+    numpy (frame energies + run-edge detection via diff)."""
+    n = (len(x) // frame) * frame
+    if n == 0:
+        return []
+    e = (x[:n].astype(np.float64).reshape(-1, frame) ** 2).mean(axis=1)
+    active = e > threshold
+    if not active.any():
+        return []
+    edges = np.flatnonzero(np.diff(active.astype(np.int8)))
+    starts = [0] if active[0] else []
+    starts += [int(i) + 1 for i in edges if not active[i]]
+    ends = [int(i) + 1 for i in edges if active[i]]
+    if active[-1]:
+        ends.append(len(active))
+    return list(zip(starts, ends))
+
+
+def q_audio_segments(sf_dir: str) -> pa.Table:
+    """VAD-style segmentation over REAL-decoded PCM WAV: one
+    deterministic clip per document built as K = 1 + doc_id%4 bursts of
+    (480 tone samples + 320 silence samples) at 8 kHz; the actor-pool
+    stage decodes the actual bytes (stdlib ``wave``) and segments by
+    10 ms-frame energy. Because the burst layout is a pure function of
+    doc_id and frames align with burst boundaries, the DuckDB oracle
+    replays every output column exactly — the engine's numbers still
+    come from the waveform, so a decode or segmentation bug breaks the
+    hash. Output per clip: n_segments, active_ms, first_start_ms,
+    last_end_ms."""
+    import io
+    import wave as _wave
+
+    from spider_ray.pipelines.relational import _concat, _sorted
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        clips, ids, dids = [], [], []
+        for did in batch["doc_id"].to_pylist():
+            k = 1 + did % 4
+            freq = 200.0 + (did % 20) * 40.0
+            parts = []
+            for b in range(k):
+                t = np.arange(480) / 8000.0
+                parts.append(
+                    (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(
+                        "<i2"
+                    )
+                )
+                parts.append(np.zeros(320, "<i2"))
+            x = np.concatenate(parts)
+            buf = io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(x.tobytes())
+            clips.append(buf.getvalue())
+            ids.append(f"clip{did}")
+            dids.append(did)
+        return pa.table(
+            {
+                "clip_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(clips, pa.binary()),
+            }
+        )
+
+    class Segmenter:
+        """Actor-pool stage: decode in __call__, codec state warm."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {
+                "clip_id": [],
+                "n_segments": [],
+                "active_ms": [],
+                "first_start_ms": [],
+                "last_end_ms": [],
+            }
+            for cid, data in zip(
+                batch["clip_id"].to_pylist(), batch["bytes"].to_pylist()
+            ):
+                x, rate = decode_wav(data)
+                spans = segment_energy(x)
+                ms = 1000 * 80 // rate  # 10 ms frames at 8 kHz
+                out["clip_id"].append(cid)
+                out["n_segments"].append(len(spans))
+                out["active_ms"].append(
+                    sum((e - s) for s, e in spans) * ms
+                )
+                out["first_start_ms"].append(
+                    spans[0][0] * ms if spans else -1
+                )
+                out["last_end_ms"].append(
+                    spans[-1][1] * ms if spans else -1
+                )
+            return pa.table(
+                {
+                    "clip_id": pa.array(out["clip_id"], pa.string()),
+                    "n_segments": pa.array(out["n_segments"], pa.int64()),
+                    "active_ms": pa.array(out["active_ms"], pa.int64()),
+                    "first_start_ms": pa.array(
+                        out["first_start_ms"], pa.int64()
+                    ),
+                    "last_end_ms": pa.array(
+                        out["last_end_ms"], pa.int64()
+                    ),
+                }
+            )
+
+    seg = ds.map_batches(synth, batch_format="pyarrow").map_batches(
+        Segmenter, batch_format="pyarrow", concurrency=2
+    )
+    return _sorted(_concat(seg), "clip_id")

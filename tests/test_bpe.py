@@ -124,3 +124,21 @@ def test_bpe_segment_invariants(ray_session):
     )
     j2 = seg.join(chars, on="lang")
     assert (j2["n_subwords"] < j2["unmerged"]).all()
+
+
+def test_audio_segments_golden(ray_session):
+    """Segmentation golden: a hand-built clip with two bursts and a
+    leading silence segments exactly; run-edge detection handles
+    leading/trailing silence and the all-silent clip."""
+    import numpy as np
+
+    from spider_ray.functions.multimodal import segment_energy
+
+    tone = (0.5 * np.sin(2 * np.pi * 300 * np.arange(160) / 8000.0)
+            * 32767).astype("<i2")
+    sil = np.zeros(80, "<i2")
+    x = np.concatenate([sil, tone, sil, sil, tone])
+    # frames of 80: [sil, tone, tone, sil, sil, tone, tone]
+    assert segment_energy(x) == [(1, 3), (5, 7)]
+    assert segment_energy(np.zeros(800, "<i2")) == []
+    assert segment_energy(np.concatenate([tone, tone])) == [(0, 4)]
