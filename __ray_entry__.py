@@ -323,6 +323,15 @@ def _sitemap_seeds_query(sf_dir: str) -> Any:
     return q_sitemap_seeds(_sitemap_corpus())
 
 
+def _host_rate_plan_query(sf_dir: str) -> Any:
+    """Per-host crawl capacity plan (page counts × politeness budgets ×
+    robots Crawl-delay caps → milli-QPS + projected serial crawl time)
+    — SQL-oracled bit-exact over the demo corpus control tables."""
+    from spider_ray.functions.webgraph import q_host_rate_plan
+
+    return q_host_rate_plan(_sitemap_corpus())
+
+
 def _host_graph_query(sf_dir: str) -> Any:
     """Host-level link graph (cross-host edge counts + distinct linking
     pages) over the demo corpus — SQL-oracled via UNNEST + group-by."""
@@ -748,6 +757,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # VAD-style energy segmentation over REAL-decoded PCM WAV
         # (frame-energy runs; burst layout replayed exactly in SQL)
         "audio_segments": M.q_audio_segments,
+        # per-host crawl capacity plan: page counts × politeness budget
+        # × Crawl-delay cap → milli-QPS + projected serial crawl time
+        "host_rate_plan": _host_rate_plan_query,
     }
     return q
 
@@ -3231,6 +3243,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS first_start_ms,
                CAST(100 * (doc_id % 4) + 60 AS BIGINT) AS last_end_ms
         FROM documents ORDER BY clip_id
+    """
+    # per-host capacity plan over the demo corpus control tables
+    out["host_rate_plan"] = f"""
+        WITH pc AS (
+            SELECT host, CAST(count(*) AS BIGINT) AS n_pages
+            FROM '{sm_wg}' GROUP BY host),
+        hl AS (
+            SELECT key, CAST(max_qps * 1000 AS BIGINT) AS mq
+            FROM '{os.path.join(sitemap_corpus, "host_load.parquet")}'
+            WHERE "window" = ''),
+        dflt AS (SELECT mq FROM hl WHERE key = '*'),
+        cd AS (
+            SELECT host,
+                   CAST(1000 / CAST(regexp_extract(body,
+                       'Crawl-delay:[ \t]*([0-9.]+)', 1) AS DOUBLE)
+                       AS BIGINT) AS cap
+            FROM '{sm_robots}'
+            WHERE regexp_matches(body,
+                '(?i)crawl-delay:[ \t]*([0-9.]+)')),
+        j AS (
+            SELECT pc.host, pc.n_pages,
+                   least(coalesce(hl.mq, (SELECT mq FROM dflt)),
+                         coalesce(cd.cap, 4611686018427387904))
+                       AS milli_qps
+            FROM pc LEFT JOIN hl ON pc.host = hl.key
+                    LEFT JOIN cd ON pc.host = cd.host)
+        SELECT host, n_pages, CAST(milli_qps AS BIGINT) AS milli_qps,
+               CAST(n_pages * 1000000 // milli_qps AS BIGINT)
+                   AS projected_ms
+        FROM j ORDER BY host
     """
     return {k: _ws(v) for k, v in out.items()}
 

@@ -925,3 +925,86 @@ def q_host_graph(corpus: str) -> pa.Table:
         .map_groups(reduce_part, batch_format="pyarrow")
     )
     return _sorted(_concat(agg), ["src_host", "dst_host"])
+
+
+# --------------------------------------------------------------------------
+# host_rate_plan
+# --------------------------------------------------------------------------
+
+def q_host_rate_plan(corpus: str) -> pa.Table:
+    """Per-host crawl capacity plan — the sizing arithmetic behind the
+    reference's schedule config (fetcher fleet sizing from host_load
+    budgets, host_load_control_tab.txt + schedule.conf): for every host
+    in the web graph, join its page count against its politeness budget
+    (host_load row, falling back to the '*' default) and its robots
+    Crawl-delay cap, and project the serial crawl time at the effective
+    rate. All-integer output (QPS carried as milli-QPS) so the check is
+    hash-exact.
+
+    Shape: page counts are the only corpus-sized input (distributed
+    native groupby over the pruned host column); host_load and robots
+    are O(hosts) control tables — broadcast lookups, per the J1
+    small-side discipline. Output one row per host, sorted."""
+    import os
+    import re
+
+    import pyarrow.parquet as pq
+
+    wg = _read_web_graph(corpus, ["host"])
+    counts = wg.groupby("host").aggregate(
+        ray.data.aggregate.Count(alias_name="n_pages")
+    )
+
+    hl = pq.read_table(os.path.join(corpus, "host_load.parquet"))
+    budgets = {
+        k: int(q * 1000)
+        for k, q, w in zip(
+            hl["key"].to_pylist(),
+            hl["max_qps"].to_pylist(),
+            hl["window"].to_pylist(),
+        )
+        if not w
+    }
+    default_mq = budgets.get("*", 3000)
+    rb = pq.read_table(os.path.join(corpus, "robots.parquet"))
+    delay_re = re.compile(r"(?i)crawl-delay:[ \t]*([0-9.]+)")
+    caps = {}
+    for h, b in zip(rb["host"].to_pylist(), rb["body"].to_pylist()):
+        m = delay_re.search(b or "")
+        if m and float(m.group(1)) > 0:
+            caps[h] = int(1000 / float(m.group(1)))
+    budgets_ref = ray.put((budgets, default_mq, caps))
+
+    out_schema = pa.schema(
+        [
+            ("host", pa.string()),
+            ("n_pages", pa.int64()),
+            ("milli_qps", pa.int64()),
+            ("projected_ms", pa.int64()),
+        ]
+    )
+
+    def plan(t: pa.Table) -> pa.Table:
+        b, dflt, cp = ray.get(budgets_ref)
+        hosts = t["host"].to_pylist()
+        n = [int(v) for v in t["n_pages"].to_pylist()]
+        mq = [
+            min(b.get(h, dflt), cp.get(h, 1 << 62)) for h in hosts
+        ]
+        proj = [ni * 1_000_000 // q for ni, q in zip(n, mq)]
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_pages": pa.array(n, pa.int64()),
+                "milli_qps": pa.array(mq, pa.int64()),
+                "projected_ms": pa.array(proj, pa.int64()),
+            }
+        ).cast(out_schema)
+
+    return _sorted(
+        _concat(
+            counts.map_batches(plan, batch_format="pyarrow"),
+            schema=out_schema,
+        ),
+        "host",
+    )

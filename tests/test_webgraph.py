@@ -304,3 +304,50 @@ def test_host_graph_matches_bruteforce(ray_session, graph_corpus):
     # a page links the same target at most once (webgen in-page dedup)
     assert (out["n_links"] >= out["n_src_pages"]).all()
     assert out.height > 0
+
+
+def test_host_rate_plan_semantics(ray_session):
+    """Capacity-plan rules on the demo corpus: budgeted hosts keep their
+    host_load QPS, the Crawl-delay host is capped to 1000/delay
+    milli-QPS (never raised), everyone else gets the '*' default, and
+    projected time is the exact integer division."""
+    import os
+
+    import polars as pl
+
+    from spider_ray.functions.webgraph import q_host_rate_plan
+    from spider_ray.sources.webgen import generate
+
+    corpus = "/tmp/spider_ray_rateplan_corpus"
+    if not os.path.exists(os.path.join(corpus, "host_load.parquet")):
+        generate(corpus, n_pages=500, n_hosts=10, seed=23)
+    out = pl.from_arrow(q_host_rate_plan(corpus))
+    hl = pl.from_arrow(
+        pq.read_table(os.path.join(corpus, "host_load.parquet"))
+    )
+    rb = pl.from_arrow(
+        pq.read_table(os.path.join(corpus, "robots.parquet"))
+    )
+    slow = rb.filter(pl.col("body").str.contains("Crawl-delay"))["host"]
+    assert len(slow) == 1
+    assert out.filter(pl.col("host") == slow[0])["milli_qps"][0] == 500
+    spec = {
+        r["key"]: int(r["max_qps"] * 1000)
+        for r in hl.to_dicts()
+        if r["key"] != "*" and not r["window"]
+    }
+    for h, mq in spec.items():
+        row = out.filter(pl.col("host") == h)
+        if row.height:
+            assert row["milli_qps"][0] == mq
+    dflt = int(
+        hl.filter(pl.col("key") == "*")["max_qps"][0] * 1000
+    )
+    others = out.filter(
+        ~pl.col("host").is_in(list(spec) + [slow[0]])
+    )
+    assert (others["milli_qps"] == dflt).all()
+    assert (
+        out["projected_ms"]
+        == out["n_pages"] * 1_000_000 // out["milli_qps"]
+    ).all()
