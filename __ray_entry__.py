@@ -565,7 +565,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_shard_pack": _image_shard_pack_query,
         # per-shard lineage/integrity manifest + the SDXL bucketed-
         # dataloader composition — both SQL-oracled bit-exact
-        "shard_manifest": _shard_manifest_query,
+        # (shard_manifest — shard class triple-repped in-window by
+        # image_shard_pack/bucket_shard_pack/shard_write_audit — moved
+        # to the tail; sitemap discovery is a NEW class this session)
+        "sitemap_seeds": _sitemap_seeds_query,
         "bucket_shard_pack": _bucket_shard_pack_query,
         # deterministic two-level training-epoch order over the shards
         # (ngram_jaccard_pairs, near-dup class triple-covered in-window
@@ -573,7 +576,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _epoch_shuffle_query,
         # per-(bucket, fmt) dataset-card rollup (langid — SQL-oracled,
         # strict-double-covered, text class richly repped — to the tail)
-        "bucket_stats": _bucket_stats_query,
+        # (bucket_stats — bucket class triple-repped — to the tail;
+        # the adaptive revisit plan is a NEW class this session)
+        "recrawl_schedule": _recrawl_schedule_query,
         # per-aspect-bucket quota resample toward the smallest bucket
         # (the mixture_sample mechanics over DATA-DEPENDENT rates;
         # SQL-oracled bit-exact via HUGEINT thresholds)
@@ -599,7 +604,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-means + replayable-double distance ranks (_ivf_oracle_sql)
         "knn_bruteforce": S.q_knn_bruteforce,
         "knn_ivf": S.q_knn_ivf,
-        "knn_lsh": S.q_knn_lsh,
+        # (knn_lsh — ANN class double-repped by bruteforce/IVF — to the
+        # tail; the capacity planner is a NEW class this session)
+        "host_rate_plan": _host_rate_plan_query,
         # URL operators
         "url_canonicalize": U.q_url_canonicalize,
         "host_split": U.q_host_split,
@@ -728,9 +735,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-target anchor-text aggregation (linkbase side table):
         # inlink count, distinct source hosts, plurality anchor
         "anchor_text": _anchor_text_query,
-        # adaptive revisit plan from the snapshot delta (halve/double/
-        # clamp + priority bands — the scheduler's recrawl queue input)
-        "recrawl_schedule": _recrawl_schedule_query,
+        # shard/bucket/ANN entries displaced from the 50-row window by
+        # this session's new classes (all strict-double-covered)
+        "shard_manifest": _shard_manifest_query,
+        "bucket_stats": _bucket_stats_query,
+        "knn_lsh": S.q_knn_lsh,
         # host-level link graph: cross-host edge counts + distinct
         # linking pages (the scheduler's per-host structure + the
         # standard shuffle-skew diagnostic)
@@ -741,9 +750,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user inter-event-time stats (the LAG window class; exact
         # int64 µs aggregates)
         "interevent_gaps": R.q_interevent_gaps,
-        # sitemap-driven seed discovery: robots Sitemap: decls → fetch
-        # join → index expansion → <loc> → novelty flag vs web_graph
-        "sitemap_seeds": _sitemap_seeds_query,
         # the skew-salted join with the PLANNER detecting the hot key
         # (detect_hot_keys → auto_salted_join); same oracle as
         # salted_join — detection changes the plan, never the answer
@@ -757,9 +763,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # VAD-style energy segmentation over REAL-decoded PCM WAV
         # (frame-energy runs; burst layout replayed exactly in SQL)
         "audio_segments": M.q_audio_segments,
-        # per-host crawl capacity plan: page counts × politeness budget
-        # × Crawl-delay cap → milli-QPS + projected serial crawl time
-        "host_rate_plan": _host_rate_plan_query,
     }
     return q
 
