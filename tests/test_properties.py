@@ -201,3 +201,60 @@ def test_parse_robots_total_and_delay_sane(lines):
         assert d is None or (d > 0 and d == d)
         if d is not None:
             assert "crawl-delay" in body.lower()
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from([f"h{i}.example.com" for i in range(6)]),
+        st.one_of(st.none(), st.floats(0.1, 100)),
+        max_size=6,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["*"] + [f"h{i}.example.com" for i in range(6)]
+            ),
+            st.integers(1, 20),
+            st.floats(0.01, 50),
+        ),
+        max_size=6,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_apply_crawl_delays_properties(delays, rows):
+    """apply_crawl_delays is total and only ever LOWERS effective QPS:
+    every host with a declared delay ends at min(budget, 1/delay);
+    hosts without a delay keep their rows byte-identical; row count
+    grows only by delay-hosts that had no row."""
+    from spider_ray.kernels.robots import parse_robots
+    from spider_ray.state.load_controller import (
+        LoadController,
+        LoadOptions,
+        apply_crawl_delays,
+    )
+
+    robots = {
+        h: parse_robots(
+            "User-agent: *\nAllow: /\n"
+            + (f"Crawl-delay: {d}\n" if d is not None else "")
+        )
+        for h, d in delays.items()
+    }
+    load_rows = [(k, mc, q, "") for k, mc, q in rows]
+    out = apply_crawl_delays(load_rows, robots)
+    lc = LoadController.from_table(out)
+    lc0 = LoadController.from_table(load_rows)
+    opt = LoadOptions()
+    for h, d in delays.items():
+        before = lc0._find_record(h, 0).max_qps
+        after = lc._find_record(h, 0).max_qps
+        if d is None:
+            assert after == before
+        else:
+            assert after == pytest.approx(min(before, 1.0 / d))
+            assert after <= before + 1e-12
+    # non-delay rows unchanged and in order
+    kept = [r for r in out[: len(load_rows)]]
+    for orig, now in zip(load_rows, kept):
+        if orig[0] not in {h for h, d in delays.items() if d}:
+            assert orig == now
