@@ -164,3 +164,52 @@ def test_sitemap_seeded_crawl_parity_and_coverage(ray_session):
     # fresh (sitemap-only) URLs were attempted and 404-terminated
     tried = {r["url"] for r in eng}
     assert any("/fresh/" in u for u in tried)
+
+
+def test_sitemap_seeded_stop_resume_byte_equal(ray_session):
+    """A sitemap-seeded run stopped at a generation boundary and resumed
+    (same sitemap_seeds topology) produces the identical crawl order as
+    the uninterrupted seeded run — discovery composes with the
+    checkpoint/resume contract."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from spider_ray.pipelines.crawl import read_sink, run_crawl
+    from spider_ray.sources.webgen import generate
+
+    corpus = "/tmp/spider_ray_sm_resume_corpus"
+    if not os.path.exists(os.path.join(corpus, "frontier_seed.parquet")):
+        generate(corpus, n_pages=300, n_hosts=8, seed=47)
+
+    def engine_rows(out_dir):
+        import glob
+
+        rows = []
+        for d in sorted(
+            glob.glob(os.path.join(out_dir, "gen=*")),
+            key=lambda p: int(p.split("=")[1]),
+        ):
+            rows.extend(read_sink(d, "status.parquet").to_pylist())
+        return rows
+
+    base = "/tmp/spider_ray_sm_resume_out"
+    shutil.rmtree(base, ignore_errors=True)
+    full_out = os.path.join(base, "full")
+    run_crawl(corpus, full_out, num_shards=2, fetch_concurrency=2,
+              sitemap_seeds=True)
+    part_out = os.path.join(base, "part")
+    os.makedirs(part_out)
+    with open(os.path.join(part_out, "control.json"), "w") as f:
+        json.dump({"stop_after_gen": 1}, f)
+    part = run_crawl(corpus, part_out, num_shards=2,
+                     fetch_concurrency=2, sitemap_seeds=True)
+    assert part["stopped_by_control"]
+    run_crawl(corpus, part_out, num_shards=2, fetch_concurrency=2,
+              resume=True, sitemap_seeds=True)
+    a, b = engine_rows(full_out), engine_rows(part_out)
+    assert a == b
+    sa = pq.read_table(os.path.join(full_out, "seen.parquet")).to_pylist()
+    sb = pq.read_table(os.path.join(part_out, "seen.parquet")).to_pylist()
+    assert sa == sb
