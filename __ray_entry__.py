@@ -3247,36 +3247,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(100 * (doc_id % 4) + 60 AS BIGINT) AS last_end_ms
         FROM documents ORDER BY clip_id
     """
-    # per-host capacity plan over the demo corpus control tables
-    out["host_rate_plan"] = f"""
-        WITH pc AS (
-            SELECT host, CAST(count(*) AS BIGINT) AS n_pages
-            FROM '{sm_wg}' GROUP BY host),
-        hl AS (
-            SELECT key, CAST(max_qps * 1000 AS BIGINT) AS mq
-            FROM '{os.path.join(sitemap_corpus, "host_load.parquet")}'
-            WHERE "window" = ''),
-        dflt AS (SELECT mq FROM hl WHERE key = '*'),
-        cd AS (
-            SELECT host,
-                   CAST(1000 / CAST(regexp_extract(body,
-                       'Crawl-delay:[ \t]*([0-9.]+)', 1) AS DOUBLE)
-                       AS BIGINT) AS cap
-            FROM '{sm_robots}'
-            WHERE regexp_matches(body,
-                '(?i)crawl-delay:[ \t]*([0-9.]+)')),
-        j AS (
-            SELECT pc.host, pc.n_pages,
-                   least(coalesce(hl.mq, (SELECT mq FROM dflt)),
-                         coalesce(cd.cap, 4611686018427387904))
-                       AS milli_qps
-            FROM pc LEFT JOIN hl ON pc.host = hl.key
-                    LEFT JOIN cd ON pc.host = cd.host)
-        SELECT host, n_pages, CAST(milli_qps AS BIGINT) AS milli_qps,
-               CAST(n_pages * 1000000 // milli_qps AS BIGINT)
-                   AS projected_ms
-        FROM j ORDER BY host
-    """
+    # per-host capacity plan over the demo corpus control tables; SQL
+    # shared with the delay-fuzz parity test (webgraph.host_rate_plan_sql)
+    from spider_ray.functions.webgraph import host_rate_plan_sql
+
+    out["host_rate_plan"] = host_rate_plan_sql(sitemap_corpus)
     return {k: _ws(v) for k, v in out.items()}
 
 

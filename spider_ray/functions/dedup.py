@@ -1188,10 +1188,23 @@ def auto_salted_join(
     hot, salt = detect_hot_keys(probe, on)
     if hot:
         # _hash_join matches hot keys by value via np.isin on the raw
-        # column — convert back through the left key dtype
+        # column — convert detect_hot_keys' string-canonical set back
+        # through the left key dtype, or fail loudly: a silently
+        # unmatched hot set would disable the skew mitigation (correct
+        # result, no-op planner)
         kt = left_schema.field(on).type
-        if pa.types.is_integer(kt):
-            hot = frozenset(int(k) for k in hot)
+        if not (pa.types.is_string(kt) or pa.types.is_large_string(kt)):
+            try:
+                hot = frozenset(
+                    pa.array(sorted(hot), pa.string()).cast(kt).to_pylist()
+                )
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+                raise TypeError(
+                    f"auto_salted_join: hot-key column {on!r} has dtype "
+                    f"{kt}, which cannot round-trip through "
+                    "detect_hot_keys' string canonicalization — use a "
+                    "string/integer join key or pre-cast the column"
+                ) from e
     return _hash_join(
         left,
         right,

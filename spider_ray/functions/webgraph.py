@@ -931,6 +931,49 @@ def q_host_graph(corpus: str) -> pa.Table:
 # host_rate_plan
 # --------------------------------------------------------------------------
 
+def host_rate_plan_sql(corpus: str) -> str:
+    """The DuckDB oracle for :func:`q_host_rate_plan`, shared between the
+    driver's oracle_sql() and the delay-fuzz parity test so the two can
+    never drift. Mirrors the engine exactly: case-insensitive first-match
+    Crawl-delay with a required leading digit, FLOOR division (Python
+    int() truncation on positives), and a ``d > 0`` guard."""
+    import os
+
+    wg = os.path.join(corpus, "web_graph.parquet")
+    robots = os.path.join(corpus, "robots.parquet")
+    hl = os.path.join(corpus, "host_load.parquet")
+    return f"""
+        WITH pc AS (
+            SELECT host, CAST(count(*) AS BIGINT) AS n_pages
+            FROM '{wg}' GROUP BY host),
+        hl AS (
+            SELECT key, CAST(max_qps * 1000 AS BIGINT) AS mq
+            FROM '{hl}'
+            WHERE "window" = ''),
+        dflt AS (SELECT mq FROM hl WHERE key = '*'),
+        cd AS (
+            SELECT host, CAST(FLOOR(1000 / d) AS BIGINT) AS cap
+            FROM (
+                SELECT host,
+                       TRY_CAST(regexp_extract(body,
+                           '(?i)crawl-delay:[ \t]*([0-9]+(?:\\.[0-9]+)?)',
+                           1) AS DOUBLE) AS d
+                FROM '{robots}')
+            WHERE d IS NOT NULL AND d > 0),
+        j AS (
+            SELECT pc.host, pc.n_pages,
+                   least(coalesce(hl.mq, (SELECT mq FROM dflt)),
+                         coalesce(cd.cap, 4611686018427387904))
+                       AS milli_qps
+            FROM pc LEFT JOIN hl ON pc.host = hl.key
+                    LEFT JOIN cd ON pc.host = cd.host)
+        SELECT host, n_pages, CAST(milli_qps AS BIGINT) AS milli_qps,
+               CAST(n_pages * 1000000 // milli_qps AS BIGINT)
+                   AS projected_ms
+        FROM j ORDER BY host
+    """
+
+
 def q_host_rate_plan(corpus: str) -> pa.Table:
     """Per-host crawl capacity plan — the sizing arithmetic behind the
     reference's schedule config (fetcher fleet sizing from host_load
@@ -967,7 +1010,13 @@ def q_host_rate_plan(corpus: str) -> pa.Table:
     }
     default_mq = budgets.get("*", 3000)
     rb = pq.read_table(os.path.join(corpus, "robots.parquet"))
-    delay_re = re.compile(r"(?i)crawl-delay:[ \t]*([0-9.]+)")
+    # capacity-plan reading is deliberately body-wide + first-match
+    # (max-conservative: ANY user-agent group's declared delay caps the
+    # host), unlike the crawl path's agent-group-scoped crawl_delay_for —
+    # a plan should not assume the fleet crawls under the one lenient UA.
+    # Pattern requires a leading digit so '.' alone never parses; the
+    # oracle SQL mirrors this exactly ((?i), FLOOR, d > 0 guard).
+    delay_re = re.compile(r"(?i)crawl-delay:[ \t]*([0-9]+(?:\.[0-9]+)?)")
     caps = {}
     for h, b in zip(rb["host"].to_pylist(), rb["body"].to_pylist()):
         m = delay_re.search(b or "")

@@ -642,6 +642,10 @@ def run_crawl(
                 "persisted seen-set/url_hash values are not comparable — "
                 "resume on the original environment or restart the crawl"
             )
+        # checkpoints written before sitemap_seeds existed lack the key;
+        # those runs were necessarily started without sitemap seeding, so
+        # default it rather than failing the whole-dict comparison
+        stored.setdefault("sitemap_seeds", False)
         topo = {k: v for k, v in cfg.items() if k != "hash_canary"}
         stored_topo = {k: v for k, v in stored.items() if k != "hash_canary"}
         if stored_topo != topo:

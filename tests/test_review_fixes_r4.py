@@ -1,0 +1,103 @@
+"""Round-4 advisor-fix regressions: legacy-checkpoint resume (missing
+sitemap_seeds key in run_config.json must not trip the topology guard) and
+auto_salted_join's hot-key dtype round-trip for non-int/non-string keys."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pytest
+import ray
+
+from spider_ray.functions.dedup import (
+    _concat,
+    _hash_join,
+    auto_salted_join,
+    detect_hot_keys,
+)
+
+
+def test_resume_accepts_legacy_config_without_sitemap_key(ray_session):
+    """A checkpoint written before the sitemap_seeds topology key existed
+    (necessarily a non-seeded run) must resume cleanly rather than raising
+    a spurious 'resume topology mismatch'."""
+    from spider_ray.pipelines.crawl import run_crawl
+    from spider_ray.sources.webgen import generate
+
+    corpus = "/tmp/spider_ray_r4_legacy_corpus"
+    out = "/tmp/spider_ray_r4_legacy_resume"
+    if not os.path.exists(os.path.join(corpus, "_DONE")):
+        generate(corpus, n_pages=120, n_hosts=6, seed=11)
+    shutil.rmtree(out, ignore_errors=True)
+    run_crawl(corpus, out, num_shards=2, fetch_concurrency=2, max_gens=1)
+    cfg_path = os.path.join(out, "run_config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    assert cfg.pop("sitemap_seeds") is False  # simulate a pre-key checkpoint
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    res = run_crawl(
+        corpus, out, num_shards=2, fetch_concurrency=2, resume=True
+    )
+    assert res["total_fetched"] > 0
+
+
+def _skewed_float(n=12_000, seed=5):
+    rng = np.random.default_rng(seed)
+    keys = (rng.integers(0, 50, n).astype(np.float64)) / 2.0
+    keys[rng.random(n) < 0.35] = 7.5  # planted hot float key
+    return pa.table(
+        {"k": pa.array(keys, pa.float64()),
+         "v": pa.array(np.arange(n, dtype=np.int64))}
+    )
+
+
+def test_auto_salted_join_float_key_roundtrip(ray_session):
+    """Non-int/non-string keys: the detected hot set (string-canonical)
+    must convert back through the key dtype so the skew plan actually
+    fires, and the salted result must equal the plain join."""
+    t = _skewed_float()
+    ds = ray.data.from_arrow(t).repartition(8)
+    hot, salt = detect_hot_keys(ds, "k")
+    assert "7.5" in hot and salt >= 2  # planted key detected as string
+    dim = pa.table(
+        {"k": pa.array([i / 2.0 for i in range(50)], pa.float64()),
+         "grp": pa.array([f"g{i}" for i in range(50)], pa.string())}
+    )
+    l_schema = pa.schema([("k", pa.float64()), ("v", pa.int64())])
+    r_schema = pa.schema([("k", pa.float64()), ("grp", pa.string())])
+
+    def run(j):
+        return (
+            pl.from_arrow(_concat(j)).sort(["k", "v"]).select(["k", "v", "grp"])
+        )
+
+    salted = run(
+        auto_salted_join(
+            ray.data.from_arrow(t).repartition(8),
+            ray.data.from_arrow(dim),
+            on="k",
+            right_on="k",
+            left_schema=l_schema,
+            right_schema=r_schema,
+        )
+    )
+    plain = run(
+        _hash_join(
+            ray.data.from_arrow(t).repartition(8),
+            ray.data.from_arrow(dim),
+            on="k",
+            right_on="k",
+            left_schema=l_schema,
+            right_schema=r_schema,
+        )
+    )
+    assert salted.equals(plain)
+    # and the converted hot set matches raw float values (np.isin works)
+    conv = frozenset(
+        pa.array(sorted(hot), pa.string()).cast(pa.float64()).to_pylist()
+    )
+    assert 7.5 in conv

@@ -351,3 +351,81 @@ def test_host_rate_plan_semantics(ray_session):
         out["projected_ms"]
         == out["n_pages"] * 1_000_000 // out["milli_qps"]
     ).all()
+
+
+def test_host_rate_plan_delay_fuzz(ray_session, tmp_path):
+    """Engine vs DuckDB oracle on a hand-built corpus whose robots bodies
+    exercise every Crawl-delay edge the frozen webgen corpus does not:
+    truncating division (delay=7 → 142, not round-half 143), lowercase
+    'crawl-delay:', decimal delays, an explicit zero (skipped on both
+    sides), a bare '.' (parses on neither side), a delay declared only
+    for a non-default UA group (body-wide reading still caps), and a
+    host with no robots row at all."""
+    import os
+
+    import duckdb
+    import polars as pl
+    import pyarrow as pa
+
+    from spider_ray.functions.webgraph import (
+        host_rate_plan_sql,
+        q_host_rate_plan,
+    )
+
+    corpus = str(tmp_path)
+    hosts = [f"h{i}.example.com" for i in range(8)]
+    # 3 pages on h0, 1 page each elsewhere — n_pages varies
+    rows = [hosts[0]] * 3 + hosts[1:]
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(rows, pa.string()),
+                "url": pa.array(
+                    [f"http://{h}/p{i}" for i, h in enumerate(rows)],
+                    pa.string(),
+                ),
+            }
+        ),
+        os.path.join(corpus, "web_graph.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "key": pa.array(["*", hosts[1]], pa.string()),
+                "max_qps": pa.array([3.0, 10.0], pa.float64()),
+                "window": pa.array(["", ""], pa.string()),
+            }
+        ),
+        os.path.join(corpus, "host_load.parquet"),
+    )
+    bodies = {
+        hosts[0]: "User-agent: *\nCrawl-delay: 7\n",  # 1000/7 → 142
+        hosts[1]: "User-agent: *\ncrawl-delay: 2.5\n",  # lowercase+decimal
+        hosts[2]: "User-agent: *\nCrawl-delay: 0\n",  # zero → no cap
+        hosts[3]: "User-agent: *\nCrawl-delay: .\n",  # no digit → no cap
+        hosts[4]: "User-agent: other\nCrawl-delay: 4\n",  # other UA caps
+        hosts[5]: "User-agent: *\nDisallow: /private\n",  # no delay
+        # hosts[6]: no robots row at all
+        hosts[7]: "crawl-DELAY:\t3\n",  # mixed case + tab
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(list(bodies), pa.string()),
+                "body": pa.array(list(bodies.values()), pa.string()),
+            }
+        ),
+        os.path.join(corpus, "robots.parquet"),
+    )
+
+    eng = pl.from_arrow(q_host_rate_plan(corpus))
+    ora = pl.from_arrow(duckdb.sql(host_rate_plan_sql(corpus)).arrow())
+    assert eng.equals(ora), f"engine:\n{eng}\noracle:\n{ora}"
+    mq = dict(zip(eng["host"], eng["milli_qps"]))
+    assert mq[hosts[0]] == 142  # truncation, not round-half-even
+    assert mq[hosts[1]] == 400  # min(10 qps budget, 1000/2.5)
+    assert mq[hosts[2]] == 3000  # zero delay ignored → '*' default
+    assert mq[hosts[3]] == 3000  # '.' parses on neither side
+    assert mq[hosts[4]] == 250  # body-wide reading: other-UA delay caps
+    assert mq[hosts[6]] == 3000  # absent robots row → default
+    assert mq[hosts[7]] == 333  # case-insensitive, tab separator
