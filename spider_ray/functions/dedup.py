@@ -651,8 +651,24 @@ def _shingle_table(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(shingle, batch_format="pyarrow")
 
 
+_JACCARD_PAIR_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
 def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """Near-dup pairs by exact k-word-shingle Jaccard ≥ τ. Candidates come
+    """Near-dup pairs by exact k-word-shingle Jaccard ≥ τ (materialized
+    query form of :func:`_ngram_jaccard_pairs_ds`)."""
+    return _sorted(
+        _concat(_ngram_jaccard_pairs_ds(sf_dir), schema=_JACCARD_PAIR_SCHEMA),
+        ["a_id", "b_id"],
+    )
+
+
+def _ngram_jaccard_pairs_ds(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup pairs by exact k-word-shingle Jaccard ≥ τ, as a streaming
+    Dataset (``q_dup_clusters``' distributed route consumes it without a
+    driver materialization). Candidates come
     from an exhaustive shingle-bucket cogroup (any pair with j>0 shares a
     shingle → zero misses). Each bucket key IS one distinct shingle, so
     |A∩B| = number of buckets the pair shares and |A| = the doc's bucket
@@ -712,8 +728,7 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
         )
         return out.to_arrow()
 
-    t = _concat(j.map_batches(score, batch_format="pyarrow"))
-    return _sorted(t, ["a_id", "b_id"])
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 def q_minhash_lsh_pairs(sf_dir: str) -> pa.Table:
@@ -875,18 +890,77 @@ def q_embedding_neardup(
 
 
 
-def q_dup_clusters(sf_dir: str) -> pa.Table:
+# Pair-graph size above which cluster labeling routes through the
+# distributed hash-min fixpoint (webgraph.cc_fixpoint) instead of
+# driver-side union-find + broadcast. Near-dup graphs are usually sparse,
+# but boilerplate-heavy web corpora can blow the pair list past what one
+# driver should hold — the gate keeps the small case cheap and the big
+# case scale-safe. Shared by imagecurate's phash-cluster family.
+CC_DRIVER_PAIR_LIMIT = 100_000
+
+
+def q_dup_clusters(
+    sf_dir: str, *, driver_pair_limit: int = CC_DRIVER_PAIR_LIMIT
+) -> pa.Table:
     """Duplicate-cluster resolution — the "keep one document per near-dup
     cluster" step of a training-data pipeline: connected components over
     the verified Jaccard-pair graph, each doc labeled with its component's
     minimum doc_id (singletons label themselves).
 
-    Scale shape: the pair set is tiny relative to the corpus (near-dup
-    graphs are sparse), so union-find over pairs runs driver-side and the
-    doc→rep map broadcasts into a ``map_batches`` labeling pass over the
-    full corpus — the same small-side-broadcast discipline as J1. The
-    DuckDB oracle recomputes components with a recursive CTE."""
-    pairs = q_ngram_jaccard_pairs(sf_dir)
+    Scale shape, threshold-gated on the verified pair count: a SPARSE
+    pair graph (≤ ``driver_pair_limit``) resolves with driver-side
+    union-find and broadcasts the doc→rep map into a ``map_batches``
+    labeling pass (the J1 small-side discipline); above the gate the
+    labels come from the distributed hash-min fixpoint
+    (:func:`webgraph.cc_fixpoint`) and join back onto the corpus with a
+    distributed left join — the driver never holds the pair list. Both
+    routes produce the identical min-id labeling (fixpoint ≡ union-find
+    with min representative), pinned by test. The DuckDB oracle
+    recomputes components with a recursive CTE."""
+    pairs_ds = _ngram_jaccard_pairs_ds(sf_dir).materialize()
+    n_pairs = pairs_ds.count()
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    doc_schema = pa.schema([("doc_id", pa.int64())])
+
+    if n_pairs > driver_pair_limit:
+        from spider_ray.functions.webgraph import cc_fixpoint
+
+        edges = pairs_ds.map_batches(
+            lambda t: pa.table({"a": t["a_id"], "b": t["b_id"]}),
+            batch_format="pyarrow",
+        )
+        labels = cc_fixpoint(edges, node_type=pa.int64())
+        joined = _hash_join(
+            docs,
+            labels,
+            on="doc_id",
+            right_on="node",
+            left_schema=doc_schema,
+            right_schema=pa.schema(
+                [("node", pa.int64()), ("label", pa.int64())]
+            ),
+            rename={"label": "cluster_rep"},
+            how="left",
+        )
+
+        def fill(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "cluster_rep": pc.coalesce(
+                        t["cluster_rep"], t["doc_id"]
+                    ),
+                }
+            )
+
+        return _sorted(
+            _concat(joined.map_batches(fill, batch_format="pyarrow")),
+            "doc_id",
+        )
+
+    pairs = _concat(pairs_ds, schema=_JACCARD_PAIR_SCHEMA)
 
     parent: dict[int, int] = {}
 
@@ -905,8 +979,6 @@ def q_dup_clusters(sf_dir: str) -> pa.Table:
 
     rep = {x: find(x) for x in list(parent)}
     rep_ref = ray.put(rep)
-
-    docs = read_table(sf_dir, "documents", columns=["doc_id"])
 
     def label(batch: pa.Table) -> pa.Table:
         m = ray.get(rep_ref)

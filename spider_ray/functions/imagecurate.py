@@ -20,12 +20,18 @@ All three are SQL-oracled bit-exact (integer-only gate arithmetic — the
 aspect bound is a cross-multiply, never a float ratio; components replay
 as a recursive CTE; rep selection as a window ``row_number``).
 
-Scale shape: the pair graph is sparse (near-dup graphs are), so
-union-find runs driver-side over pairs only and the comp/rep maps
-broadcast via ``ray.put`` into streamed labeling passes — the same
-small-side-broadcast discipline as J1/`dup_clusters`. Everything touching
-the corpus is a ``map_batches`` stream; the bytes column is read only by
-the byte-length gate and never shuffled.
+Scale shape, threshold-gated on the verified pair count
+(``dedup.CC_DRIVER_PAIR_LIMIT``): a sparse pair graph resolves with
+driver-side union-find and the comp/rep maps broadcast via ``ray.put``
+into streamed labeling passes (the J1/`dup_clusters` small-side
+discipline); above the gate — boilerplate-heavy web data where the pair
+list is NOT reliably small — components come from the distributed
+hash-min fixpoint (``webgraph.cc_fixpoint``), representatives from a
+native groupby, and corpus labeling is distributed left joins, so the
+driver never holds the pair list. Both routes are identical by
+construction and pinned by a forced-low-threshold test. Everything
+touching the corpus is a ``map_batches`` stream; the bytes column is
+read only by the byte-length gate and never shuffled.
 """
 
 from __future__ import annotations
@@ -198,15 +204,191 @@ def _pick_reps(stats: pa.Table, require_passed: bool) -> dict[str, str]:
     return {comp: key[1] for comp, key in best.items()}
 
 
-def q_phash_clusters(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
+def _pair_graph(images_path: str, tau: int):
+    """Materialized Hamming-verified pair Dataset + its row count — the
+    gate input shared by the cluster-labeling family."""
+    from spider_ray.functions.multimodal import phash_neardup_ds
+
+    pairs_ds = phash_neardup_ds(images_path, tau=tau).materialize()
+    return pairs_ds, pairs_ds.count()
+
+
+def _pairs_table(pairs_ds: "ray.data.Dataset") -> pa.Table:
+    from spider_ray.functions.dedup import hamming_pair_schema
+
+    return _concat(pairs_ds, schema=hamming_pair_schema(pa.string()))
+
+
+_LBL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+
+def _labels_ds(pairs_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed component labels (image_id → comp = min member id) via
+    the hash-min fixpoint — the scale route of :func:`_components`."""
+    from spider_ray.functions.webgraph import cc_fixpoint
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table({"a": t["a_id"], "b": t["b_id"]}),
+        batch_format="pyarrow",
+    )
+    return cc_fixpoint(edges, node_type=pa.string())
+
+
+def _member_stats_ds(
+    images_path: str, labels: "ray.data.Dataset", with_gates: bool
+) -> "ray.data.Dataset":
+    """Distributed form of :func:`_member_stats`: inner-join the pruned
+    corpus columns against the component-label Dataset — output rows are
+    bounded by the pair graph's node count, and the corpus streams once
+    through the join shuffle instead of probing a broadcast dict."""
+    from spider_ray.functions.dedup import _hash_join
+
+    cols = _GATE_COLS if with_gates else ["image_id", "w", "h"]
+    ds = read_images(images_path, columns=cols)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "image_id": batch["image_id"].cast(pa.string()),
+            "px": pa.array(w * h, pa.int64()),
+        }
+        if with_gates:
+            mask = _gate_columns(batch)[4]
+            out["passed"] = pa.array((mask == 0).astype(np.int32), pa.int32())
+        return pa.table(out)
+
+    left_schema = pa.schema(
+        [("image_id", pa.string()), ("px", pa.int64())]
+        + ([("passed", pa.int32())] if with_gates else [])
+    )
+    return _hash_join(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        labels,
+        on="image_id",
+        right_on="node",
+        left_schema=left_schema,
+        right_schema=_LBL_SCHEMA,
+        rename={"label": "comp"},
+    )
+
+
+def _reps_ds(
+    stats: "ray.data.Dataset", require_passed: bool
+) -> "ray.data.Dataset":
+    """Distributed form of :func:`_pick_reps`: per-component best member
+    (max px, ties → smallest image_id) via a native groupby —
+    components are disjoint so the reduce is one row out per group."""
+    if require_passed:
+        stats = stats.map_batches(
+            lambda t: t.filter(pc.equal(t["passed"], 1)),
+            batch_format="pyarrow",
+        )
+
+    rep_schema = pa.schema([("comp", pa.string()), ("rep", pa.string())])
+
+    def pick(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(group)
+            .sort(["comp", "px", "image_id"], descending=[False, True, False])
+            .group_by("comp", maintain_order=True)
+            .agg(rep=pl.col("image_id").first())
+            .to_arrow()
+            .cast(rep_schema)
+        )
+
+    return stats.groupby("comp").map_groups(pick, batch_format="pyarrow")
+
+
+def _label_corpus_distributed(
+    ids: "ray.data.Dataset",
+    id_schema: pa.Schema,
+    labels: "ray.data.Dataset",
+    reps: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """LEFT-join component + representative onto a corpus-id Dataset:
+    output columns = id_schema's + (comp, rep), null for singletons."""
+    from spider_ray.functions.dedup import _hash_join
+
+    with_comp = _hash_join(
+        ids,
+        labels,
+        on="image_id",
+        right_on="node",
+        left_schema=id_schema,
+        right_schema=_LBL_SCHEMA,
+        rename={"label": "comp"},
+        how="left",
+    )
+    return _hash_join(
+        with_comp,
+        reps,
+        on="comp",
+        right_on="comp",
+        left_schema=pa.schema(list(id_schema) + [("comp", pa.string())]),
+        right_schema=pa.schema([("comp", pa.string()), ("rep", pa.string())]),
+        how="left",
+    )
+
+
+def q_phash_clusters(
+    images_path: str,
+    tau: int = PHASH_TAU,
+    *,
+    driver_pair_limit: int | None = None,
+) -> pa.Table:
     """Perceptual-hash duplicate-cluster resolution for images: connected
     components over the Hamming-verified pair graph, every image labeled
     with its cluster's best-resolution representative (singletons label
-    themselves). Distributed candidate/verify via ``phash_neardup``;
-    driver touches only the sparse pair graph and the comp/rep maps."""
-    from spider_ray.functions.multimodal import phash_neardup
+    themselves). Distributed candidate/verify via ``phash_neardup_ds``.
 
-    comp = _components(phash_neardup(images_path, tau=tau))
+    Threshold-gated like ``dedup.q_dup_clusters``: a sparse pair graph
+    (≤ ``dedup.CC_DRIVER_PAIR_LIMIT``) resolves driver-side and
+    broadcasts the comp/rep maps; above the gate, components come from
+    the distributed hash-min fixpoint, representatives from a native
+    groupby, and the corpus labeling is two distributed left joins — the
+    driver never holds the pair list. Both routes are identical by
+    construction (fixpoint ≡ min-id union-find), pinned by test."""
+    from spider_ray.functions.dedup import CC_DRIVER_PAIR_LIMIT
+
+    limit = (
+        CC_DRIVER_PAIR_LIMIT if driver_pair_limit is None else driver_pair_limit
+    )
+    pairs_ds, n_pairs = _pair_graph(images_path, tau)
+    if n_pairs > limit:
+        labels = _labels_ds(pairs_ds)
+        reps = _reps_ds(
+            _member_stats_ds(images_path, labels, with_gates=False),
+            require_passed=False,
+        )
+        ids = read_images(images_path, columns=["image_id"]).map_batches(
+            lambda t: pa.table({"image_id": t["image_id"].cast(pa.string())}),
+            batch_format="pyarrow",
+        )
+        joined = _label_corpus_distributed(
+            ids, pa.schema([("image_id", pa.string())]), labels, reps
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            rep = pc.coalesce(t["rep"], t["image_id"])
+            return pa.table(
+                {
+                    "image_id": t["image_id"],
+                    "cluster_rep": rep,
+                    "is_rep": pc.cast(
+                        pc.equal(rep, t["image_id"]), pa.int32()
+                    ),
+                }
+            )
+
+        return _sorted(
+            _concat(joined.map_batches(finish, batch_format="pyarrow")),
+            "image_id",
+        )
+
+    comp = _components(_pairs_table(pairs_ds))
     comp_ref = ray.put(comp)
     reps = _pick_reps(
         _member_stats(images_path, comp_ref, with_gates=False),
@@ -241,19 +423,26 @@ def q_phash_clusters(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
     )
 
 
-def curate_refs(images_path: str, tau: int = PHASH_TAU):
-    """Build the two broadcast maps the composed curation filter needs —
-    (cluster membership, cluster representative), both O(near-dup
-    clusters), as ``ray.put`` refs. Shared by :func:`q_image_curate` and
-    the curate→shard pipeline (`pipelines/imagecorpus.py`)."""
-    from spider_ray.functions.multimodal import phash_neardup
-
-    comp_ref = ray.put(_components(phash_neardup(images_path, tau=tau)))
+def _curate_refs_from_pairs(images_path: str, pairs: pa.Table):
+    comp_ref = ray.put(_components(pairs))
     reps = _pick_reps(
         _member_stats(images_path, comp_ref, with_gates=True),
         require_passed=True,
     )
     return comp_ref, ray.put(reps)
+
+
+def curate_refs(images_path: str, tau: int = PHASH_TAU):
+    """Build the two broadcast maps the composed curation filter needs —
+    (cluster membership, cluster representative), both O(near-dup
+    clusters), as ``ray.put`` refs. Shared by :func:`q_image_curate`'s
+    sparse route and the curate→shard pipeline
+    (`pipelines/imagecorpus.py`)."""
+    from spider_ray.functions.multimodal import phash_neardup
+
+    return _curate_refs_from_pairs(
+        images_path, phash_neardup(images_path, tau=tau)
+    )
 
 
 def curate_keep_mask(batch: pa.Table, comp: dict, reps: dict) -> np.ndarray:
@@ -274,14 +463,95 @@ def curate_keep_mask(batch: pa.Table, comp: dict, reps: dict) -> np.ndarray:
     )
 
 
-def q_image_curate(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
+def q_image_curate(
+    images_path: str,
+    tau: int = PHASH_TAU,
+    *,
+    driver_pair_limit: int | None = None,
+) -> pa.Table:
     """Composed image-corpus curation (the LAION flow end to end): an
     image survives iff it passes every :func:`q_image_filter` gate AND is
     its phash-cluster's best-resolution representative among gate-passing
     members (clusters whose members all fail contribute nothing;
     gate-passing singletons survive). Returns the curated
-    (image_id, w, h, fmt, caption) table."""
-    comp_ref, rep_ref = curate_refs(images_path, tau=tau)
+    (image_id, w, h, fmt, caption) table.
+
+    Same ``dedup.CC_DRIVER_PAIR_LIMIT`` gate as :func:`q_phash_clusters`:
+    sparse pair graphs broadcast comp/rep maps; large ones label via the
+    distributed hash-min fixpoint and two left joins."""
+    from spider_ray.functions.dedup import CC_DRIVER_PAIR_LIMIT
+
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("w", pa.int64()),
+            ("h", pa.int64()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+        ]
+    )
+    limit = (
+        CC_DRIVER_PAIR_LIMIT if driver_pair_limit is None else driver_pair_limit
+    )
+    pairs_ds, n_pairs = _pair_graph(images_path, tau)
+
+    if n_pairs > limit:
+        labels = _labels_ds(pairs_ds)
+        reps = _reps_ds(
+            _member_stats_ds(images_path, labels, with_gates=True),
+            require_passed=True,
+        )
+        gate_schema = pa.schema(
+            list(schema) + [("passed", pa.int32())]
+        )
+
+        def gates(batch: pa.Table) -> pa.Table:
+            mask = _gate_columns(batch)[4]
+            return pa.table(
+                {
+                    "image_id": batch["image_id"].cast(pa.string()),
+                    "w": batch["w"].cast(pa.int64()),
+                    "h": batch["h"].cast(pa.int64()),
+                    "fmt": batch["fmt"].cast(pa.string()),
+                    "caption": batch["caption"].cast(pa.string()),
+                    "passed": pa.array(
+                        (mask == 0).astype(np.int32), pa.int32()
+                    ),
+                }
+            )
+
+        gated = read_images(images_path, columns=_GATE_COLS).map_batches(
+            gates, batch_format="pyarrow"
+        )
+        joined = _label_corpus_distributed(gated, gate_schema, labels, reps)
+
+        def finish(t: pa.Table) -> pa.Table:
+            # keep: gates pass AND (singleton OR this image is the
+            # cluster's passed-member representative) — reps were picked
+            # among passed members only, so a passed member of an
+            # all-failing cluster cannot exist
+            keep = pc.and_(
+                pc.equal(t["passed"], 1),
+                pc.or_kleene(
+                    pc.is_null(t["comp"]), pc.equal(t["rep"], t["image_id"])
+                ),
+            )
+            kept = t.filter(pc.fill_null(keep, False))
+            return kept.select(
+                ["image_id", "w", "h", "fmt", "caption"]
+            ).cast(schema)
+
+        return _sorted(
+            _concat(
+                joined.map_batches(finish, batch_format="pyarrow"),
+                schema=schema,
+            ),
+            "image_id",
+        )
+
+    comp_ref, rep_ref = _curate_refs_from_pairs(
+        images_path, _pairs_table(pairs_ds)
+    )
 
     ds = read_images(images_path, columns=_GATE_COLS)
 
@@ -298,15 +568,6 @@ def q_image_curate(images_path: str, tau: int = PHASH_TAU) -> pa.Table:
             }
         )
 
-    schema = pa.schema(
-        [
-            ("image_id", pa.string()),
-            ("w", pa.int64()),
-            ("h", pa.int64()),
-            ("fmt", pa.string()),
-            ("caption", pa.string()),
-        ]
-    )
     return _sorted(
         _concat(ds.map_batches(curate, batch_format="pyarrow"), schema=schema),
         "image_id",

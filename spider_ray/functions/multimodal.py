@@ -239,6 +239,21 @@ def sample_video_frames(
 
 
 def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
+    """Materialized query form of :func:`phash_neardup_ds`: the sorted
+    (a_id, b_id, hamming) pair table."""
+    from spider_ray.functions.dedup import hamming_pair_schema
+    from spider_ray.pipelines.relational import _concat, _sorted
+
+    return _sorted(
+        _concat(
+            phash_neardup_ds(images_path, tau=tau),
+            schema=hamming_pair_schema(pa.string()),
+        ),
+        ["a_id", "b_id"],
+    )
+
+
+def phash_neardup_ds(images_path: str, tau: int = 6) -> ray.data.Dataset:
     """Near-duplicate images by perceptual-hash Hamming distance — D5's
     image analog (the reference's simhash near-dup, dedup/html_simhash,
     applied to the input_hint table's ``phash`` column). Reads ONLY
@@ -247,14 +262,13 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     hamming ≤ 7 ⇒ at least one band collides, so τ=6 has zero misses),
     cogroups candidates by band with the fully distributed pair reduce
     (spider_ray.functions.dedup._bucket_cogroup_pairs), and verifies with
-    vectorized Hamming after joining the 8 B/image phash back by id — the
-    driver only sees the final pair list."""
+    vectorized Hamming after joining the 8 B/image phash back by id —
+    returned as a streaming Dataset so the cluster-labeling route above
+    dedup.CC_DRIVER_PAIR_LIMIT never lands the pair list on the driver."""
     from spider_ray.functions.dedup import (
         _bucket_cogroup_pairs,
         _hamming_verify,
-        hamming_pair_schema,
     )
-    from spider_ray.pipelines.relational import _concat, _sorted
     from spider_ray.kernels import tokens as tk
 
     from spider_ray.sources.lance_io import read_images
@@ -304,11 +318,7 @@ def phash_neardup(images_path: str, tau: int = 6) -> pa.Table:
     cand = _bucket_cogroup_pairs(exploded, pa.string()).select_columns(
         ["a_id", "b_id"]
     )
-    out = _hamming_verify(cand, sigs, "sig", tau, id_type=pa.string())
-    return _sorted(
-        _concat(out, schema=hamming_pair_schema(pa.string())),
-        ["a_id", "b_id"],
-    )
+    return _hamming_verify(cand, sigs, "sig", tau, id_type=pa.string())
 
 
 def extract_image_features(

@@ -454,84 +454,109 @@ CC_MAX_ROUNDS = 64  # backstop only; convergence is diameter-bounded
 _CC_PARTS = 32
 
 
-def q_connected_components(corpus: str) -> pa.Table:
-    """Undirected connected components over the outlink graph — the graph
-    pass behind duplicate-cluster resolution and host-community grouping
-    (dedup.q_dup_clusters resolves its SPARSE pair graph driver-side;
-    this is the distributed form for graphs too big for one node).
+def cc_fixpoint(
+    edges: ray.data.Dataset,
+    *,
+    node_type: pa.DataType,
+    nodes: ray.data.Dataset | None = None,
+    symmetrize: bool = True,
+) -> ray.data.Dataset:
+    """Generic distributed connected components by hash-min label
+    propagation to FIXPOINT — the scale form behind
+    :func:`q_connected_components` and the threshold-gated route of the
+    curation cluster-labeling family (``dedup.q_dup_clusters``,
+    ``imagecurate.q_phash_clusters`` / ``q_image_curate``).
 
-    Hash-min label propagation to FIXPOINT: label(v) starts at v (the
-    URL string) and every round takes the min over v's own label and its
-    neighbors' labels — one hash-join of labels onto the symmetrized
+    ``edges`` is a Dataset with columns ``(a, b)`` of ``node_type``
+    (``symmetrize=True`` emits both directions; pass ``False`` when the
+    input is already symmetric). ``nodes`` optionally adds isolated
+    nodes (column ``node``) that must still receive a self-label row.
+    Returns a Dataset ``(node, label)`` where ``label`` is the MINIMUM
+    node id of the node's component — identical to union-find with
+    min-representative, independent of iteration schedule, which is why
+    a recursive-CTE SQL oracle needs no round replay.
+
+    label(v) starts at v and every round takes the min over v's own
+    label and its neighbors' labels — one hash-join of labels onto the
     edge table + a partition-cogroup min per round, state materialized
-    via :func:`_compact` (the resolve_pointers shape). The fixpoint is
-    the min node id of v's component, INDEPENDENT of iteration schedule
-    — so the DuckDB oracle needs no round replay, just the recursive-CTE
-    transitive closure's ``min(label) GROUP BY node``.
-
-    Convergence detection is one tiny aggregate per round — the sum of
-    mix64(node-hash XOR label-hash) over all rows (changes with any
-    label w.h.p.; a missed change is a ~2⁻⁶⁴ event and only affects
-    round COUNT, not the already-converged labels). Scale: per round the
-    edge table moves once through the join and label rows once through
-    the min-cogroup; rounds ≈ graph diameter (web graphs: small). Skewed
-    high-degree nodes cost join fan-out, not cogroup skew — labels are
-    one row per node."""
-    wg = _read_web_graph(corpus, ["url", "outlinks"])
+    via :func:`_compact` (the resolve_pointers shape). Convergence
+    detection is one tiny aggregate per round — the XOR of
+    hash(node)⊕hash(label) over all rows (changes with any label
+    w.h.p.; a missed change is a ~2⁻⁶⁴ event and only affects round
+    COUNT, not the already-converged labels). Scale: per round the edge
+    table moves once through the join and label rows once through the
+    min-cogroup; rounds ≈ graph diameter. Skewed high-degree nodes cost
+    join fan-out, not cogroup skew — labels are one row per node."""
+    edge_schema = pa.schema([("a", node_type), ("b", node_type)])
+    lbl_schema = pa.schema([("node", node_type), ("label", node_type)])
 
     def sym(t: pa.Table) -> pa.Table:
-        df = (
-            pl.from_arrow(t)
-            .explode("outlinks")
-            .drop_nulls("outlinks")
-            .select(
-                a=pl.col("url"), b=pl.col("outlinks").struct.field("url")
+        df = pl.from_arrow(t.select(["a", "b"]))
+        both = pl.concat([df, df.select(a=pl.col("b"), b=pl.col("a"))])
+        return both.to_arrow().cast(edge_schema)
+
+    if symmetrize:
+        edges = edges.map_batches(sym, batch_format="pyarrow")
+    edges = _compact(edges)
+
+    def init_from_edges(t: pa.Table) -> pa.Table:
+        # duplicate (node, node) rows are fine: round 1's min-cogroup
+        # dedups them, and the XOR signature only ever delays (never
+        # falsifies) convergence detection by one round
+        return pa.table({"node": t["a"], "label": t["a"]}).cast(lbl_schema)
+
+    lbl_init = edges.map_batches(init_from_edges, batch_format="pyarrow")
+    if nodes is not None:
+        lbl_init = lbl_init.union(
+            nodes.map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"], "label": t["node"]}
+                ).cast(lbl_schema),
+                batch_format="pyarrow",
             )
         )
-        both = pl.concat([df, df.select(a=pl.col("b"), b=pl.col("a"))])
-        return both.to_arrow().cast(
-            pa.schema([("a", pa.string()), ("b", pa.string())])
-        )
-
-    edges = _compact(wg.map_batches(sym, batch_format="pyarrow"))
-    lbl_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
-
-    def init(t: pa.Table) -> pa.Table:
-        # isolated pages (no in/outlinks) still get a row: nodes = urls
-        return pa.table({"node": t["url"], "label": t["url"]})
-
-    labels = _compact(
-        wg.select_columns(["url"]).map_batches(init, batch_format="pyarrow")
-    )
-    parts = max(labels.num_blocks(), edges.num_blocks())
-    edge_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    labels = _compact(lbl_init)
+    parts = max(labels.num_blocks(), edges.num_blocks(), 1)
 
     from spider_ray.functions.dedup import _hash_join
     from spider_ray.kernels.hashing import SEED
 
     def signature(ds: ray.data.Dataset) -> int:
+        # SUM (mod 2⁶⁴) of mix64(hash(node) ⊕ hash(label)) — NOT xor:
+        # an xor-fold cancels any EVEN number of rows making the SAME
+        # label transition a→b in one round (delta (ha⊕hb)⊕(ha⊕hb) = 0),
+        # and min-propagation moves whole node cohorts to the same new
+        # min label together, so xor stopped real runs one round early
+        # (caught by the phash-cluster route-parity test). A wraparound
+        # sum of mixed per-row hashes keeps every row's contribution.
+        from spider_ray.kernels.hashing import mix64_int
+
         def sig(t: pa.Table) -> pa.Table:
             df = pl.from_arrow(t).select(
                 hn=pl.col("node").hash(seed=SEED),
                 hl=pl.col("label").hash(seed=SEED),
             )
-            h = np.bitwise_xor(
-                df["hn"].to_numpy().astype(np.uint64),
-                df["hl"].to_numpy().astype(np.uint64),
+            h = mix64_int(
+                np.bitwise_xor(
+                    df["hn"].to_numpy().astype(np.uint64),
+                    df["hl"].to_numpy().astype(np.uint64),
+                )
             )
-            acc = (
-                np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
-            )
+            with np.errstate(over="ignore"):
+                acc = np.add.reduce(h) if len(h) else np.uint64(0)
             return pa.table({"s": pa.array([int(acc)], pa.uint64())})
 
         parts_t = _concat(ds.map_batches(sig, batch_format="pyarrow"))
         if parts_t.num_rows == 0:
             return 0
-        return int(
-            np.bitwise_xor.reduce(
-                parts_t["s"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return int(
+                np.add.reduce(
+                    parts_t["s"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
             )
-        )
 
     def min_cogroup(group: pa.Table) -> pa.Table:
         return (
@@ -600,6 +625,39 @@ def q_connected_components(corpus: str) -> pa.Table:
     else:  # pragma: no cover - diameter would have to exceed 64
         raise RuntimeError("connected_components: no fixpoint in 64 rounds")
 
+    return labels
+
+
+def q_connected_components(corpus: str) -> pa.Table:
+    """Undirected connected components over the outlink graph — the graph
+    pass behind duplicate-cluster resolution and host-community grouping
+    (dedup.q_dup_clusters resolves its SPARSE pair graph driver-side;
+    :func:`cc_fixpoint` is the distributed form for graphs too big for
+    one node — see its docstring for the hash-min algorithm). The DuckDB
+    oracle is the recursive-CTE transitive closure's
+    ``min(label) GROUP BY node``."""
+    wg = _read_web_graph(corpus, ["url", "outlinks"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .explode("outlinks")
+            .drop_nulls("outlinks")
+            .select(
+                a=pl.col("url"), b=pl.col("outlinks").struct.field("url")
+            )
+        )
+        return df.to_arrow().cast(
+            pa.schema([("a", pa.string()), ("b", pa.string())])
+        )
+
+    edges = wg.map_batches(to_edges, batch_format="pyarrow")
+    # isolated pages (no in/outlinks) still get a row: nodes = urls
+    urls = wg.select_columns(["url"]).map_batches(
+        lambda t: pa.table({"node": t["url"]}),
+        batch_format="pyarrow",
+    )
+    labels = cc_fixpoint(edges, node_type=pa.string(), nodes=urls)
     out = labels.map_batches(
         lambda t: pa.table({"url": t["node"], "component": t["label"]}),
         batch_format="pyarrow",

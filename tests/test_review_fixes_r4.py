@@ -101,3 +101,59 @@ def test_auto_salted_join_float_key_roundtrip(ray_session):
         pa.array(sorted(hot), pa.string()).cast(pa.float64()).to_pylist()
     )
     assert 7.5 in conv
+
+
+def test_cc_fixpoint_even_cohort_signature_regression(ray_session):
+    """Regression for the xor convergence signature: in round 4 of this
+    graph, nodes 2 and 3 make the SAME label transition 1→0 (xor delta
+    cancels to zero) while node 4 still needs round 5 to learn 0 — the
+    xor-fold signature declared a fixpoint one round early and left node
+    4 mislabeled. The wraparound-sum signature must converge fully."""
+    from spider_ray.functions.webgraph import cc_fixpoint
+    from spider_ray.pipelines.relational import _concat
+
+    edges = pa.table(
+        {
+            "a": pa.array([0, 9, 8, 1, 1, 2], pa.int64()),
+            "b": pa.array([9, 8, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    labels = _concat(
+        cc_fixpoint(
+            ray.data.from_arrow(edges).repartition(4),
+            node_type=pa.int64(),
+        ),
+        schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+    )
+    got = dict(zip(labels["node"].to_pylist(), labels["label"].to_pylist()))
+    assert got == {n: 0 for n in [0, 1, 2, 3, 4, 8, 9]}
+
+
+def test_cluster_labeling_distributed_route_parity(ray_session):
+    """The threshold-gated distributed CC route (hash-min fixpoint + left
+    joins) must produce bit-identical output to the driver union-find
+    route for all three curation-family queries (VERDICT r3 task #2)."""
+    import os
+
+    import polars as pl
+
+    from spider_ray.functions.dedup import q_dup_clusters
+    import spider_ray.functions.imagecurate as IC
+    from spider_ray.sources.lance_io import resolve_images
+    from spider_ray.sources.webgen import generate
+
+    sf = "/root/testdata/sf0.01"
+    assert pl.from_arrow(q_dup_clusters(sf)).equals(
+        pl.from_arrow(q_dup_clusters(sf, driver_pair_limit=0))
+    )
+
+    corpus = "/tmp/spider_ray_phash_corpus"
+    if not os.path.exists(os.path.join(corpus, "_DONE")):
+        generate(corpus, n_pages=2000, n_hosts=24, seed=42)
+    imgs = resolve_images(os.path.join(corpus, "images"))
+    assert pl.from_arrow(IC.q_phash_clusters(imgs)).equals(
+        pl.from_arrow(IC.q_phash_clusters(imgs, driver_pair_limit=0))
+    )
+    assert pl.from_arrow(IC.q_image_curate(imgs)).equals(
+        pl.from_arrow(IC.q_image_curate(imgs, driver_pair_limit=0))
+    )
