@@ -47,6 +47,7 @@ from spider_ray.kernels.hashing import hash64
 from spider_ray.pipelines.oracle import (
     load_corpus,
     load_corpus_control,
+    load_corpus_shard,
     permit_sort_key,
 )
 from spider_ray.stages.fetchsim import (
@@ -209,13 +210,28 @@ class ShardActor:
 
 
 class FetchWorker:
-    """Actor-pool fetch + decode stage (``map_batches(FetchWorker,
-    concurrency=N)``): WebIndex built once per actor in ``__init__`` (T6 warm
-    state), per-batch work is fetch-sim + image decode/recompress/phash."""
+    """Actor-pool fetch + decode stage: WebIndex built once per actor in
+    ``__init__`` (T6 warm state), per-batch work is fetch-sim + image
+    decode/recompress/phash.
 
-    def __init__(self, corpus_dir: str):
-        c = load_corpus(corpus_dir)
-        self.index = WebIndex(c["pages"], c["images"])
+    With ``num_owners > 1`` (the crawl loop's fetch pool) each actor
+    holds only its SLICE of the simulated web — pages by canonical-host
+    hash, image payloads by image_id hash (``oracle.load_corpus_shard``)
+    — so per-actor RSS is O(corpus / pool) instead of O(corpus); the
+    wave dispatch routes permits and image refs to the owning actor and
+    reassembles results in original order (``_fetch_block_sharded`` /
+    ``_process_refs_sharded``). ``num_owners == 1`` keeps the full index
+    (the single-actor / test construction)."""
+
+    def __init__(self, corpus_dir: str, owner: int = 0, num_owners: int = 1):
+        if num_owners <= 1:
+            c = load_corpus(corpus_dir)
+            self.index = WebIndex(c["pages"], c["images"])
+        else:
+            c = load_corpus_shard(corpus_dir, owner, num_owners)
+            self.index = WebIndex(
+                c["pages"], c["images"], image_members=c["image_members"]
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # The per-URL fetch_one() call is the per-row DES/fetch contract and
@@ -336,6 +352,120 @@ class _FetchActorImpl(FetchWorker):
             if r["image_id"] in self.index.images
         ]
         return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+
+    def index_stats(self) -> dict:
+        """Per-actor slice footprint — the scale-evidence counter behind
+        the sharded-WebIndex stress (BASELINE §: per-actor RSS must be
+        O(corpus / pool), not O(corpus))."""
+        import resource
+
+        return {
+            "pages": len(self.index.pages),
+            "images": len(self.index.images),
+            "image_payload_bytes": sum(
+                len(r["bytes"]) for r in self.index.images.values()
+            ),
+            "maxrss_kb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss,
+        }
+
+    def process_refs_pos(
+        self, refs: list[dict], gen: int, positions: list[int]
+    ) -> tuple[pa.Table, list[int]]:
+        """:meth:`process_refs` plus the surviving original positions, so
+        the sharded dispatch (``_process_refs_sharded``) can reassemble
+        the per-owner results into the caller's original ref order."""
+        rows, kept = [], []
+        for r, p in zip(refs, positions):
+            row = self.index.images.get(r["image_id"])
+            if row is not None:
+                rows.append(
+                    {**process_image(row, r["alt"]), "first_gen": gen}
+                )
+                kept.append(p)
+        return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA), kept
+
+
+# Dispatch shims for the SHARDED fetch pool: pure reassembly — results are
+# bit-identical to sending the whole block to one full-index actor, because
+# fetch-sim rows are pure per-permit functions and take() restores the
+# caller's row order. WINDOWED on purpose: one shim task routes a GROUP of
+# blocks with exactly |pool| batched sub-calls and hands back per-block
+# results via num_returns — per-block × per-owner fan-out (measured 24×
+# dispatch slowdown: a 0-cpu worker spawn per chunk plus F tiny RPCs each)
+# never happens. num_cpus=0: the shim only splits, awaits and concatenates.
+
+DISPATCH_WINDOW = 16  # blocks routed per shim task
+
+
+@ray.remote(num_cpus=0)
+def _fetch_window_sharded(pool: list, *blocks: pa.Table):
+    t = pa.concat_tables(blocks, promote_options="default")
+    owners = (
+        hash64(t["url"]) % np.uint64(len(pool))
+    ).astype(np.int64)
+    futs, idxs = [], []
+    for o in np.unique(owners):
+        ix = np.flatnonzero(owners == o)
+        futs.append(pool[int(o)].fetch_batch.remote(t.take(ix)))
+        idxs.append(ix)
+    parts = ray.get(futs)
+    order = np.argsort(np.concatenate(idxs), kind="stable")
+    merged = pa.concat_tables(parts, promote_options="default").take(order)
+    out, off = [], 0
+    for b in blocks:
+        out.append(merged.slice(off, b.num_rows))
+        off += b.num_rows
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+@ray.remote(num_cpus=0)
+def _process_refs_window_sharded(pool: list, gen: int, *ref_lists):
+    def empties():
+        e = pa.Table.from_pylist([], schema=IMAGE_SCHEMA)
+        return e if len(ref_lists) == 1 else tuple(e for _ in ref_lists)
+
+    flat = [r for lst in ref_lists for r in lst]
+    if not flat:
+        return empties()
+    owners = (
+        hash64([r["image_id"] for r in flat]) % np.uint64(len(pool))
+    ).astype(np.int64)
+    futs = []
+    for o in np.unique(owners):
+        ix = np.flatnonzero(owners == o)
+        futs.append(
+            pool[int(o)].process_refs_pos.remote(
+                [flat[i] for i in ix], gen, [int(i) for i in ix]
+            )
+        )
+    parts = ray.get(futs)
+    pos = np.concatenate(
+        [np.asarray(k, dtype=np.int64) for _, k in parts]
+    )
+    order = np.argsort(pos, kind="stable")
+    merged = pa.concat_tables(
+        [t for t, _ in parts], promote_options="default"
+    ).take(order)
+    pos_sorted = pos[order]
+    bounds = np.cumsum([len(lst) for lst in ref_lists])
+    cuts = np.searchsorted(pos_sorted, bounds, side="left")
+    out, prev = [], 0
+    for c in cuts:
+        out.append(merged.slice(prev, int(c) - prev))
+        prev = int(c)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def _submit_windowed(task, head_args: tuple, items: list) -> list:
+    """Submit ``items`` through ``task`` in DISPATCH_WINDOW groups with
+    ``num_returns`` matching the group size; returns one ObjectRef per
+    item, in item order."""
+    refs: list = []
+    for i in range(0, len(items), DISPATCH_WINDOW):
+        grp = items[i : i + DISPATCH_WINDOW]
+        r = task.options(num_returns=len(grp)).remote(*head_args, *grp)
+        refs.extend([r] if len(grp) == 1 else r)
+    return refs
 
 
 # Fetch actors are deterministic and stateless across calls (the WebIndex
@@ -696,10 +826,13 @@ def run_crawl(
         )
         for s in range(num_shards)
     ]
-    # persistent fetch actor pool: WebIndex built once per actor, reused
-    # across every generation of this run
+    # persistent fetch actor pool: each actor builds ITS SLICE of the
+    # WebIndex once in __init__ (pages by host hash, image payloads by
+    # image_id hash) and keeps it across every generation of this run —
+    # per-actor RSS is O(corpus / pool), not O(corpus)
     fetch_pool = [
-        FetchActorCls.remote(corpus_dir) for _ in range(fetch_concurrency)
+        FetchActorCls.remote(corpus_dir, i, fetch_concurrency)
+        for i in range(fetch_concurrency)
     ]
 
     # everything from here on runs against live actors; ANY exit path —
@@ -774,10 +907,15 @@ def run_crawl(
                     break
             want = int(ctl.get("fetch_concurrency") or 0)
             if want > 0 and want != len(fetch_pool):
-                while len(fetch_pool) < want:
-                    fetch_pool.append(FetchActorCls.remote(corpus_dir))
-                while len(fetch_pool) > want:
-                    ray.kill(fetch_pool.pop())
+                # index slices are a function of the pool size, so a
+                # resize rebuilds the whole (stateless) pool rather than
+                # appending/popping actors with stale slice assignments
+                for a in fetch_pool:
+                    ray.kill(a)
+                fetch_pool = [
+                    FetchActorCls.remote(corpus_dir, i, want)
+                    for i in range(want)
+                ]
             gen_dir = os.path.join(out_dir, f"gen={gen}")
             if os.path.isdir(gen_dir) and not os.path.exists(
                 os.path.join(gen_dir, "_DONE")
@@ -867,10 +1005,9 @@ def run_crawl(
                     [k for k, _ in SORT_KEYS]
                 )
                 fetch_in = list(sorted_ds.materialize().to_arrow_refs())
-            fetched_refs = [
-                fetch_pool[i % len(fetch_pool)].fetch_batch.remote(chunk)
-                for i, chunk in enumerate(fetch_in)
-            ]
+            fetched_refs = _submit_windowed(
+                _fetch_window_sharded, (fetch_pool,), fetch_in
+            )
             if result_handler is not None:
                 fetched_refs = [
                     _apply_result_handler.remote(handler_ref, r)
@@ -932,11 +1069,15 @@ def run_crawl(
                     for s, (idxs, start) in rec.items():
                         keep[idxs] = results[s][start : start + len(idxs)]
                     kept = refs_t.filter(pa.array(keep)).to_pylist()
+                    chunk_lists = [
+                        kept[j : j + 64] for j in range(0, len(kept), 64)
+                    ]
                     img_futs.extend(
-                        fetch_pool[
-                            len(img_futs) % len(fetch_pool)
-                        ].process_refs.remote(kept[j : j + 64], gen)
-                        for j in range(0, len(kept), 64)
+                        _submit_windowed(
+                            _process_refs_window_sharded,
+                            (fetch_pool, gen),
+                            chunk_lists,
+                        )
                     )
 
             prev_window = None

@@ -59,6 +59,75 @@ def load_corpus(corpus_dir: str) -> dict:
     }
 
 
+def load_corpus_shard(
+    corpus_dir: str, owner: int, num_owners: int
+) -> dict:
+    """ONE fetch actor's slice of the simulated web — the round-3 verdict's
+    "shard the WebIndex" fix: pages whose (URL hash64 mod ``num_owners``)
+    == ``owner`` plus the redirect TARGETS those pages point at
+    (fetch_one follows exactly one hop, and the target row's
+    outlinks/image_refs are consumed, so ghosts must be full rows);
+    image payload rows whose (image_id hash64 mod ``num_owners``) ==
+    ``owner`` (process_refs routes by the same key); and the slice's
+    image-MEMBERSHIP set (ids referenced by slice pages that exist in the
+    corpus images table) so fetch_one's emission check needs no payload.
+
+    Pages shard by URL (not host) ON PURPOSE: fetch-sim is a pure
+    per-URL function — politeness/host affinity lives in the scheduler
+    shards — and per-URL hashing stays balanced under the corpus's
+    deliberately hot hosts, which host-sharding cannot split.
+
+    Per-actor RSS is O(corpus / num_owners) for both dicts, and the build
+    STREAMS the parquet files batch-wise so even the transient peak is
+    O(slice + one batch), never O(corpus): two passes over web_graph
+    (slice rows, then ghost rows) and one over the image store."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    wg_path = f"{corpus_dir}/web_graph.parquet"
+    pages: dict[str, dict] = {}
+    for b in pq.ParquetFile(wg_path).iter_batches(batch_size=16384):
+        t = pa.Table.from_batches([b])
+        urls = t["url"].to_pylist()
+        own = (
+            hash64(urls) % np.uint64(num_owners)
+        ).astype(np.int64) == owner
+        if own.any():
+            for r in t.filter(pa.array(own)).to_pylist():
+                pages[r["url"]] = r
+    ghosts = {
+        r["redirect_to"] for r in pages.values() if r.get("redirect_to")
+    } - pages.keys()
+    if ghosts:
+        gset = pa.array(sorted(ghosts), pa.string())
+        for b in pq.ParquetFile(wg_path).iter_batches(batch_size=16384):
+            t = pa.Table.from_batches([b])
+            gmask = pc.is_in(t["url"], value_set=gset)
+            if pc.any(gmask).as_py():
+                for r in t.filter(gmask).to_pylist():
+                    pages[r["url"]] = r
+
+    referenced = {
+        ref["image_id"]
+        for r in pages.values()
+        for ref in (r["image_refs"] or [])
+    }
+    images: dict[str, dict] = {}
+    members: set[str] = set()
+    img_path = lance_io.resolve_images(f"{corpus_dir}/images")
+    for b in lance_io.iter_images_batches(img_path):
+        t = pa.Table.from_batches([b])
+        iid = t["image_id"].to_pylist()
+        members.update(i for i in iid if i in referenced)
+        mine = (
+            hash64(iid) % np.uint64(num_owners)
+        ).astype(np.int64) == owner
+        if mine.any():
+            for r in t.filter(pa.array(mine)).to_pylist():
+                images[r["image_id"]] = r
+    return {"pages": pages, "images": images, "image_members": members}
+
+
 def load_corpus_control(corpus_dir: str) -> dict:
     """Driver-side CONTROL tables only — robots rules, host-load rows and
     the seed frontier (all O(hosts)/O(seeds), never O(pages)). The page /

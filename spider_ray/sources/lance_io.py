@@ -119,6 +119,19 @@ def resolve_images(base: str) -> str:
     raise FileNotFoundError(f"no image store at {base}.lance/.parquet")
 
 
+def iter_images_batches(path: str, batch_size: int = 4096):
+    """Streaming driver-side read of an image store — record batches of
+    ``batch_size`` rows on both branches. Used where a consumer keeps
+    only a FILTERED slice (the sharded WebIndex build): transient memory
+    is one batch, not the whole bytes-heavy table."""
+    if path.endswith(".lance"):  # pragma: no cover - wheel not present
+        yield from lance.dataset(path).to_batches(batch_size=batch_size)
+        return
+    import pyarrow.parquet as pq
+
+    yield from pq.ParquetFile(path).iter_batches(batch_size=batch_size)
+
+
 def read_images_table(path: str) -> pa.Table:
     """DRIVER-side (non-distributed) read of an image store as one Arrow
     table — the small-corpus path (oracle crawler, WebIndex build). For

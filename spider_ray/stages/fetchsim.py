@@ -39,6 +39,17 @@ class WebIndex:
     pages: dict[str, dict]  # url → row dict
     images: dict[str, dict]  # image_id → row dict
     lookups: int = 0
+    # sharded actors (oracle.load_corpus_shard): the slice's image
+    # MEMBERSHIP set — image ids referenced by this slice's pages that
+    # exist in the corpus — because the payload dict above then holds a
+    # DIFFERENT slice (keyed by image_id hash for process_refs routing).
+    # None = unsharded index, membership == payload keys.
+    image_members: set | None = None
+
+    def has_image(self, image_id: str) -> bool:
+        if self.image_members is not None:
+            return image_id in self.image_members
+        return image_id in self.images
 
     def meta(self) -> dict[str, tuple[int, int]]:
         """url → (status, latency) map for scheduler completion simulation."""
@@ -111,7 +122,7 @@ def fetch_one(permit: FetchPermit, index: WebIndex) -> FetchResult:
                 }
             )
     for ref in row["image_refs"] or []:
-        if ref["image_id"] in index.images:
+        if index.has_image(ref["image_id"]):
             # emit the REFERENCE only — decode happens after first-wins
             # dedup (D6: never fetch/decode the same sub-resource twice,
             # css_fetcher_main.cc:476-491 placeholder-LRU semantics)

@@ -76,6 +76,21 @@ def shard_of(
     return shard
 
 
+def _route_hosts(urls: list[str]) -> list[str]:
+    """Canonical routing host per URL — THE slice/route predicate shared by
+    ``shard_meta`` (scheduler shards) and ``oracle.load_corpus_shard``
+    (fetch-index shards): canonical host when the URL canonicalizes, raw
+    host otherwise (a non-canonical corpus URL can never be hit by a
+    candidate lookup, so its shard only needs to be deterministic)."""
+    parts = canonicalize_parts(urls)
+    canon = parts["canon"].to_list()
+    hosts = parts["host"].fill_null("").to_list()
+    return [
+        h if c is not None else host_of(u)
+        for c, h, u in zip(canon, hosts, urls)
+    ]
+
+
 def shard_meta(
     corpus_dir: str,
     shard_id: int,
@@ -103,13 +118,7 @@ def shard_meta(
         columns=["url", "status_code", "latency_us"],
     )
     urls = t["url"].to_pylist()
-    parts = canonicalize_parts(urls)
-    canon = parts["canon"].to_list()
-    hosts = parts["host"].fill_null("").to_list()
-    # a corpus URL that isn't already canonical can never be hit (candidate
-    # lookups use canonical keys); shard it by its raw host — harmless
-    hv = [h if c is not None else host_of(u)
-          for c, h, u in zip(canon, hosts, urls)]
+    hv = _route_hosts(urls)
     sh = shard_of(hash64(hv), hv, num_shards, hot_hosts)
     status = t["status_code"].to_pylist()
     lat = t["latency_us"].to_pylist()

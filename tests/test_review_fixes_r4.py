@@ -157,3 +157,66 @@ def test_cluster_labeling_distributed_route_parity(ray_session):
     assert pl.from_arrow(IC.q_image_curate(imgs)).equals(
         pl.from_arrow(IC.q_image_curate(imgs, driver_pair_limit=0))
     )
+
+
+def test_sharded_webindex_slices_and_fetch_parity(ray_session):
+    """VERDICT r3 task #3: fetch actors hold O(corpus/pool) slices. The
+    slices must (a) partition the image payloads exactly and split pages
+    roughly evenly (plus redirect-target ghosts), and (b) produce
+    bit-identical fetch results to a full-index worker when permits are
+    routed by the dispatch key (hash64(host) % pool)."""
+    import os
+
+    from spider_ray.kernels.hashing import hash64
+    from spider_ray.pipelines.crawl import FetchWorker
+    from spider_ray.pipelines.oracle import load_corpus, load_corpus_shard
+    from spider_ray.sources.webgen import generate
+
+    corpus = "/tmp/spider_ray_phash_corpus"
+    if not os.path.exists(os.path.join(corpus, "_DONE")):
+        generate(corpus, n_pages=2000, n_hosts=24, seed=42)
+
+    F = 4
+    full = load_corpus(corpus)
+    slices = [load_corpus_shard(corpus, o, F) for o in range(F)]
+
+    n_pages = len(full["pages"])
+    n_images = len(full["images"])
+    # image payloads partition exactly (disjoint by image_id hash)
+    assert sum(len(s["images"]) for s in slices) == n_images
+    ids = [set(s["images"]) for s in slices]
+    assert not any(a & b for i, a in enumerate(ids) for b in ids[i + 1:])
+    # pages cover the corpus; per-slice size is a fraction of it (ghost
+    # redirect targets allow slight overlap but never O(corpus) blowup)
+    assert set().union(*(s["pages"] for s in slices)) == set(full["pages"])
+    for s in slices:
+        # URL-hash sharding balances even under the corpus's hot hosts;
+        # ghost redirect targets add a small overlap on top of 1/F
+        assert len(s["pages"]) < 0.45 * n_pages
+
+    # routed fetch parity: full-index worker vs owner-sliced workers
+    from spider_ray.stages.fetchsim import FetchPermit, WebIndex, fetch_one
+
+    workers = [
+        WebIndex(s["pages"], s["images"], image_members=s["image_members"])
+        for s in slices
+    ]
+    fullidx = WebIndex(full["pages"], full["images"])
+    urls = sorted(full["pages"])[::7][:300]
+    from spider_ray.stages.normalize import _route_hosts
+
+    hosts = _route_hosts(urls)
+    owners = (hash64(urls) % np.uint64(F)).astype(np.int64)
+    uh = hash64(urls)
+    for u, h, o, hh in zip(urls, hosts, owners, uh):
+        p = FetchPermit(
+            fetch_ts=0, url=u, url_hash=int(hh), host=h, priority=5,
+            gen=0, seq=0, depth=0, tried=0, referer="",
+        )
+        a = fetch_one(p, fullidx)
+        b = fetch_one(p, workers[int(o)])
+        assert (a.status, a.effective_url, a.retry, a.via_proxy) == (
+            b.status, b.effective_url, b.retry, b.via_proxy
+        )
+        assert a.outlink_rows == b.outlink_rows
+        assert a.image_rows == b.image_rows
