@@ -3252,6 +3252,112 @@ def oracle_sql() -> dict[str, str]:
     from spider_ray.functions.webgraph import host_rate_plan_sql
 
     out["host_rate_plan"] = host_rate_plan_sql(sitemap_corpus)
+
+    # ------------------------------------------------------------------
+    # shard-writer summaries (round 4: the two former rows-only sinks).
+    # The per-range write summary is a pure function of the pack plan, so
+    # the SIDE-EFFECTING queries (files on disk, audited in-engine) now
+    # also hash-check against the plan recomputed in SQL: the same
+    # recursive greedy walk as image_shard_pack (budget 16384, range 128,
+    # seq = trailing digits), aggregated per range. skipped is constant
+    # false — the driver runs a fresh out_dir every time.
+    def _pack_summary_sql(pre_ctes: str, src_select: str) -> str:
+        return f"""
+            WITH RECURSIVE {pre_ctes} s AS ({src_select}),
+            pr AS (
+                SELECT *, seq // 128 AS range_id,
+                       row_number() OVER (
+                           PARTITION BY seq // 128 ORDER BY seq) AS rn
+                FROM s),
+            walk(range_id, rn, seq, n_bytes, fill, local_shard) AS (
+                SELECT range_id, rn, seq, n_bytes, n_bytes,
+                       CAST(0 AS BIGINT)
+                FROM pr WHERE rn = 1
+                UNION ALL
+                SELECT pr.range_id, pr.rn, pr.seq, pr.n_bytes,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + pr.n_bytes > 16384
+                            THEN pr.n_bytes ELSE w.fill + pr.n_bytes END,
+                       CASE WHEN w.fill > 0
+                                 AND w.fill + pr.n_bytes > 16384
+                            THEN w.local_shard + 1 ELSE w.local_shard END
+                FROM walk w
+                JOIN pr ON pr.range_id = w.range_id AND pr.rn = w.rn + 1),
+            counts AS (
+                SELECT range_id, max(local_shard) + 1 AS n_shards
+                FROM walk GROUP BY range_id),
+            offs AS (
+                SELECT range_id,
+                       CAST(coalesce(sum(n_shards) OVER (
+                           ORDER BY range_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS base
+                FROM counts),
+            agg AS (
+                SELECT range_id, CAST(count(*) AS BIGINT) AS n_images,
+                       CAST(sum(n_bytes) AS BIGINT) AS payload_bytes
+                FROM walk GROUP BY range_id)
+            SELECT CAST(a.range_id AS BIGINT) AS range_id,
+                   o.base AS base_shard,
+                   CAST(c.n_shards AS BIGINT) AS n_shards,
+                   a.n_images, a.payload_bytes,
+                   false AS skipped
+            FROM agg a JOIN counts c ON c.range_id = a.range_id
+                       JOIN offs o ON o.range_id = a.range_id
+            ORDER BY range_id
+        """
+
+    out["shard_write_audit"] = _pack_summary_sql(
+        "",
+        f"""SELECT image_id,
+                   CAST(regexp_extract(image_id, '(\\d+)$', 1)
+                        AS BIGINT) AS seq,
+                   CAST(octet_length(bytes) AS BIGINT) AS n_bytes
+            FROM '{phash_images}'""",
+    )
+    # curate→shard composition: the pack runs over exactly the curated
+    # subset (ids and payload bytes unchanged by curation — same CTE
+    # chain as the image_curate oracle)
+    curate_kept_ctes = f"""g AS ({image_gates}),
+            passed AS (
+                SELECT image_id, w, h, fmt, caption
+                FROM g
+                WHERE w >= 24 AND h >= 24 AND w <= 2 * h AND h <= 2 * w
+                  AND n_caption_words >= 5 AND byte_len >= 1200),
+            p AS ({phash_pairs}),
+            edges AS (
+                SELECT a_id AS u, b_id AS v FROM p
+                UNION ALL SELECT b_id, a_id FROM p),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                WHERE r.u != e.v),
+            comp AS (SELECT u, least(u, min(v)) AS comp
+                     FROM reach GROUP BY u),
+            reps AS (
+                SELECT c.comp, m.image_id AS rep,
+                       row_number() OVER (
+                           PARTITION BY c.comp
+                           ORDER BY m.w * m.h DESC, m.image_id
+                       ) AS rn
+                FROM comp c JOIN passed m ON m.image_id = c.u),
+            curated AS (
+                SELECT m.image_id
+                FROM passed m
+                LEFT JOIN comp c ON c.u = m.image_id
+                LEFT JOIN (SELECT comp, rep FROM reps WHERE rn = 1) rr
+                       ON rr.comp = c.comp
+                WHERE c.u IS NULL OR rr.rep = m.image_id),"""
+    out["curate_shard_pipeline"] = _pack_summary_sql(
+        curate_kept_ctes,
+        f"""SELECT i.image_id,
+                   CAST(regexp_extract(i.image_id, '(\\d+)$', 1)
+                        AS BIGINT) AS seq,
+                   CAST(octet_length(i.bytes) AS BIGINT) AS n_bytes
+            FROM '{phash_images}' i
+            JOIN curated cu ON cu.image_id = i.image_id""",
+    )
     return {k: _ws(v) for k, v in out.items()}
 
 
