@@ -205,6 +205,34 @@ def _phash_neardup_query(sf_dir: str) -> Any:
     return phash_neardup(resolve_images(os.path.join(corpus, "images")))
 
 
+def _phash_corpus() -> str:
+    from spider_ray.sources.webgen import generate
+
+    return _build_once(
+        "/tmp/spider_ray_phash_corpus", "_DONE",
+        lambda d: generate(d, n_pages=2000, n_hosts=24, seed=42),
+    )
+
+
+def _html_outlinks_query(sf_dir: str) -> Any:
+    """Byte-level HTML anchor extraction (M8 over raw bytes): render each
+    demo page to real HTML, parse with kernels/domtext.extract_links
+    (reference rules: 1 MB truncation, first-wins dedup, 4096-byte URL
+    cap), one row per surviving anchor. SQL-oracled: equality with the
+    table's unnested outlinks IS the render→parse round-trip."""
+    from spider_ray.functions.htmlextract import q_html_outlinks
+
+    return q_html_outlinks(_phash_corpus())
+
+
+def _html_page_stats_query(sf_dir: str) -> Any:
+    """Per-page parse summary (extracted title + anchor/image/css counts
+    after dedup and drop rules) from the same byte-level parse."""
+    from spider_ray.functions.htmlextract import q_html_page_stats
+
+    return q_html_page_stats(_phash_corpus())
+
+
 def _images_store(sf_dir: str) -> str:
     """Resolved path of the deterministic demo image+caption store (the
     input_hint schema) used by the image-curation suite — the same
@@ -610,17 +638,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # URL operators
         "url_canonicalize": U.q_url_canonicalize,
         "host_split": U.q_host_split,
-        "seeded_shuffle": U.q_seeded_shuffle,
         "ip_url_split": U.q_ip_url_split,
         "linkbase_merge": L.q_linkbase_merge,
+        # real-HTML byte-level link extraction (round 4, M8 over raw
+        # bytes): render_html → extract_links round-trip, SQL-oracled
+        # from the web_graph table. In-window; displaces seeded_shuffle
+        # (O4 repped in-window by epoch_shuffle) and approx_distinct
+        # (sketch class repped by heavy_hitters), both strict-sweep
+        # double-covered, to the tail.
+        "html_outlinks": _html_outlinks_query,
+        "html_page_stats": _html_page_stats_query,
         # scheduling ops (SQL-oracled: exact-cents weights make the
         # greedy walk replayable as a recursive CTE)
         "binpack_customers": B.q_binpack_customers,
-        # sketches — all SQL-checked: heavy_hitters and bloom_anti_join
-        # are sketch-ACCELERATED but exact; approx_distinct's ESTIMATE is
-        # approximate by construction (accuracy bound in tests) yet its
-        # computation replays deterministically in SQL
-        "approx_distinct": K.q_approx_distinct,
+        # sketches — heavy_hitters and bloom_anti_join are
+        # sketch-ACCELERATED but exact
         "heavy_hitters": K.q_heavy_hitters,
         "bloom_anti_join": K.q_bloom_anti_join,
         # crawl engine — oracle-checked against the independent
@@ -640,6 +672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver window is spent on the rows-only / sketch / crawl entries
         # that have no other recorded check.
         "topk_spenders": R.q_topk_spenders,
+        "seeded_shuffle": U.q_seeded_shuffle,
+        "approx_distinct": K.q_approx_distinct,
         "per_key_count": R.q_per_key_count,
         "anti_join": R.q_anti_join,
         "asof_join": R.q_asof_join,
@@ -3349,6 +3383,26 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN (SELECT comp, rep FROM reps WHERE rn = 1) rr
                        ON rr.comp = c.comp
                 WHERE c.u IS NULL OR rr.rep = m.image_id),"""
+    # byte-level HTML extraction (round 4): the oracle recomputes the
+    # expected parse output from the web_graph table alone — equality is
+    # the render_html → extract_links round-trip (relative-href
+    # resolution, boilerplate/oversized-link drops, first-wins dedup,
+    # title derivation all verified page by page)
+    out["html_outlinks"] = f"""
+        SELECT url, ol.url AS anchor_url, ol.anchor AS anchor_text
+        FROM (SELECT url, unnest(outlinks) AS ol FROM '{wg_path}')
+        ORDER BY url, anchor_url
+    """
+    out["html_page_stats"] = f"""
+        SELECT url,
+               host || ' - page ' || regexp_extract(url, '(\\d+)$', 1)
+                   AS title,
+               CAST(len(outlinks) AS BIGINT) AS n_anchors,
+               CAST(len(list_distinct(list_transform(
+                   image_refs, r -> r.image_id))) AS BIGINT) AS n_images,
+               CAST(1 AS BIGINT) AS n_css
+        FROM '{wg_path}' ORDER BY url
+    """
     out["curate_shard_pipeline"] = _pack_summary_sql(
         curate_kept_ctes,
         f"""SELECT i.image_id,

@@ -173,6 +173,169 @@ def extract_main_content(page_utf8: str, url: str = "") -> tuple[str, str]:
     return title, _node_text(node)
 
 
+# ---------------------------------------------------------------------------
+# Real-HTML link extraction — M8 over raw bytes (the "what a user pointing
+# this at WARC data hits first" kernel). Reference semantics, reimplemented
+# (crawler2/general_crawler/css_fetcher_main.cc:140-264):
+#   * parse at most 1 MB of the utf-8 page ("如果 utf8 网页大于 1MB, 则截断
+#     后再处理", :188-190) — truncation BEFORE parse;
+#   * per-page first-wins dedup of css / image / anchor URL sets
+#     (:199-224 three std::set guards);
+#   * nofollow anchors are NOT filtered (the reference's nofollow branch
+#     is commented out, :227-250 "XXX(pengdan)"; we match the live code);
+#   * title ≤ 1024 bytes, line-escaped (:252-262 GetTitle + LineEscape);
+#   * URL length cap kMaxLinkSize = 4096 bytes (proto2/resource.proto:8).
+# Resolution is RFC-3986 urljoin against the page's effective URL;
+# fragment-only / mailto: / javascript: / data: hrefs are dropped (they
+# are not fetchable resources).
+
+MAX_PARSE_BYTES = 1 << 20  # 1 MB utf-8 parse truncation
+MAX_TITLE_BYTES = 1024
+MAX_LINK_BYTES = 4096  # kMaxLinkSize
+
+_SKIP_SCHEMES = ("mailto:", "javascript:", "data:", "tel:")
+
+
+class _LinkExtractor(HTMLParser):
+    """One streaming pass: anchors (+text), img src/alt, stylesheet
+    links, first <title>. No tree build — O(page) with zero recursion."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []  # (href, text)
+        self.images: list[tuple[str, str]] = []  # (src, alt)
+        self.css: list[str] = []
+        self.title = ""
+        self._a_href: str | None = None
+        self._a_text: list[str] = []
+        self._in_title = False
+        self._title_parts: list[str] = []
+        self._title_done = False
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if tag == "a":
+            if self._a_href is not None:
+                # implicit close of an unclosed <a> (reference parser
+                # behavior: anchors never nest)
+                self.anchors.append(
+                    (self._a_href, "".join(self._a_text).strip())
+                )
+            self._a_href = d.get("href") or None
+            self._a_text = []
+        elif tag == "img":
+            src = d.get("src")
+            if src:
+                self.images.append((src, d.get("alt") or ""))
+        elif tag == "link":
+            rel = (d.get("rel") or "").lower()
+            href = d.get("href")
+            if href and "stylesheet" in rel.split():
+                self.css.append(href)
+        elif tag == "title" and not self._title_done:
+            self._in_title = True
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._a_href is not None:
+            self.anchors.append(
+                (self._a_href, "".join(self._a_text).strip())
+            )
+            self._a_href = None
+            self._a_text = []
+        elif tag == "title" and self._in_title:
+            self.title = "".join(self._title_parts).strip()
+            self._in_title = False
+            self._title_done = True
+
+    def handle_data(self, data):
+        if self._a_href is not None:
+            self._a_text.append(data)
+        if self._in_title:
+            self._title_parts.append(data)
+
+
+def _resolve(base: str, href: str) -> str | None:
+    """urljoin + the reference's drop rules: non-fetchable schemes,
+    fragment-only, over-long URLs → None."""
+    from urllib.parse import urljoin
+
+    h = href.strip()
+    if not h or h.startswith("#"):
+        return None
+    low = h.lower()
+    if any(low.startswith(s) for s in _SKIP_SCHEMES):
+        return None
+    try:
+        absu = urljoin(base, h)
+    except ValueError:
+        return None
+    absu = absu.split("#", 1)[0]
+    if not absu.startswith(("http://", "https://")):
+        return None
+    if len(absu.encode("utf-8", "ignore")) > MAX_LINK_BYTES:
+        return None
+    return absu
+
+
+def _line_escape(s: str) -> str:
+    """base::LineEscape — newline family to visible escapes so the title
+    always fits one record line."""
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
+def extract_links(page: bytes | str, base_url: str) -> dict:
+    """Outlink/anchor/image/css/title extraction from a raw HTML page —
+    the parse half of M8 the crawl loop's opt-in ``parse_html`` mode and
+    ``q_html_outlinks`` run. Returns ``{"anchors": [(url, text)...],
+    "images": [(url, alt)...], "css": [url...], "title": str}`` with
+    per-page first-wins dedup by URL within each list."""
+    if isinstance(page, bytes):
+        page = page[:MAX_PARSE_BYTES].decode("utf-8", "ignore")
+    else:
+        page = page.encode("utf-8")[:MAX_PARSE_BYTES].decode(
+            "utf-8", "ignore"
+        )
+    p = _LinkExtractor()
+    p.feed(page)
+    p.close()
+    if p._a_href is not None:  # unclosed trailing anchor
+        p.anchors.append((p._a_href, "".join(p._a_text).strip()))
+
+    anchors, seen_a = [], set()
+    for href, text in p.anchors:
+        u = _resolve(base_url, href)
+        if u is not None and u not in seen_a:
+            seen_a.add(u)
+            anchors.append((u, text))
+    images, seen_i = [], set()
+    for src, alt in p.images:
+        u = _resolve(base_url, src)
+        if u is not None and u not in seen_i:
+            seen_i.add(u)
+            images.append((u, alt))
+    css, seen_c = [], set()
+    for href in p.css:
+        u = _resolve(base_url, href)
+        if u is not None and u not in seen_c:
+            seen_c.add(u)
+            css.append(u)
+
+    title = p.title
+    while len(title.encode("utf-8")) > MAX_TITLE_BYTES:
+        title = title[:-1]
+    return {
+        "anchors": anchors,
+        "images": images,
+        "css": css,
+        "title": _line_escape(title),
+    }
+
+
 # Imported lazily (inside query functions), AFTER the pipeline modules'
 # registration pass ran — so this module must register itself for
 # pickle-by-value or its functions ship by reference to workers that may

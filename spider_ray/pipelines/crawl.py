@@ -223,14 +223,27 @@ class FetchWorker:
     ``_process_refs_sharded``). ``num_owners == 1`` keeps the full index
     (the single-actor / test construction)."""
 
-    def __init__(self, corpus_dir: str, owner: int = 0, num_owners: int = 1):
+    def __init__(
+        self,
+        corpus_dir: str,
+        owner: int = 0,
+        num_owners: int = 1,
+        parse_html: bool = False,
+    ):
         if num_owners <= 1:
-            c = load_corpus(corpus_dir)
-            self.index = WebIndex(c["pages"], c["images"])
-        else:
-            c = load_corpus_shard(corpus_dir, owner, num_owners)
+            c = load_corpus(corpus_dir, parse_html=parse_html)
             self.index = WebIndex(
-                c["pages"], c["images"], image_members=c["image_members"]
+                c["pages"], c["images"], parse_html=parse_html
+            )
+        else:
+            c = load_corpus_shard(
+                corpus_dir, owner, num_owners, parse_html=parse_html
+            )
+            self.index = WebIndex(
+                c["pages"],
+                c["images"],
+                image_members=c["image_members"],
+                parse_html=parse_html,
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -689,6 +702,7 @@ def run_crawl(
     hot_ips: tuple[str, ...] = (),
     result_handler=None,
     sitemap_seeds: bool = False,
+    parse_html: bool = False,
 ) -> dict:
     """Run (or resume) the crawl; writes per-gen parquet sinks under
     ``out_dir`` and returns summary paths + counters.
@@ -830,8 +844,12 @@ def run_crawl(
     # WebIndex once in __init__ (pages by host hash, image payloads by
     # image_id hash) and keeps it across every generation of this run —
     # per-actor RSS is O(corpus / pool), not O(corpus)
+    # parse_html (opt-in M8-over-bytes mode) is NOT a topology key: it is
+    # byte-equal to table mode on round-trip corpora (pinned by test), so
+    # a resume may toggle it freely — the checkpointed scheduler state is
+    # unaffected.
     fetch_pool = [
-        FetchActorCls.remote(corpus_dir, i, fetch_concurrency)
+        FetchActorCls.remote(corpus_dir, i, fetch_concurrency, parse_html)
         for i in range(fetch_concurrency)
     ]
 
@@ -913,7 +931,7 @@ def run_crawl(
                 for a in fetch_pool:
                     ray.kill(a)
                 fetch_pool = [
-                    FetchActorCls.remote(corpus_dir, i, want)
+                    FetchActorCls.remote(corpus_dir, i, want, parse_html)
                     for i in range(want)
                 ]
             gen_dir = os.path.join(out_dir, f"gen={gen}")

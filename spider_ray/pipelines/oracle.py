@@ -32,7 +32,7 @@ from spider_ray.state.scheduler import ShardScheduler
 MAX_GENS = 8
 
 
-def load_corpus(corpus_dir: str) -> dict:
+def load_corpus(corpus_dir: str, parse_html: bool = False) -> dict:
     t = {
         name: pq.read_table(f"{corpus_dir}/{name}.parquet")
         for name in ("web_graph", "robots", "host_load", "frontier_seed")
@@ -42,6 +42,8 @@ def load_corpus(corpus_dir: str) -> dict:
         lance_io.resolve_images(f"{corpus_dir}/images")
     )
     pages = {r["url"]: r for r in t["web_graph"].to_pylist()}
+    if parse_html:
+        _attach_html_bodies(corpus_dir, pages)
     images = {r["image_id"]: r for r in t["images"].to_pylist()}
     robots = {
         r["host"]: parse_robots(r["body"]) for r in t["robots"].to_pylist()
@@ -59,8 +61,35 @@ def load_corpus(corpus_dir: str) -> dict:
     }
 
 
+def _attach_html_bodies(corpus_dir: str, pages: dict[str, dict]) -> None:
+    """Attach raw HTML bytes (``_html``) to every page row present in
+    ``pages`` from ``html_pages.parquet`` (webgen ``html_bodies=True``) —
+    streamed so transient memory is one batch + the slice's own bodies."""
+    import os
+
+    import pyarrow.compute as pc
+
+    path = os.path.join(corpus_dir, "html_pages.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"parse_html=True needs {path} — generate the corpus with "
+            "webgen.generate(html_bodies=True)"
+        )
+    wanted = pa.array(sorted(pages), pa.string())
+    for b in pq.ParquetFile(path).iter_batches(batch_size=4096):
+        t = pa.Table.from_batches([b])
+        for r in t.filter(pc.is_in(t["url"], value_set=wanted)).to_pylist():
+            pages[r["url"]]["_html"] = r["body"]
+    missing = [u for u, p in pages.items() if "_html" not in p]
+    if missing:
+        raise ValueError(
+            f"html_pages.parquet is missing bodies for {len(missing)} "
+            f"pages (e.g. {missing[:3]})"
+        )
+
+
 def load_corpus_shard(
-    corpus_dir: str, owner: int, num_owners: int
+    corpus_dir: str, owner: int, num_owners: int, parse_html: bool = False
 ) -> dict:
     """ONE fetch actor's slice of the simulated web — the round-3 verdict's
     "shard the WebIndex" fix: pages whose (URL hash64 mod ``num_owners``)
@@ -107,11 +136,25 @@ def load_corpus_shard(
                 for r in t.filter(gmask).to_pylist():
                     pages[r["url"]] = r
 
-    referenced = {
-        ref["image_id"]
-        for r in pages.values()
-        for ref in (r["image_refs"] or [])
-    }
+    if parse_html:
+        _attach_html_bodies(corpus_dir, pages)
+        from spider_ray.kernels.domtext import extract_links
+
+        # parse mode: the membership set must cover the PARSED image
+        # refs (identical to the table's on round-trip corpora, but
+        # derive from the bytes to keep this loader honest); over-
+        # inclusion from never-fetched pages is harmless
+        referenced = {
+            u
+            for r in pages.values()
+            for u, _ in extract_links(r["_html"], r["url"])["images"]
+        }
+    else:
+        referenced = {
+            ref["image_id"]
+            for r in pages.values()
+            for ref in (r["image_refs"] or [])
+        }
     images: dict[str, dict] = {}
     members: set[str] = set()
     img_path = lance_io.resolve_images(f"{corpus_dir}/images")

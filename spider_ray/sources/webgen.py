@@ -69,6 +69,46 @@ def _make_image(h: int) -> tuple[bytes, int, int, str, int]:
     return data, w, ht, fmt, ph
 
 
+def render_html(
+    url: str, host: str, outlinks: list[dict], image_refs: list[dict]
+) -> str:
+    """Deterministic HTML rendering of one web_graph row — the "real
+    bytes" the parse-mode crawl and ``q_html_outlinks`` consume. Pure
+    function of the row, so ``extract_links(render_html(row)) == row`` is
+    the round-trip invariant the SQL oracles check. Deliberate parse
+    hazards baked in: same-host links rendered RELATIVE (urljoin must
+    reconstruct), the first outlink rendered twice (first-wins dedup),
+    fragment-only / mailto: / javascript: boilerplate anchors, and one
+    oversized (>kMaxLinkSize) URL — all of which the extractor must drop
+    to reproduce the table."""
+    seq = url.rsplit("/", 1)[1]
+    title = f"{host} - page {seq}"
+    prefix = f"http://{host}"
+    lines = [
+        "<!doctype html>",
+        "<html><head>",
+        '<meta charset="utf-8">',
+        f"<title>{title}</title>",
+        '<link rel="stylesheet" href="/static/site.css">',
+        "</head><body>",
+        f"<h1>{title}</h1>",
+        '<a href="#top">back to top</a>',
+        f'<a href="mailto:admin@{host}">contact</a>',
+        '<a href="javascript:void(0)">menu</a>',
+        f'<a href="{prefix}/x/{"q" * 4200}">oversized</a>',
+    ]
+    for k, ol in enumerate(outlinks):
+        tu = ol["url"]
+        href = tu[len(prefix):] if tu.startswith(prefix + "/") else tu
+        lines.append(f'<p><a href="{href}">{ol["anchor"]}</a></p>')
+        if k == 0:
+            lines.append(f'<a href="{href}">duplicate of first</a>')
+    for ref in image_refs:
+        lines.append(f'<img src="{ref["image_id"]}" alt="{ref["alt"]}">')
+    lines.append("</body></html>")
+    return "\n".join(lines)
+
+
 def generate(
     out_dir: str,
     n_pages: int = 800,
@@ -76,8 +116,12 @@ def generate(
     seed: int = 42,
     images_per_page: int = 2,
     outlinks_per_page: int = 8,
+    html_bodies: bool = False,
 ) -> dict[str, str]:
-    """Write all tables; returns {table: path}. Deterministic in all args."""
+    """Write all tables; returns {table: path}. Deterministic in all args.
+    ``html_bodies=True`` additionally writes ``html_pages.parquet``
+    (url, body:binary) — :func:`render_html` over every page — for the
+    crawl loop's opt-in ``parse_html`` mode."""
     os.makedirs(out_dir, exist_ok=True)
     base = hash64_one(f"webgen-{seed}")
 
@@ -328,6 +372,22 @@ def generate(
         "host_load": pa.table(hl),
         "frontier_seed": pa.table(fs),
     }
+    if html_bodies:
+        tables["html_pages"] = pa.table(
+            {
+                "url": pa.array(wg["url"], pa.string()),
+                "body": pa.array(
+                    [
+                        render_html(u, h, o, ir).encode("utf-8")
+                        for u, h, o, ir in zip(
+                            wg["url"], wg["host"], wg["outlinks"],
+                            wg["image_refs"],
+                        )
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
     for name, t in tables.items():
         if name == "images":
             # the input_hint image store goes through the Lance seam

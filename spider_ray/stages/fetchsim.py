@@ -45,6 +45,12 @@ class WebIndex:
     # DIFFERENT slice (keyed by image_id hash for process_refs routing).
     # None = unsharded index, membership == payload keys.
     image_members: set | None = None
+    # opt-in parse mode: page rows carry raw HTML under "_html" and
+    # fetch_one extracts outlinks/images by PARSING the bytes
+    # (kernels/domtext.extract_links — the reference's real M8) instead
+    # of reading the table columns. Byte-equal to table mode on corpora
+    # whose bodies are render_html() of the rows (pinned by test).
+    parse_html: bool = False
 
     def has_image(self, image_id: str) -> bool:
         if self.image_members is not None:
@@ -106,29 +112,42 @@ def fetch_one(permit: FetchPermit, index: WebIndex) -> FetchResult:
         return FetchResult(permit, status, effective, via_proxy=via)
 
     res = FetchResult(permit, 200, effective, via_proxy=via)
-    outlinks = row["outlinks"] or []
+    if index.parse_html:
+        # real M8: parse the stored raw bytes (extraction only on
+        # response 200, as the reference — css_fetcher_main.cc:160-164)
+        from spider_ray.kernels.domtext import extract_links
+
+        parsed = extract_links(row["_html"], effective)
+        outlink_pairs = parsed["anchors"]  # [(url, text)], deduped
+        image_pairs = parsed["images"]  # [(url, alt)], deduped
+    else:
+        outlink_pairs = [
+            (ol["url"], ol["anchor"]) for ol in (row["outlinks"] or [])
+        ]
+        image_pairs = [
+            (ref["image_id"], ref["alt"])
+            for ref in (row["image_refs"] or [])
+        ]
     if (
-        len(outlinks) >= MIN_OUTLINK
+        len(outlink_pairs) >= MIN_OUTLINK
         and _path_depth(effective) <= MAX_PATH_DEPTH_EXTRACT
     ):
-        for ol in outlinks:
+        for u, _anchor in outlink_pairs:
             res.outlink_rows.append(
                 {
-                    "url": ol["url"],
+                    "url": u,
                     "depth": permit.depth + 1,
                     "tried": 0,
                     "priority": None,  # banded in normalize
                     "referer": effective,
                 }
             )
-    for ref in row["image_refs"] or []:
-        if index.has_image(ref["image_id"]):
+    for iid, alt in image_pairs:
+        if index.has_image(iid):
             # emit the REFERENCE only — decode happens after first-wins
             # dedup (D6: never fetch/decode the same sub-resource twice,
             # css_fetcher_main.cc:476-491 placeholder-LRU semantics)
-            res.image_rows.append(
-                {"image_id": ref["image_id"], "alt": ref["alt"]}
-            )
+            res.image_rows.append({"image_id": iid, "alt": alt})
     return res
 
 
