@@ -233,6 +233,24 @@ def _html_page_stats_query(sf_dir: str) -> Any:
     return q_html_page_stats(_phash_corpus())
 
 
+def _css_corpus() -> str:
+    from spider_ray.sources.webgen import generate
+
+    return _build_once(
+        "/tmp/spider_ray_css_corpus", "css_files.parquet",
+        lambda d: generate(d, n_pages=1000, n_hosts=12, seed=33),
+    )
+
+
+def _css_enrich_query(sf_dir: str) -> Any:
+    """J5's css half: parse stylesheet refs from real page bytes,
+    dedup-fetch each distinct css once from the store, merge bodies back
+    into every referencing page via the distributed hash join."""
+    from spider_ray.functions.cssenrich import q_css_enrich
+
+    return q_css_enrich(_css_corpus())
+
+
 def _images_store(sf_dir: str) -> str:
     """Resolved path of the deterministic demo image+caption store (the
     input_hint schema) used by the image-curation suite — the same
@@ -660,8 +678,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (_crawl_golden); exact ORDER parity additionally pinned in
         # tests/test_crawl_parity.py
         "phash_neardup": _phash_neardup_query,
+        # J5's css half (round 4): dedup-fetch + merge-back enrichment
+        # join, SQL-oracled. In-window; displaces audio_features (M15
+        # repped in-window by video_frames, strict-sweep double-covered)
+        # to the tail.
+        "css_enrich": _css_enrich_query,
         # multimodal actor-pool stages over synthetic deterministic clips
-        "audio_features": M.q_audio_features,
         "video_frames": M.q_video_frames,
         "crawl_order": _crawl_order_query,
         "crawl_images": _crawl_images_query,
@@ -674,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_spenders": R.q_topk_spenders,
         "seeded_shuffle": U.q_seeded_shuffle,
         "approx_distinct": K.q_approx_distinct,
+        "audio_features": M.q_audio_features,
         "per_key_count": R.q_per_key_count,
         "anti_join": R.q_anti_join,
         "asof_join": R.q_asof_join,
@@ -3400,8 +3423,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(outlinks) AS BIGINT) AS n_anchors,
                CAST(len(list_distinct(list_transform(
                    image_refs, r -> r.image_id))) AS BIGINT) AS n_images,
-               CAST(1 AS BIGINT) AS n_css
+               CAST(2 AS BIGINT) AS n_css
         FROM '{wg_path}' ORDER BY url
+    """
+    # J5 css merge-back (round 4): every page references its host's
+    # site.css and its seq-family v{seq%4}.css — the oracle recomputes
+    # the enrichment join from web_graph × css_files alone
+    css_corpus = _css_corpus()
+    css_wg = os.path.join(css_corpus, "web_graph.parquet")
+    css_cf = os.path.join(css_corpus, "css_files.parquet")
+    out["css_enrich"] = f"""
+        WITH pages AS (
+            SELECT url, host,
+                   CAST(regexp_extract(url, '(\\d+)$', 1) AS BIGINT) % 4
+                       AS fam
+            FROM '{css_wg}'),
+        refs AS (
+            SELECT url, 'http://' || host || '/static/site.css' AS css_url
+            FROM pages
+            UNION ALL
+            SELECT url, 'http://' || host || '/static/v'
+                        || CAST(fam AS VARCHAR) || '.css'
+            FROM pages)
+        SELECT r.url, r.css_url, c.body AS css_bytes
+        FROM refs r JOIN '{css_cf}' c ON c.css_url = r.css_url
+        ORDER BY r.url, r.css_url
     """
     out["curate_shard_pipeline"] = _pack_summary_sql(
         curate_kept_ctes,

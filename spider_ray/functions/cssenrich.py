@@ -1,0 +1,152 @@
+"""CSS sub-resource enrichment — the OTHER half of J5 (page ⋈
+sub-resource merge-back), completing the image half that lives in the
+crawl loop.
+
+Reference semantics (``crawler2/general_crawler/css_fetcher_main.cc``):
+the css fetcher extracts each page's stylesheet links (:199-206), fetches
+every distinct css at most once (LRU placeholder dedup, :476-491), and
+merges the fetched bodies BACK into the page record as repeated
+``Content.CssFile {url, raw_content}`` (:583-689) — a dedup-fetch +
+enrichment join, not a per-page fetch.
+
+Ray shape, stage by stage:
+
+1. **extract** — one streamed ``map_batches`` over the pruned web_graph
+   columns: render each row to real HTML and parse stylesheet links with
+   :func:`kernels.domtext.extract_links` (the same byte-level kernel the
+   parse-mode crawl uses) → (url, css_url) reference pairs.
+2. **dedup-fetch** — distinct css_url via block-level partial dedup + a
+   native distributed groupby (the D6 "never fetch the same sub-resource
+   twice" discipline), then the fetch itself is a broadcast lookup into
+   the css store (O(hosts) control-table side, the J1 small-side rule).
+3. **merge-back** — the J5 join proper: reference pairs ⋈ fetched bodies
+   by css_url through the partition-cogroup ``_hash_join`` (page side is
+   corpus-sized and moves exactly once; at 100 TB this is the stage that
+   shuffles, and it shuffles only (url, css_url) + the body bytes each
+   page actually references).
+
+SQL-oracled bit-exact: every page references its host's site.css and its
+seq-family v{seq%4}.css, so DuckDB recomputes the full output from
+web_graph × css_files alone — equality also re-proves the render→parse
+round trip for the css kind.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from spider_ray.kernels.domtext import extract_links
+from spider_ray.pipelines.relational import _concat, _sorted
+from spider_ray.sources.webgen import render_html
+
+ENRICH_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("css_url", pa.string()),
+        ("css_bytes", pa.binary()),
+    ]
+)
+
+
+def q_css_enrich(corpus: str) -> pa.Table:
+    """Per-page css merge-back table: one row per (page, referenced
+    stylesheet) with the fetched body attached."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spider_ray.functions.dedup import _hash_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(corpus, "web_graph.parquet"),
+        columns=["url", "host", "outlinks", "image_refs"],
+    )
+
+    # stage 1: parse css references out of the real bytes
+    def refs(batch: pa.Table) -> pa.Table:
+        urls, css = [], []
+        for r in batch.to_pylist():
+            html = render_html(
+                r["url"], r["host"], r["outlinks"], r["image_refs"]
+            )
+            for u in extract_links(html.encode("utf-8"), r["url"])["css"]:
+                urls.append(r["url"])
+                css.append(u)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "css_url": pa.array(css, pa.string()),
+            }
+        )
+
+    pair_schema = pa.schema([("url", pa.string()), ("css_url", pa.string())])
+    pairs = ds.map_batches(refs, batch_format="pyarrow").materialize()
+
+    # stage 2: distinct css urls (block partial dedup → native groupby),
+    # then fetch each EXACTLY once via the broadcast store lookup
+    store = pq.read_table(os.path.join(corpus, "css_files.parquet"))
+    store_ref = ray.put(
+        dict(zip(store["css_url"].to_pylist(), store["body"].to_pylist()))
+    )
+
+    def partial_distinct(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["css_url"]))
+            .unique()
+            .to_arrow()
+            .cast(pa.schema([("css_url", pa.string())]))
+        )
+
+    distinct = (
+        pairs.map_batches(partial_distinct, batch_format="pyarrow")
+        .groupby("css_url")
+        .map_groups(
+            lambda g: g.slice(0, 1).select(["css_url"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def fetch(t: pa.Table) -> pa.Table:
+        bodies = ray.get(store_ref)
+        urls = t["css_url"].to_pylist()
+        got = [bodies.get(u) for u in urls]
+        keep = [i for i, b in enumerate(got) if b is not None]
+        return pa.table(
+            {
+                "css_url": pa.array([urls[i] for i in keep], pa.string()),
+                "css_bytes": pa.array([got[i] for i in keep], pa.binary()),
+            }
+        )
+
+    fetched = distinct.map_batches(fetch, batch_format="pyarrow")
+
+    # stage 3: merge-back join (J5) — page references ⋈ fetched bodies
+    joined = _hash_join(
+        pairs,
+        fetched,
+        on="css_url",
+        right_on="css_url",
+        left_schema=pair_schema,
+        right_schema=pa.schema(
+            [("css_url", pa.string()), ("css_bytes", pa.binary())]
+        ),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["url", "css_url", "css_bytes"]).cast(ENRICH_SCHEMA)
+
+    return _sorted(
+        _concat(
+            joined.map_batches(project, batch_format="pyarrow"),
+            schema=ENRICH_SCHEMA,
+        ),
+        ["url", "css_url"],
+    )
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

@@ -90,6 +90,10 @@ def render_html(
         '<meta charset="utf-8">',
         f"<title>{title}</title>",
         '<link rel="stylesheet" href="/static/site.css">',
+        # page-family stylesheet: many pages share one of 4 variants, so
+        # the css-enrichment join has real dedup-fetch structure (each
+        # css fetched once, merged back into every referencing page)
+        f'<link rel="stylesheet" href="/static/v{int(seq) % 4}.css">',
         "</head><body>",
         f"<h1>{title}</h1>",
         '<a href="#top">back to top</a>',
@@ -372,6 +376,30 @@ def generate(
         "host_load": pa.table(hl),
         "frontier_seed": pa.table(fs),
     }
+    # css store: one site-wide + four page-family stylesheets per host —
+    # the sub-resource table the J5 css-enrichment join fetches from;
+    # bodies are pure functions of the css url
+    css_urls = [
+        f"http://{h}/static/{name}.css"
+        for h in hosts
+        for name in ("site", "v0", "v1", "v2", "v3")
+    ]
+    tables_css = {
+        "css_url": css_urls,
+        "body": [
+            f"/* {u} */ body {{ margin: {hash64_one(u) % 32}px; }} "
+            f".c{hash64_one(u) % 97} {{ color: #{hash64_one(u) % 0xFFFFFF:06x}; }}"
+            for u in css_urls
+        ],
+    }
+    tables["css_files"] = pa.table(
+        {
+            "css_url": pa.array(tables_css["css_url"], pa.string()),
+            "body": pa.array(
+                [b.encode("utf-8") for b in tables_css["body"]], pa.binary()
+            ),
+        }
+    )
     if html_bodies:
         tables["html_pages"] = pa.table(
             {

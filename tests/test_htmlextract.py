@@ -153,3 +153,37 @@ def test_parse_html_requires_bodies(ray_session):
 
     with pytest.raises(FileNotFoundError, match="html_pages"):
         load_corpus("/tmp/spider_ray_phash_corpus", parse_html=True)
+
+
+def test_css_enrich_join_shape(ray_session):
+    """J5's css half: every page gets exactly its 2 stylesheets merged
+    back (site.css + its seq-family variant), each distinct css body
+    fetched once and shared across referencing pages."""
+    import os
+    import shutil
+
+    import polars as pl
+
+    from spider_ray.functions.cssenrich import q_css_enrich
+    from spider_ray.sources.webgen import generate
+
+    corpus = "/tmp/spider_ray_css_corpus"
+    if not os.path.exists(os.path.join(corpus, "css_files.parquet")):
+        shutil.rmtree(corpus, ignore_errors=True)
+        generate(corpus, n_pages=1000, n_hosts=12, seed=33)
+    out = pl.from_arrow(q_css_enrich(corpus))
+    per_page = out.group_by("url").len()
+    assert (per_page["len"] == 2).all()
+    # body is a pure function of css_url: one body per distinct url
+    assert (
+        out.group_by("css_url")
+        .agg(pl.col("css_bytes").n_unique())["css_bytes"]
+        .max()
+        == 1
+    )
+    # family stylesheet matches the page's trailing-seq mod 4
+    fam = out.filter(pl.col("css_url").str.contains("/static/v"))
+    assert (
+        fam["css_url"].str.extract(r"v(\d)\.css").cast(pl.Int64)
+        == fam["url"].str.extract(r"(\d+)$").cast(pl.Int64) % 4
+    ).all()

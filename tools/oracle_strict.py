@@ -39,6 +39,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object and len(df) and isinstance(
+            df[c].iloc[0], bytearray
+        ):
+            # duckdb .df() yields BLOB as bytearray — unhashable, so the
+            # multi-key lexsort's factorize step throws; bytes compares
+            # and hashes identically
+            df[c] = df[c].map(bytes)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
