@@ -62,6 +62,9 @@ QUERY_NAMES = [
     "format_sniff",
     "sitemap_seeds",
     "salted_join_auto",
+    # round-4 additions: byte-level HTML parse + the J5 css merge-back
+    "html_outlinks",
+    "css_enrich",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

@@ -135,15 +135,26 @@ def run_frontier_bench(
     prev_reservation = ctx.op_resource_reservation_enabled
     ctx.op_resource_reservation_enabled = False
     t0 = time.time()
-    ds = ray.data.range(n_urls, override_num_blocks=parallelism)
-    # whole-block batches (batch_size=None): one UDF call per block, the
-    # same work granularity as the no-Ray control — minimizes per-batch
-    # conversion overhead; the two map stages fuse into one operator
-    ds = ds.map_batches(_derive_urls, batch_format="numpy", batch_size=None)
+    # big blocks × in-task batch slicing (round 4, VERDICT r3 task #7):
+    # 4× fewer dispatches than one-block-per-chunk while the UDF still
+    # sees the protocol's SCALING_CHUNK rows per call — measured +2-3%
+    # at both widths in round 3 (BASELINE §18 "tested variants"), adopted
+    # at the round boundary. parallelism=None keeps Ray's own defaults
+    # (whole-block batches) for ad-hoc runs.
+    if parallelism is not None:
+        blocks = max(1, parallelism // 4)
+        batch_rows: int | None = SCALING_CHUNK
+    else:
+        blocks = None
+        batch_rows = None
+    ds = ray.data.range(n_urls, override_num_blocks=blocks)
+    ds = ds.map_batches(
+        _derive_urls, batch_format="numpy", batch_size=batch_rows
+    )
     ds = ds.map_batches(
         _frontier_stage,
         batch_format="pyarrow",
-        batch_size=None,
+        batch_size=batch_rows,
         fn_kwargs={"num_shards": num_shards},
     )
     # final tiny combine: per-shard totals. Consume by STREAMING iteration
