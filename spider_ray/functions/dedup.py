@@ -917,6 +917,18 @@ def q_dup_clusters(
     routes produce the identical min-id labeling (fixpoint ≡ union-find
     with min representative), pinned by test. The DuckDB oracle
     recomputes components with a recursive CTE."""
+    return _sorted(
+        _concat(_dup_clusters_ds(sf_dir, driver_pair_limit)), "doc_id"
+    )
+
+
+def _dup_clusters_ds(
+    sf_dir: str, driver_pair_limit: int = CC_DRIVER_PAIR_LIMIT
+) -> ray.data.Dataset:
+    """Streaming form of :func:`q_dup_clusters`: Dataset of
+    (doc_id, cluster_rep) — ``q_corpus_curate`` derives its sparse drop
+    set from this distributed, never landing the full labeled corpus on
+    the driver."""
     pairs_ds = _ngram_jaccard_pairs_ds(sf_dir).materialize()
     n_pairs = pairs_ds.count()
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
@@ -955,10 +967,7 @@ def q_dup_clusters(
                 }
             )
 
-        return _sorted(
-            _concat(joined.map_batches(fill, batch_format="pyarrow")),
-            "doc_id",
-        )
+        return joined.map_batches(fill, batch_format="pyarrow")
 
     pairs = _concat(pairs_ds, schema=_JACCARD_PAIR_SCHEMA)
 
@@ -992,8 +1001,7 @@ def q_dup_clusters(
             }
         )
 
-    return _sorted(_concat(docs.map_batches(label, batch_format="pyarrow")),
-                   "doc_id")
+    return docs.map_batches(label, batch_format="pyarrow")
 
 
 def q_corpus_curate(sf_dir: str) -> pa.Table:
@@ -1004,21 +1012,28 @@ def q_corpus_curate(sf_dir: str) -> pa.Table:
     drop-set from the pair graph broadcasts into the same ``map_batches``
     that computes the vectorized quality columns. Fully SQL-oracle-checked
     (recursive-CTE components + the same quality expressions)."""
-    clusters = q_dup_clusters(sf_dir)
-    # build the is_in operand ONCE driver-side (sorted polars Series) and
-    # broadcast it — rebuilding sorted(set) inside every map_batches call
-    # costs O(D log D) per BLOCK at corpus scale for a value that never
-    # changes between batches
+    # drop set = non-representative cluster members — derived DISTRIBUTED
+    # (filter cluster_rep != doc_id inside the stream); the driver
+    # collects only the surviving ids, which are bounded by the pair
+    # graph's node count (sparse by construction), never the labeled
+    # corpus. Built ONCE driver-side as a sorted polars Series and
+    # broadcast — rebuilding sorted(set) inside every map_batches call
+    # costs O(D log D) per BLOCK for a value that never changes.
+    def non_reps(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(t["doc_id"], t["cluster_rep"])
+        return pa.table({"doc_id": t.filter(keep)["doc_id"]})
+
+    drop_t = _concat(
+        _dup_clusters_ds(sf_dir).map_batches(
+            non_reps, batch_format="pyarrow"
+        ),
+        schema=pa.schema([("doc_id", pa.int64())]),
+    )
     drop = pl.Series(
         "drop",
-        sorted(
-            d
-            for d, r in zip(
-                clusters["doc_id"].to_pylist(),
-                clusters["cluster_rep"].to_pylist(),
-            )
-            if d != r
-        ),
+        sorted(drop_t["doc_id"].to_pylist()),
         dtype=pl.Int64,  # doc_id dtype even when the drop set is empty
     )
     drop_ref = ray.put(drop)

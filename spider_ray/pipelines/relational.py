@@ -133,17 +133,23 @@ def q_per_key_count(sf_dir: str) -> pa.Table:
         df = pl.from_arrow(batch).with_columns(cents=_cents("o_totalprice"))
         return df.select("o_custkey", "cents").to_arrow()
 
-    out = (
+    agg = (
         ds.map_batches(add_cents, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Count(), Sum("cents"))
-        .to_pandas()
     )
-    out = out.rename(columns={"count()": "order_count",
-                              "sum(cents)": "total_price"})
-    t = pa.Table.from_pandas(
-        out[["o_custkey", "order_count", "total_price"]], preserve_index=False
-    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [
+                {"count()": "order_count", "sum(cents)": "total_price"}.get(
+                    n, n
+                )
+                for n in t.column_names
+            ]
+        ).select(["o_custkey", "order_count", "total_price"])
+
+    t = _concat(agg.map_batches(rename, batch_format="pyarrow"))
     return _sorted(_scale_cols(t, {"total_price": 100}), "o_custkey")
 
 
