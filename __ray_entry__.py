@@ -251,6 +251,16 @@ def _css_enrich_query(sf_dir: str) -> Any:
     return q_css_enrich(_css_corpus())
 
 
+def _crawl_eval_query(sf_dir: str) -> Any:
+    """Top-N(UV) URL / per-website crawl-success evaluation
+    (crawler/evaluation, README:1-12): link-popularity top-N against the
+    demo crawl's status reports. Oracle recomputes from the golden
+    single-process crawler's status parquet + the corpus web graph."""
+    from spider_ray.functions.webgraph import q_crawl_eval
+
+    return q_crawl_eval(_demo_corpus(), _crawl_demo()["order"])
+
+
 def _images_store(sf_dir: str) -> str:
     """Resolved path of the deterministic demo image+caption store (the
     input_hint schema) used by the image-curation suite — the same
@@ -697,6 +707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_shuffle": U.q_seeded_shuffle,
         "approx_distinct": K.q_approx_distinct,
         "audio_features": M.q_audio_features,
+        # evaluation package (round 4): top-N(UV) crawl-success report
+        "crawl_eval": _crawl_eval_query,
         "per_key_count": R.q_per_key_count,
         "anti_join": R.q_anti_join,
         "asof_join": R.q_asof_join,
@@ -3425,6 +3437,32 @@ def oracle_sql() -> dict[str, str]:
                    image_refs, r -> r.image_id))) AS BIGINT) AS n_images,
                CAST(2 AS BIGINT) AS n_css
         FROM '{wg_path}' ORDER BY url
+    """
+    # evaluation package (round 4): top-N(UV) crawl-success report —
+    # UV stand-in = in-link count; success = any 200 status report for
+    # the url in the GOLDEN single-process crawler's status file
+    demo_wg = os.path.join(_demo_corpus(), "web_graph.parquet")
+    out["crawl_eval"] = f"""
+        WITH indeg AS (
+            SELECT ol.url AS url, count(*) AS inlinks
+            FROM (SELECT unnest(outlinks) AS ol FROM '{demo_wg}')
+            GROUP BY ol.url),
+        topn AS (
+            SELECT url FROM indeg ORDER BY inlinks DESC, url LIMIT 200),
+        st AS (
+            SELECT url,
+                   max(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS ok
+            FROM '{os.path.join(golden, "status.parquet")}' GROUP BY url),
+        j AS (
+            SELECT regexp_extract(t.url, '^http://([^/]+)', 1) AS host,
+                   coalesce(st.ok, 0) AS ok
+            FROM topn t LEFT JOIN st ON st.url = t.url)
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS topn_urls,
+               CAST(sum(ok) AS BIGINT) AS crawled_ok,
+               CAST(1000 * sum(ok) // count(*) AS BIGINT)
+                   AS success_rate_milli
+        FROM j GROUP BY host ORDER BY host
     """
     # J5 css merge-back (round 4): every page references its host's
     # site.css and its seq-family v{seq%4}.css — the oracle recomputes

@@ -1115,3 +1115,80 @@ def q_host_rate_plan(corpus: str) -> pa.Table:
         ),
         "host",
     )
+
+
+# --------------------------------------------------------------------------
+# crawl_eval — top-N(UV) crawl-success evaluation
+# --------------------------------------------------------------------------
+
+def q_crawl_eval(corpus: str, status: pa.Table, topn: int = 200) -> pa.Table:
+    """Top-N(UV) URL / per-website crawl-success evaluation — the
+    reference's `crawler/evaluation` package (evaluation/README:1-12,
+    evaluation.cc CheckStatusFile): load the top-N most-valuable URLs,
+    scan the crawl status reports, and report per-website success counts
+    and rates. The corpus has no click logs, so the deterministic UV
+    stand-in is LINK POPULARITY (in-link count over the web graph —
+    the same signal selector feeds `importance` from).
+
+    Shape: the corpus-sized work is the in-degree count (streamed explode
+    + native distributed groupby) and the distributed top-N sort; the
+    top-N list and the status report are O(N)/O(crawl) small sides,
+    reduced driver-side per the small-result rule. All-integer output
+    (rate as milli) so the oracle check is hash-exact."""
+    from ray.data.aggregate import Count
+
+    wg = _read_web_graph(corpus, ["url", "outlinks"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .explode("outlinks")
+            .drop_nulls("outlinks")
+            .select(url=pl.col("outlinks").struct.field("url"))
+        )
+        return df.to_arrow().cast(pa.schema([("url", pa.string())]))
+
+    indeg = (
+        wg.map_batches(explode, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Count(alias_name="inlinks"))
+    )
+    top = _concat(
+        indeg.sort(["inlinks", "url"], descending=[True, False]).limit(topn),
+        schema=pa.schema([("url", pa.string()), ("inlinks", pa.int64())]),
+    )
+
+    ok_by_url: dict[str, int] = {}
+    for u, s in zip(status["url"].to_pylist(), status["status"].to_pylist()):
+        ok_by_url[u] = max(ok_by_url.get(u, 0), int(int(s) == 200))
+
+    agg = (
+        pl.from_arrow(top)
+        .with_columns(
+            host=pl.col("url").str.extract(r"^http://([^/]+)", 1),
+            ok=pl.col("url").map_elements(
+                lambda u: ok_by_url.get(u, 0), return_dtype=pl.Int64
+            ),
+        )
+        .group_by("host")
+        .agg(
+            topn_urls=pl.len().cast(pl.Int64),
+            crawled_ok=pl.col("ok").sum().cast(pl.Int64),
+        )
+        .with_columns(
+            success_rate_milli=(
+                pl.col("crawled_ok") * 1000 // pl.col("topn_urls")
+            ).cast(pl.Int64)
+        )
+        .sort("host")
+    )
+    return agg.to_arrow().cast(
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("topn_urls", pa.int64()),
+                ("crawled_ok", pa.int64()),
+                ("success_rate_milli", pa.int64()),
+            ]
+        )
+    )
