@@ -261,6 +261,16 @@ def _crawl_eval_query(sf_dir: str) -> Any:
     return q_crawl_eval(_demo_corpus(), _crawl_demo()["order"])
 
 
+def _compress_control_query(sf_dir: str) -> Any:
+    """Dispatcher compress control (mapper/reducer_compress_control.cc):
+    per-host PV-derived crawl quota, sub-resource passthrough, top-score
+    selection, backup queue for never-seen hosts — one hash-by-host
+    shuffle with the whole decision vectorized per group."""
+    from spider_ray.functions.dispatch import q_compress_control
+
+    return q_compress_control(_phash_corpus())
+
+
 def _images_store(sf_dir: str) -> str:
     """Resolved path of the deterministic demo image+caption store (the
     input_hint schema) used by the image-curation suite — the same
@@ -709,6 +719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": M.q_audio_features,
         # evaluation package (round 4): top-N(UV) crawl-success report
         "crawl_eval": _crawl_eval_query,
+        # dispatcher compress control (round 4): per-host PV-quota
+        # throttling with passthrough/quota/backup keep reasons
+        "compress_control": _compress_control_query,
         "per_key_count": R.q_per_key_count,
         "anti_join": R.q_anti_join,
         "asof_join": R.q_asof_join,
@@ -3463,6 +3476,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * sum(ok) // count(*) AS BIGINT)
                    AS success_rate_milli
         FROM j GROUP BY host ORDER BY host
+    """
+    # dispatcher compress control (round 4): mix64(seq, 20260822) score,
+    # even-seq PV stand-in, quota = max(1, pv // 3), seq%8==0 passthrough,
+    # never-seen hosts keep everything (backup)
+    out["compress_control"] = f"""
+        WITH s AS (
+            SELECT url, host,
+                   CAST(regexp_extract(url, '(\\d+)$', 1) AS BIGINT) AS seq
+            FROM '{wg_path}'),
+        m1 AS (SELECT *, CAST((CAST(seq AS HUGEINT) * 2654435761
+                    + 20260822) % 18446744073709551616 AS UBIGINT) AS u0
+               FROM s),
+        m2 AS (SELECT * EXCLUDE(u0), xor(u0, u0 >> 29) AS u0 FROM m1),
+        m3 AS (SELECT * EXCLUDE(u0), CAST((CAST(u0 AS HUGEINT)
+                    * 2246822519) % 18446744073709551616 AS UBIGINT) AS u0
+               FROM m2),
+        sc AS (SELECT url, host, seq,
+                      CAST(xor(u0, u0 >> 32) % 1000000 AS BIGINT) AS score
+               FROM m3),
+        pv AS (SELECT host,
+                      CAST(sum(CASE WHEN seq % 2 = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS pv
+               FROM sc GROUP BY host),
+        html AS (
+            SELECT sc.url, sc.host, sc.score, pv.pv,
+                   row_number() OVER (
+                       PARTITION BY sc.host
+                       ORDER BY sc.score DESC, sc.url) AS rn
+            FROM sc JOIN pv ON pv.host = sc.host
+            WHERE sc.seq % 8 != 0)
+        SELECT url, host, score, 'passthrough' AS reason
+        FROM sc WHERE seq % 8 = 0
+        UNION ALL
+        SELECT url, host, score, 'quota' FROM html
+        WHERE pv >= 15 AND rn <= greatest(1, pv // 3)
+        UNION ALL
+        SELECT url, host, score, 'backup' FROM html WHERE pv < 15
+        ORDER BY url
     """
     # J5 css merge-back (round 4): every page references its host's
     # site.css and its seq-family v{seq%4}.css — the oracle recomputes
