@@ -237,7 +237,7 @@ def _css_corpus() -> str:
     from spider_ray.sources.webgen import generate
 
     return _build_once(
-        "/tmp/spider_ray_css_corpus", "css_files.parquet",
+        "/tmp/spider_ray_css_corpus", "_DONE_CSS",
         lambda d: generate(d, n_pages=1000, n_hosts=12, seed=33),
     )
 
@@ -259,6 +259,44 @@ def _crawl_eval_query(sf_dir: str) -> Any:
     from spider_ray.functions.webgraph import q_crawl_eval
 
     return q_crawl_eval(_demo_corpus(), _crawl_demo()["order"])
+
+
+def _site_uv_share_query(sf_dir: str) -> Any:
+    """Per-site UV share + content-page ratio (the evaluation package's
+    website_uv_per / content_page_per / sort_website_uv tools)."""
+    from spider_ray.functions.webgraph import q_site_uv_share
+
+    return q_site_uv_share(_phash_corpus())
+
+
+def _warc_corpus() -> str:
+    from spider_ray.sources.webgen import generate
+
+    return _build_once(
+        "/tmp/spider_ray_warc_corpus", "_DONE_WARC",
+        lambda d: generate(
+            d, n_pages=800, n_hosts=12, seed=77, html_bodies=True
+        ),
+    )
+
+
+def _warc_store() -> str:
+    from spider_ray.functions.htmlextract import build_warc_store
+
+    corpus = _warc_corpus()
+    return _build_once(
+        "/tmp/spider_ray_warc_store", "_DONE_WARCSTORE",
+        lambda d: build_warc_store(corpus, d),
+    )
+
+
+def _warc_outlinks_query(sf_dir: str) -> Any:
+    """WARC ingestion end to end: gzip archives parsed distributed
+    (sources/warc.py), 200-status HTML bodies through the byte-level
+    extractor — oracle recomputes from the source corpus's table."""
+    from spider_ray.functions.htmlextract import q_warc_outlinks
+
+    return q_warc_outlinks(_warc_store())
 
 
 def _compress_control_query(sf_dir: str) -> Any:
@@ -722,6 +760,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dispatcher compress control (round 4): per-host PV-quota
         # throttling with passthrough/quota/backup keep reasons
         "compress_control": _compress_control_query,
+        # evaluation single-machine tools: per-site UV share +
+        # content-page ratio (website_uv_per / content_page_per)
+        "site_uv_share": _site_uv_share_query,
+        # WARC-archive ingestion → byte-level extraction (round 4): the
+        # full chain corpus → .warc.gz on disk → distributed archive
+        # parse → HTML parse → outlinks, oracle-checked from web_graph
+        "warc_outlinks": _warc_outlinks_query,
         "per_key_count": R.q_per_key_count,
         "anti_join": R.q_anti_join,
         "asof_join": R.q_asof_join,
@@ -3476,6 +3521,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 * sum(ok) // count(*) AS BIGINT)
                    AS success_rate_milli
         FROM j GROUP BY host ORDER BY host
+    """
+    # WARC ingestion (round 4): oracle = the source corpus's outlinks
+    # for fetchable pages (extraction runs only on 200 responses)
+    warc_wg = os.path.join(_warc_corpus(), "web_graph.parquet")
+    out["warc_outlinks"] = f"""
+        SELECT url, ol.url AS anchor_url, ol.anchor AS anchor_text
+        FROM (SELECT url, status_code, unnest(outlinks) AS ol
+              FROM '{warc_wg}')
+        WHERE status_code = 200
+        ORDER BY url, anchor_url
+    """
+    # evaluation tools (round 4): per-site UV share + content ratio
+    out["site_uv_share"] = f"""
+        WITH s AS (
+            SELECT host,
+                   CAST(regexp_extract(url, '(\\d+)$', 1) AS BIGINT) % 2
+                       = 0 AS seen,
+                   status_code = 200 AS content
+            FROM '{wg_path}'),
+        per AS (
+            SELECT host,
+                   CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+                       AS uv,
+                   CAST(sum(CASE WHEN content THEN 1 ELSE 0 END)
+                        AS BIGINT) AS content_pages,
+                   CAST(count(*) AS BIGINT) AS pages
+            FROM s GROUP BY host),
+        tot AS (SELECT greatest(sum(uv), 1) AS t FROM per)
+        SELECT host, uv,
+               CAST(uv * 1000 // (SELECT t FROM tot) AS BIGINT)
+                   AS uv_share_milli,
+               pages, content_pages,
+               CAST(content_pages * 1000 // pages AS BIGINT)
+                   AS content_share_milli
+        FROM per ORDER BY uv DESC, host
     """
     # dispatcher compress control (round 4): mix64(seq, 20260822) score,
     # even-seq PV stand-in, quota = max(1, pv // 3), seq%8==0 passthrough,

@@ -138,3 +138,90 @@ def q_html_page_stats(corpus: str) -> pa.Table:
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
+
+
+def q_warc_outlinks(warc_dir: str) -> pa.Table:
+    """WARC-archive ingestion → byte-level link extraction: read a
+    directory of ``.warc.gz`` archives distributed (one parse task per
+    archive — `sources/warc.py`), keep 200-status HTML responses, and
+    extract anchors from the RAW BODIES with the same kernel as the
+    parse-mode crawl. Output identical to :func:`q_html_outlinks`
+    restricted to fetchable pages — which is exactly what the SQL oracle
+    recomputes from the source corpus's web_graph, so the green row
+    proves the whole chain: corpus → WARC bytes on disk → distributed
+    archive parse → HTML parse → outlinks."""
+    import glob as _glob
+    import os
+
+    from spider_ray.sources.warc import read_warc
+
+    paths = sorted(_glob.glob(os.path.join(warc_dir, "*.warc*")))
+    ds = read_warc(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, a_urls, a_texts = [], [], []
+        for r in batch.to_pylist():
+            if r["status"] != 200 or "text/html" not in r["content_type"]:
+                continue
+            for u, t in extract_links(r["body"], r["url"])["anchors"]:
+                urls.append(r["url"])
+                a_urls.append(u)
+                a_texts.append(t)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "anchor_url": pa.array(a_urls, pa.string()),
+                "anchor_text": pa.array(a_texts, pa.string()),
+            }
+        )
+
+    return _sorted(
+        _concat(
+            ds.map_batches(parse, batch_format="pyarrow"),
+            schema=_OUTLINK_SCHEMA,
+        ),
+        ["url", "anchor_url"],
+    )
+
+
+def build_warc_store(corpus: str, out_dir: str, n_files: int = 8) -> str:
+    """Materialize an html-bodied corpus as ``n_files`` gzip WARC
+    archives (url-hash sliced so files are balanced) — the fixture the
+    WARC-ingestion query and tests read."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spider_ray.kernels.hashing import hash64
+    from spider_ray.sources.warc import write_warc
+
+    os.makedirs(out_dir, exist_ok=True)
+    wg = pq.read_table(
+        os.path.join(corpus, "web_graph.parquet"),
+        columns=["url", "status_code"],
+    )
+    bodies = {
+        r["url"]: r["body"]
+        for r in pq.read_table(
+            os.path.join(corpus, "html_pages.parquet")
+        ).to_pylist()
+    }
+    urls = wg["url"].to_pylist()
+    statuses = wg["status_code"].to_pylist()
+    part = (hash64(urls) % np.uint64(n_files)).astype(np.int64)
+    for f in range(n_files):
+        recs = [
+            {
+                "url": u,
+                "status": int(s),
+                "content_type": "text/html; charset=utf-8",
+                "body": bodies[u],
+            }
+            for u, s, p in zip(urls, statuses, part)
+            if p == f
+        ]
+        write_warc(
+            os.path.join(out_dir, f"part-{f:05d}.warc.gz"), recs
+        )
+    return out_dir

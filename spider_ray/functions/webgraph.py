@@ -1192,3 +1192,90 @@ def q_crawl_eval(corpus: str, status: pa.Table, topn: int = 200) -> pa.Table:
             ]
         )
     )
+
+
+def q_site_uv_share(corpus: str) -> pa.Table:
+    """Per-site UV share + content-page ratio — the reference evaluation
+    package's two single-machine tools (evaluation/README:9-12:
+    ``website_uv_per`` "站点在 uv 当中所占的比例" and ``content_page_per``
+    "内容页面在网页当中所占的比例", plus ``sort_website_uv``). UV stand-in
+    = even-seq page sightings (the PV/UV-log aggregate the dispatcher
+    also uses); content page = a 200-status page (the usable-content
+    fraction — every url in this corpus is article-shaped, so the
+    status mix is the discriminating signal). All-integer milli shares,
+    sorted by UV rank then host (the sort_website_uv output order).
+
+    Shape: two per-host counts out of ONE streamed pass + a native
+    distributed groupby; the totals are one tiny aggregate."""
+    from ray.data.aggregate import Sum
+
+    wg = _read_web_graph(corpus, ["url", "host", "status_code"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        seq = df["url"].str.extract(r"(\d+)$", 1).cast(pl.Int64)
+        return pa.table(
+            {
+                "host": t["host"],
+                "uv": pa.array(
+                    (seq % 2 == 0).cast(pl.Int64).to_numpy(), pa.int64()
+                ),
+                "content": pa.array(
+                    (df["status_code"].cast(pl.Int64) == 200)
+                    .cast(pl.Int64)
+                    .to_numpy(),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    per_host = (
+        wg.map_batches(flags, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("uv", alias_name="uv"),
+            Sum("content", alias_name="content_pages"),
+            Sum("n", alias_name="pages"),
+        )
+    )
+    t = _concat(
+        per_host,
+        schema=pa.schema(
+            [
+                ("host", pa.string()),
+                ("uv", pa.int64()),
+                ("content_pages", pa.int64()),
+                ("pages", pa.int64()),
+            ]
+        ),
+    )
+    total_uv = int(pc.sum(t["uv"]).as_py() or 0)
+    out = (
+        pl.from_arrow(t)
+        .with_columns(
+            uv_share_milli=(pl.col("uv") * 1000 // max(total_uv, 1)).cast(
+                pl.Int64
+            ),
+            content_share_milli=(
+                pl.col("content_pages") * 1000 // pl.col("pages")
+            ).cast(pl.Int64),
+        )
+        .sort(["uv", "host"], descending=[True, False])
+        .select(
+            "host", "uv", "uv_share_milli", "pages", "content_pages",
+            "content_share_milli",
+        )
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [
+                ("host", pa.string()),
+                ("uv", pa.int64()),
+                ("uv_share_milli", pa.int64()),
+                ("pages", pa.int64()),
+                ("content_pages", pa.int64()),
+                ("content_share_milli", pa.int64()),
+            ]
+        )
+    )
