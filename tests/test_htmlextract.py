@@ -187,3 +187,29 @@ def test_css_enrich_join_shape(ray_session):
         fam["css_url"].str.extract(r"v(\d)\.css").cast(pl.Int64)
         == fam["url"].str.extract(r"(\d+)$").cast(pl.Int64) % 4
     ).all()
+
+
+from hypothesis import given, settings, strategies as st
+
+_path = st.text(
+    alphabet="abcdefghij0123456789", min_size=1, max_size=12
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(paths=st.lists(_path, min_size=0, max_size=10))
+def test_extract_links_first_wins_dedup_property(paths):
+    """For any href sequence, extracted anchors are exactly the resolved
+    urls in first-occurrence order with first anchor text kept."""
+    base = "http://h.example.com/p/0"
+    html = "".join(
+        f'<a href="/{p}">t{i}</a>' for i, p in enumerate(paths)
+    )
+    out = extract_links(html, base)
+    seen, want = set(), []
+    for i, p in enumerate(paths):
+        u = f"http://h.example.com/{p}"
+        if u not in seen:
+            seen.add(u)
+            want.append((u, f"t{i}"))
+    assert out["anchors"] == want

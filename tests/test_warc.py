@@ -108,3 +108,37 @@ def test_warc_ingest_matches_table(ray_session):
         .sort(["url", "anchor_url"])
     )
     assert got.equals(want)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bodies=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=6
+    ),
+    statuses=st.lists(
+        st.sampled_from([200, 301, 404, 500]), min_size=6, max_size=6
+    ),
+)
+def test_warc_roundtrip_hostile_bodies(bodies, statuses, tmp_path_factory):
+    """Bodies are length-delimited: payloads containing CRLF runs, the
+    WARC/1.0 magic, or HTTP-looking bytes must round-trip byte-exactly."""
+    hostile = [b"\r\n\r\nWARC/1.0\r\n", b"HTTP/1.1 200 OK\r\n\r\n"]
+    recs = [
+        {
+            "url": f"http://h.example.com/p/{i}",
+            "status": statuses[i % len(statuses)],
+            "content_type": "text/html",
+            "body": b + hostile[i % 2],
+        }
+        for i, b in enumerate(bodies)
+    ]
+    d = tmp_path_factory.mktemp("warcprop")
+    p = write_warc(str(d / "x.warc.gz"), recs)
+    with open(p, "rb") as f:
+        t = parse_warc_bytes(f.read())
+    assert [
+        (r["url"], r["status"], bytes(r["body"])) for r in t.to_pylist()
+    ] == [(r["url"], r["status"], r["body"]) for r in recs]
