@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--pages", type=int, default=2000)
     g.add_argument("--hosts", type=int, default=24)
     g.add_argument("--seed", type=int, default=42)
+    g.add_argument(
+        "--html-bodies", action="store_true",
+        help="also write html_pages.parquet (raw rendered bodies) for "
+             "the crawl's --parse-html mode",
+    )
 
     c = sub.add_parser("crawl", help="run (or resume) the crawl loop")
     c.add_argument("--corpus", required=True)
@@ -51,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
         "--hot-hosts", default="",
         help="comma-separated hosts that get dedicated scheduler shards "
              "(the big_family_host.txt analog)",
+    )
+    c.add_argument(
+        "--parse-html", action="store_true",
+        help="extract outlinks/images by PARSING the stored raw bodies "
+             "(kernels/domtext.extract_links) instead of the table "
+             "lookup; corpus must carry html_pages.parquet",
     )
 
     o = sub.add_parser("oracle", help="run the single-process golden crawler")
@@ -115,7 +126,8 @@ def main(argv: list[str] | None = None) -> int:
         from spider_ray.sources.webgen import generate
 
         paths = generate(
-            args.out, n_pages=args.pages, n_hosts=args.hosts, seed=args.seed
+            args.out, n_pages=args.pages, n_hosts=args.hosts,
+            seed=args.seed, html_bodies=args.html_bodies,
         )
         print(json.dumps(paths))
         return 0
@@ -223,6 +235,7 @@ def main(argv: list[str] | None = None) -> int:
         max_gens=args.max_gens,
         resume=args.resume,
         sitemap_seeds=args.sitemap_seeds,
+        parse_html=args.parse_html,
         hot_hosts=tuple(
             h.strip() for h in args.hot_hosts.split(",") if h.strip()
         ),
