@@ -480,10 +480,13 @@ def cc_fixpoint(
     label and its neighbors' labels — one hash-join of labels onto the
     edge table + a partition-cogroup min per round, state materialized
     via :func:`_compact` (the resolve_pointers shape). Convergence
-    detection is one tiny aggregate per round — the XOR of
-    hash(node)⊕hash(label) over all rows (changes with any label
-    w.h.p.; a missed change is a ~2⁻⁶⁴ event and only affects round
-    COUNT, not the already-converged labels). Scale: per round the edge
+    detection is one tiny aggregate per round — a wraparound SUM of
+    mix64(hash(node)⊕hash(label)) over all rows. It must be a sum, NOT
+    an xor-fold: min-propagation moves whole cohorts to the same new
+    label together, and an even-sized cohort's identical a→b deltas
+    xor-cancel, declaring a fixpoint one round early (regression test
+    pins this). A missed change is a ~2⁻⁶⁴ event and only affects round
+    COUNT, not already-converged labels. Scale: per round the edge
     table moves once through the join and label rows once through the
     min-cogroup; rounds ≈ graph diameter. Skewed high-degree nodes cost
     join fan-out, not cogroup skew — labels are one row per node."""

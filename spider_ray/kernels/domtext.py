@@ -325,9 +325,15 @@ def extract_links(page: bytes | str, base_url: str) -> dict:
             seen_c.add(u)
             css.append(u)
 
-    title = p.title
-    while len(title.encode("utf-8")) > MAX_TITLE_BYTES:
-        title = title[:-1]
+    # byte cap with multibyte-safe truncation: one encode + one slice
+    # (a per-character re-encode loop is O(n²) on a title near the 1 MB
+    # parse cap); errors="ignore" drops the trailing partial codepoint
+    title_b = p.title.encode("utf-8")
+    title = (
+        title_b[:MAX_TITLE_BYTES].decode("utf-8", "ignore")
+        if len(title_b) > MAX_TITLE_BYTES
+        else p.title
+    )
     return {
         "anchors": anchors,
         "images": images,

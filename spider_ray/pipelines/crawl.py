@@ -215,13 +215,17 @@ class FetchWorker:
     decode/recompress/phash.
 
     With ``num_owners > 1`` (the crawl loop's fetch pool) each actor
-    holds only its SLICE of the simulated web — pages by canonical-host
-    hash, image payloads by image_id hash (``oracle.load_corpus_shard``)
-    — so per-actor RSS is O(corpus / pool) instead of O(corpus); the
-    wave dispatch routes permits and image refs to the owning actor and
-    reassembles results in original order (``_fetch_block_sharded`` /
-    ``_process_refs_sharded``). ``num_owners == 1`` keeps the full index
-    (the single-actor / test construction)."""
+    holds only its SLICE of the simulated web — pages by URL hash
+    (NOT host hash: fetch-sim is per-URL pure and URL hashing stays
+    balanced under hot hosts), image payloads by image_id hash
+    (``oracle.load_corpus_shard``) — so per-actor RSS is
+    O(corpus / pool) instead of O(corpus). The wave dispatch routes
+    permits and image refs to the owning actor BY THE SAME KEYS
+    (hash64(url) / hash64(image_id) mod pool — the dispatch key and the
+    slice predicate must stay aligned or lookups silently 404) and
+    reassembles results in original order (``_fetch_window_sharded`` /
+    ``_process_refs_window_sharded``). ``num_owners == 1`` keeps the
+    full index (the single-actor / test construction)."""
 
     def __init__(
         self,
@@ -413,6 +417,17 @@ DISPATCH_WINDOW = 16  # blocks routed per shim task
 @ray.remote(num_cpus=0)
 def _fetch_window_sharded(pool: list, *blocks: pa.Table):
     t = pa.concat_tables(blocks, promote_options="default")
+    if t.num_rows == 0:
+        # a window of all-empty blocks (range-partition sorts emit empty
+        # blocks under heavy key concentration, e.g. hot-host runs):
+        # np.concatenate/pa.concat_tables over zero owner groups would
+        # raise — produce correctly-schema'd empty fetch outputs instead
+        empty = ray.get(pool[0].fetch_batch.remote(t))
+        return (
+            empty
+            if len(blocks) == 1
+            else tuple(empty.slice(0, 0) for _ in blocks)
+        )
     owners = (
         hash64(t["url"]) % np.uint64(len(pool))
     ).astype(np.int64)

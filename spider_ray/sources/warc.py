@@ -120,7 +120,13 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
             hdrs[k.strip().lower()] = v.strip()
-        clen = int(hdrs.get("content-length", "0"))
+        try:
+            clen = int(hdrs.get("content-length", "0"))
+        except ValueError as e:
+            raise ValueError(
+                f"bad WARC Content-Length at offset {pos}: "
+                f"{hdrs.get('content-length')!r}"
+            ) from e
         payload = data[head_end + 4:head_end + 4 + clen]
         pos = head_end + 4 + clen
         if hdrs.get("warc-type") != "response":
@@ -135,7 +141,10 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
         hl = http_head.split("\r\n")
         if hl and hl[0].startswith("HTTP/"):
             parts = hl[0].split()
-            if len(parts) >= 2 and parts[1].isdigit():
+            # isdecimal, not isdigit: isdigit() accepts Unicode digits
+            # (superscripts etc.) that int() rejects — a malformed status
+            # line must degrade to status=0, never kill the archive task
+            if len(parts) >= 2 and parts[1].isdecimal():
                 status = int(parts[1])
         for ln in hl[1:]:
             k, _, v = ln.partition(":")

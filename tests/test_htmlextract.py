@@ -213,3 +213,15 @@ def test_extract_links_first_wins_dedup_property(paths):
             seen.add(u)
             want.append((u, f"t{i}"))
     assert out["anchors"] == want
+
+
+def test_title_cap_is_linear_on_huge_title():
+    """Byte-cap truncation is one encode+slice — a title near the parse
+    cap must be handled in well under a second, not O(n^2)."""
+    import time
+
+    big = "<title>" + "é" * 400_000 + "</title>"
+    t0 = time.time()
+    out = extract_links(big, "http://h.example.com/")
+    assert time.time() - t0 < 2.0
+    assert len(out["title"].encode()) <= MAX_TITLE_BYTES

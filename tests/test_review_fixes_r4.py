@@ -164,7 +164,7 @@ def test_sharded_webindex_slices_and_fetch_parity(ray_session):
     slices must (a) partition the image payloads exactly and split pages
     roughly evenly (plus redirect-target ghosts), and (b) produce
     bit-identical fetch results to a full-index worker when permits are
-    routed by the dispatch key (hash64(host) % pool)."""
+    routed by the dispatch key (hash64(url) % pool)."""
     import os
 
     from spider_ray.kernels.hashing import hash64
@@ -220,3 +220,37 @@ def test_sharded_webindex_slices_and_fetch_parity(ray_session):
         )
         assert a.outlink_rows == b.outlink_rows
         assert a.image_rows == b.image_rows
+
+
+def test_fetch_window_all_empty_blocks(ray_session):
+    """A dispatch window of all-empty permit blocks (range-partition
+    sorts emit them under key concentration) must return schema'd empty
+    fetch outputs, not crash in the reassembly concatenate."""
+    import pyarrow as pa
+
+    import spider_ray.pipelines.crawl as C
+
+    corpus = "/tmp/spider_ray_r4_legacy_corpus"
+    pool = [C.FetchActorCls.remote(corpus, i, 2) for i in range(2)]
+    empty = pa.table(
+        {
+            "fetch_ts": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "url_hash": pa.array([], pa.uint64()),
+            "host": pa.array([], pa.string()),
+            "priority": pa.array([], pa.int16()),
+            "gen": pa.array([], pa.int32()),
+            "seq": pa.array([], pa.int64()),
+            "depth": pa.array([], pa.int16()),
+            "tried": pa.array([], pa.int16()),
+            "referer": pa.array([], pa.string()),
+        }
+    )
+    refs = C._submit_windowed(
+        C._fetch_window_sharded, (pool,), [empty, empty, empty]
+    )
+    out = ray.get(refs)
+    assert [t.num_rows for t in out] == [0, 0, 0]
+    assert "status" in out[0].column_names
+    for a in pool:
+        ray.kill(a)

@@ -142,3 +142,12 @@ def test_warc_roundtrip_hostile_bodies(bodies, statuses, tmp_path_factory):
     assert [
         (r["url"], r["status"], bytes(r["body"])) for r in t.to_pylist()
     ] == [(r["url"], r["status"], r["body"]) for r in recs]
+
+
+def test_warc_malformed_status_degrades_to_zero(tmp_path):
+    """A non-decimal HTTP status (incl. Unicode digits isdigit() accepts
+    but int() rejects) must yield status=0, never kill the archive."""
+    p = write_warc(str(tmp_path / "x.warc"), RECS[:1])
+    data = open(p, "rb").read().replace(b"HTTP/1.1 200 OK", "HTTP/1.1 ² OK".encode())
+    t = parse_warc_bytes(data)
+    assert t["status"].to_pylist() == [0]
