@@ -590,3 +590,24 @@ def test_gc_checkpoints_then_resume(corpus, oracle_out, ray_session):
         )
     seen = pq.read_table(os.path.join(out, "seen.parquet")).to_pylist()
     assert seen == oracle_out["seen"]
+
+
+def test_hot_host_refs_mode_parity(corpus, ray_session, monkeypatch):
+    """Hot-host isolation × forced distributed-sort refs mode — the
+    combination that produces empty sorted blocks (the dedicated shard
+    carries most of the wave) and exercised the round-4 empty-window
+    dispatch guard. Crawl order and totals must equal the oracle's."""
+    import spider_ray.pipelines.crawl as C
+
+    hot = "bigfamily.example.com"
+    monkeypatch.setattr(C, "DS_SORT_THRESHOLD", 1)
+    out = "/tmp/spider_ray_test_hot_refs"
+    shutil.rmtree(out, ignore_errors=True)
+    res = C.run_crawl(corpus, out, num_shards=3, fetch_concurrency=3,
+                      hot_hosts=(hot,))
+    gold = run_oracle(corpus, num_shards=3, hot_hosts=(hot,))
+    eng = _engine_rows(out, "status.parquet")
+    assert len(eng) == len(gold["crawl_order"])
+    for e, g in zip(eng, gold["crawl_order"]):
+        assert (e["url"], e["fetch_ts"], e["status"], e["gen"]) == (
+            g["url"], g["fetch_ts"], g["status"], g["gen"])
