@@ -919,6 +919,16 @@ def oracle_sql() -> dict[str, str]:
 
     assert BAL_SEED == 20260821
 
+    # round-4 frozen constants, inlined in the SQL below — assert the
+    # engine side still matches so neither can drift silently
+    from spider_ray.functions import dispatch as DSP
+    from spider_ray.kernels import domtext as DT
+
+    assert (DSP.DISPATCH_SEED, DSP.MAX_ACCESS_THREADS, DSP.SUB_MOD,
+            DSP.SCORE_MOD, DSP.MIN_PV) == (20260822, 3, 8, 1_000_000, 15)
+    assert (DT.MAX_PARSE_BYTES, DT.MAX_TITLE_BYTES, DT.MAX_LINK_BYTES) == (
+        1 << 20, 1024, 4096)
+
     # frozen revisit constants, shared verbatim with imagecurate
     from spider_ray.functions import imagecurate as ICU
 
