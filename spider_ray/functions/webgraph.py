@@ -1124,7 +1124,11 @@ def q_host_rate_plan(corpus: str) -> pa.Table:
 # crawl_eval — top-N(UV) crawl-success evaluation
 # --------------------------------------------------------------------------
 
-def q_crawl_eval(corpus: str, status: pa.Table, topn: int = 200) -> pa.Table:
+def q_crawl_eval(
+    corpus: str,
+    status: "pa.Table | ray.data.Dataset",
+    topn: int = 200,
+) -> pa.Table:
     """Top-N(UV) URL / per-website crawl-success evaluation — the
     reference's `crawler/evaluation` package (evaluation/README:1-12,
     evaluation.cc CheckStatusFile): load the top-N most-valuable URLs,
@@ -1134,10 +1138,14 @@ def q_crawl_eval(corpus: str, status: pa.Table, topn: int = 200) -> pa.Table:
     the same signal selector feeds `importance` from).
 
     Shape: the corpus-sized work is the in-degree count (streamed explode
-    + native distributed groupby) and the distributed top-N sort; the
-    top-N list and the status report are O(N)/O(crawl) small sides,
-    reduced driver-side per the small-result rule. All-integer output
-    (rate as milli) so the oracle check is hash-exact."""
+    + native distributed groupby) and the distributed top-N sort. The
+    status report is reduced through the broadcast top-N set: pass it as
+    a ``ray.data.Dataset`` and success flags come back from a distributed
+    semi-join + per-url max (O(N) rows to the driver, never the crawl
+    log); a ``pa.Table`` (the demo-scale contract) reduces the same way
+    vectorized driver-side — either way no O(crawl) dict is built.
+    All-integer output (rate as milli) so the oracle check is
+    hash-exact."""
     from ray.data.aggregate import Count
 
     wg = _read_web_graph(corpus, ["url", "outlinks"])
@@ -1161,17 +1169,43 @@ def q_crawl_eval(corpus: str, status: pa.Table, topn: int = 200) -> pa.Table:
         schema=pa.schema([("url", pa.string()), ("inlinks", pa.int64())]),
     )
 
-    ok_by_url: dict[str, int] = {}
-    for u, s in zip(status["url"].to_pylist(), status["status"].to_pylist()):
-        ok_by_url[u] = max(ok_by_url.get(u, 0), int(int(s) == 200))
+    top_urls = top["url"]
+
+    def _ok_rows(t: pa.Table) -> pa.Table:
+        # semi-join against the top-N set, then per-url success flag
+        sub = t.filter(pc.is_in(t["url"], value_set=top_urls))
+        return (
+            pl.from_arrow(sub.select(["url", "status"]))
+            .group_by("url")
+            .agg(ok=(pl.col("status") == 200).any().cast(pl.Int64))
+            .to_arrow()
+            .cast(pa.schema([("url", pa.string()), ("ok", pa.int64())]))
+        )
+
+    if isinstance(status, ray.data.Dataset):
+        # scale path: the crawl log streams through the broadcast top-N
+        # filter; only O(N) (url, ok) rows ever reach the driver
+        ok_t = (
+            pl.from_arrow(
+                _concat(
+                    status.map_batches(_ok_rows, batch_format="pyarrow"),
+                    schema=pa.schema(
+                        [("url", pa.string()), ("ok", pa.int64())]
+                    ),
+                )
+            )
+            .group_by("url")
+            .agg(ok=pl.col("ok").max())
+        )
+    else:
+        ok_t = pl.from_arrow(_ok_rows(status))
 
     agg = (
         pl.from_arrow(top)
+        .join(ok_t, on="url", how="left")
         .with_columns(
             host=pl.col("url").str.extract(r"^http://([^/]+)", 1),
-            ok=pl.col("url").map_elements(
-                lambda u: ok_by_url.get(u, 0), return_dtype=pl.Int64
-            ),
+            ok=pl.col("ok").fill_null(0),
         )
         .group_by("host")
         .agg(
