@@ -31,5 +31,6 @@ def test_fake_cluster_crawl_and_shuffle_parity():
     assert out["probe_actor_nodes"] == 3
     assert out["crawl_order_parity"] and out["seen_set_parity"]
     assert out["shuffle_query_parity"]
+    assert out["warc_ingest_parity"]
     assert out["crawl_pages"] > 0
     assert out["frontier_shards_seen"] == 64

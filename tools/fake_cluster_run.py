@@ -134,6 +134,17 @@ def main() -> int:
         out["shuffle_query_parity"] = bool(shuffle_ok)
         out["ok"] &= shuffle_ok
 
+        # WARC ingest across nodes: distributed archive parse + byte-level
+        # extraction vs the same DuckDB oracle
+        warc_store = mod._warc_store()
+        from spider_ray.functions.htmlextract import q_warc_outlinks
+
+        wt = pl.from_arrow(q_warc_outlinks(warc_store))
+        wora = pl.from_arrow(con.sql(mod.oracle_sql()["warc_outlinks"]).arrow())
+        warc_ok = wt.equals(wora)
+        out["warc_ingest_parity"] = bool(warc_ok)
+        out["ok"] &= warc_ok
+
         # frontier throughput across the 3-node cluster
         from spider_ray.pipelines.frontier_bench import run_frontier_bench
 
