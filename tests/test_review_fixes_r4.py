@@ -254,3 +254,42 @@ def test_fetch_window_all_empty_blocks(ray_session):
     assert "status" in out[0].column_names
     for a in pool:
         ray.kill(a)
+
+
+def test_fetch_actor_restart_identical_results(ray_session):
+    """Fetch actors are declared restartable (max_restarts=2) because
+    fetch-sim results are pure per-permit functions of the rebuilt
+    index: after a hard actor kill with restart, the SAME permit batch
+    must produce byte-identical output from the restarted actor."""
+    import pyarrow as pa
+
+    import spider_ray.pipelines.crawl as C
+    from spider_ray.kernels.hashing import hash64
+    from spider_ray.pipelines.oracle import load_corpus_shard
+    from spider_ray.stages.normalize import _route_hosts
+
+    corpus = "/tmp/spider_ray_r4_legacy_corpus"
+    a = C.FetchActorCls.remote(corpus, 0, 2)
+    sl = load_corpus_shard(corpus, 0, 2)
+    urls = sorted(sl["pages"])[:40]
+    hosts = _route_hosts(urls)
+    n = len(urls)
+    batch = pa.table(
+        {
+            "fetch_ts": pa.array(range(n), pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "url_hash": pa.array(hash64(urls), pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "priority": pa.array([5] * n, pa.int16()),
+            "gen": pa.array([0] * n, pa.int32()),
+            "seq": pa.array(range(n), pa.int64()),
+            "depth": pa.array([0] * n, pa.int16()),
+            "tried": pa.array([0] * n, pa.int16()),
+            "referer": pa.array([""] * n, pa.string()),
+        }
+    )
+    before = ray.get(a.fetch_batch.remote(batch))
+    ray.kill(a, no_restart=False)  # hard death; Ray restarts the actor
+    after = ray.get(a.fetch_batch.remote(batch))
+    assert before.equals(after)
+    ray.kill(a)
