@@ -52,7 +52,13 @@ _CRAWL_CACHE: dict[str, dict] = {}
 # independent golden twin (_crawl_golden): the two MUST crawl the same
 # corpus with the same sharding or the crawl-trio oracles compare
 # different crawls
-DEMO_CORPUS_ARGS = {"n_pages": 150, "n_hosts": 6, "seed": 42}
+DEMO_CORPUS_ARGS = {
+    "n_pages": 150, "n_hosts": 6, "seed": 42,
+    # html_bodies=True so the flagship crawl runs in parse mode (real
+    # byte-level HTML parse per fetched page) — round 4 proved parse-mode
+    # output byte-equal to table mode, round 5 makes it the default
+    "html_bodies": True,
+}
 DEMO_NUM_SHARDS = 2
 
 
@@ -60,7 +66,7 @@ def _demo_corpus() -> str:
     from spider_ray.sources.webgen import generate
 
     return _build_once(
-        "/tmp/spider_ray_entry_corpus", "_DONE",
+        "/tmp/spider_ray_entry_corpus_v2", "_DONE",
         lambda d: generate(d, **DEMO_CORPUS_ARGS),
     )
 
@@ -120,9 +126,10 @@ def _crawl_demo() -> dict:
 
     corpus = _demo_corpus()
     out = _build_once(
-        "/tmp/spider_ray_entry_crawl_v2", "_DONE",
+        "/tmp/spider_ray_entry_crawl_v3", "_DONE",
         lambda d: run_crawl(
-            corpus, d, num_shards=DEMO_NUM_SHARDS, fetch_concurrency=2
+            corpus, d, num_shards=DEMO_NUM_SHARDS, fetch_concurrency=2,
+            parse_html=True,
         ),
     )
     import pyarrow as pa
@@ -184,7 +191,7 @@ def _crawl_golden() -> str:
             os.path.join(d, "seen.parquet"),
         )
 
-    return _build_once("/tmp/spider_ray_entry_golden_v1", "_DONE", build)
+    return _build_once("/tmp/spider_ray_entry_golden_v2", "_DONE", build)
 
 
 def _phash_neardup_query(sf_dir: str) -> Any:
@@ -3611,8 +3618,11 @@ def oracle_sql() -> dict[str, str]:
     css_corpus = _css_corpus()
     css_wg = os.path.join(css_corpus, "web_graph.parquet")
     css_cf = os.path.join(css_corpus, "css_files.parquet")
+    # the body itself is replayed as its driver-safe digest: octet length
+    # + the frozen polyhash64 (hex byte decode + powers-of-B recursive
+    # CTE + mix64 stages, the simhash_pairs idiom) masked to 63 bits
     out["css_enrich"] = f"""
-        WITH pages AS (
+        WITH RECURSIVE pages AS (
             SELECT url, host,
                    CAST(regexp_extract(url, '(\\d+)$', 1) AS BIGINT) % 4
                        AS fam
@@ -3623,9 +3633,51 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT url, 'http://' || host || '/static/v'
                         || CAST(fam AS VARCHAR) || '.css'
-            FROM pages)
-        SELECT r.url, r.css_url, c.body AS css_bytes
-        FROM refs r JOIN '{css_cf}' c ON c.css_url = r.css_url
+            FROM pages),
+        cf AS MATERIALIZED (
+            SELECT css_url, body,
+                   CAST(octet_length(body) AS BIGINT) AS L
+            FROM '{css_cf}'),
+        byt AS MATERIALIZED (
+            SELECT css_url, L,
+                   unnest(generate_series(0, L - 1)) AS j,
+                   unnest(list_transform(
+                     generate_series(0, L - 1), i ->
+                       (strpos('123456789ABCDEF',
+                               substr(hex(body), 2*i + 1, 1)) * 16
+                        + strpos('123456789ABCDEF',
+                                 substr(hex(body), 2*i + 2, 1)))::SMALLINT))
+                     AS d
+            FROM cf),
+        pw AS (
+            SELECT 0 AS e, 1::UBIGINT AS p
+            UNION ALL
+            SELECT e + 1,
+                   CAST((p::HUGEINT * 1099511628211)
+                        % 18446744073709551616 AS UBIGINT)
+            FROM pw WHERE e + 1 < (SELECT coalesce(max(L), 1) FROM byt)),
+        raw AS (
+            SELECT css_url,
+                   CAST(sum(d::HUGEINT * p.p::HUGEINT)
+                        % 18446744073709551616 AS UBIGINT) AS u
+            FROM byt JOIN pw p ON p.e = byt.L - 1 - byt.j
+            GROUP BY css_url),
+        m1 AS (SELECT css_url,
+                      CAST((u::HUGEINT * 2654435761)
+                           % 18446744073709551616 AS UBIGINT) AS u
+               FROM raw),
+        m2 AS (SELECT css_url, xor(u, u >> 29) AS u FROM m1),
+        m3 AS (SELECT css_url,
+                      CAST((u::HUGEINT * 2246822519)
+                           % 18446744073709551616 AS UBIGINT) AS u
+               FROM m2),
+        m4 AS (SELECT css_url, xor(u, u >> 32) AS h FROM m3),
+        dig AS (
+            SELECT cf.css_url, cf.L AS css_len,
+                   CAST(m4.h % 9223372036854775808 AS BIGINT) AS css_hash
+            FROM cf JOIN m4 ON m4.css_url = cf.css_url)
+        SELECT r.url, r.css_url, c.css_len, c.css_hash
+        FROM refs r JOIN dig c ON c.css_url = r.css_url
         ORDER BY r.url, r.css_url
     """
     out["curate_shard_pipeline"] = _pack_summary_sql(

@@ -140,7 +140,12 @@ def _bench_crawl() -> dict:
     # /tmp corpus and attribute its crawl numbers to the new code
     import hashlib
 
-    params = {"n_pages": 2000, "n_hosts": 24, "seed": 42}
+    # html_bodies=True + parse_html below: the bench crawl runs in parse
+    # mode (byte-level HTML parse of every fetched page) — the honest
+    # flagship path since round 5; table-lookup mode remains as the
+    # fixture fast-path only
+    params = {"n_pages": 2000, "n_hosts": 24, "seed": 42,
+              "html_bodies": True}
     src_sha = hashlib.sha1(
         inspect.getsource(webgen).encode()
     ).hexdigest()[:16]
@@ -173,7 +178,8 @@ def _bench_crawl() -> dict:
         shutil.rmtree(BENCH_OUT, ignore_errors=True)
         t0 = time.time()
         res = run_crawl(
-            BENCH_CORPUS, BENCH_OUT, num_shards=8, fetch_concurrency=8
+            BENCH_CORPUS, BENCH_OUT, num_shards=8, fetch_concurrency=8,
+            parse_html=True,
         )
         wall = time.time() - t0
         best = wall if best is None else min(best, wall)

@@ -29,14 +29,26 @@ SQL-oracled bit-exact: every page references its host's site.css and its
 seq-family v{seq%4}.css, so DuckDB recomputes the full output from
 web_graph × css_files alone — equality also re-proves the render→parse
 round trip for the css kind.
+
+The raw bodies flow through every stage (the fetch and the merge-back
+join carry ``css_bytes:binary``, exactly the reference's repeated
+``Content.CssFile`` layout), but the QUERY's final projection emits
+driver-safe scalars instead of the blob: ``css_len:int64`` +
+``css_hash:int64`` (frozen :func:`kernels.hashing.polyhash64` of the
+body, masked to 63 bits so a signed BIGINT holds it). DuckDB BLOBs
+surface as ``bytearray`` in pandas — unhashable, so any comparator that
+sorts on the column throws; the hash carries the same bit-exactness
+without ever handing raw bytes to a generic comparator.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray
 
 from spider_ray.kernels.domtext import extract_links
+from spider_ray.kernels.hashing import polyhash64
 from spider_ray.pipelines.relational import _concat, _sorted
 from spider_ray.sources.webgen import render_html
 
@@ -44,9 +56,25 @@ ENRICH_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("css_url", pa.string()),
-        ("css_bytes", pa.binary()),
+        ("css_len", pa.int64()),
+        ("css_hash", pa.int64()),
     ]
 )
+
+_HASH_MASK = np.uint64((1 << 63) - 1)
+
+
+def body_digest(bodies: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
+    """(len, 63-bit polyhash) of each body — the driver-safe stand-in for
+    the raw bytes. Frozen: the SQL oracle replays the same polynomial
+    over ``hex(body)`` byte pairs."""
+    import pyarrow.compute as pc
+
+    if isinstance(bodies, pa.ChunkedArray):
+        bodies = bodies.combine_chunks()
+    lens = pc.cast(pc.binary_length(bodies), pa.int64())
+    h = polyhash64(bodies.cast(pa.string())) & _HASH_MASK
+    return lens, pa.array(h.astype(np.int64), pa.int64())
 
 
 def q_css_enrich(corpus: str) -> pa.Table:
@@ -136,7 +164,16 @@ def q_css_enrich(corpus: str) -> pa.Table:
     )
 
     def project(t: pa.Table) -> pa.Table:
-        return t.select(["url", "css_url", "css_bytes"]).cast(ENRICH_SCHEMA)
+        lens, hashes = body_digest(t["css_bytes"])
+        return pa.table(
+            {
+                "url": t["url"],
+                "css_url": t["css_url"],
+                "css_len": lens,
+                "css_hash": hashes,
+            },
+            schema=ENRICH_SCHEMA,
+        )
 
     return _sorted(
         _concat(

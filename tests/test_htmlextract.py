@@ -174,13 +174,30 @@ def test_css_enrich_join_shape(ray_session):
     out = pl.from_arrow(q_css_enrich(corpus))
     per_page = out.group_by("url").len()
     assert (per_page["len"] == 2).all()
-    # body is a pure function of css_url: one body per distinct url
+    # body is a pure function of css_url: one digest per distinct url
     assert (
         out.group_by("css_url")
-        .agg(pl.col("css_bytes").n_unique())["css_bytes"]
+        .agg(pl.col("css_hash").n_unique())["css_hash"]
         .max()
         == 1
     )
+    # the digest really is the frozen polyhash of the stored body (and
+    # css_len its byte length) — q_css_enrich never touched a fake value
+    import pyarrow.parquet as pq
+
+    from spider_ray.functions.cssenrich import body_digest
+
+    store = pq.read_table(os.path.join(corpus, "css_files.parquet"))
+    lens, hashes = body_digest(store["body"])
+    want = dict(
+        zip(
+            store["css_url"].to_pylist(),
+            zip(lens.to_pylist(), hashes.to_pylist()),
+        )
+    )
+    got = out.select(["css_url", "css_len", "css_hash"]).unique()
+    for row in got.iter_rows(named=True):
+        assert (row["css_len"], row["css_hash"]) == want[row["css_url"]]
     # family stylesheet matches the page's trailing-seq mod 4
     fam = out.filter(pl.col("css_url").str.contains("/static/v"))
     assert (
