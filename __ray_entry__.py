@@ -581,6 +581,32 @@ def _shard_write_audit_query(sf_dir: str) -> Any:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _search_ref_query(sf_dir: str) -> Any:
+    """Search-referrer classification rollup (search_query.cc port):
+    per-(engine, query) PV + distinct-user counts over deterministic
+    synthetic referrers."""
+    from spider_ray.functions.loganalysis import q_search_ref_classify
+
+    return q_search_ref_classify(sf_dir)
+
+
+def _session_merge_query(sf_dir: str) -> Any:
+    """PV session segmentation + adjacent-session overlap merge
+    (pvlog_segmenter.cc port): per-(user, merged-session) rollup."""
+    from spider_ray.functions.loganalysis import q_session_merge
+
+    return q_session_merge(sf_dir)
+
+
+def _updater_select_query(sf_dir: str) -> Any:
+    """Updater MR pair (mr_updater_mapper.cc:38-76 + reducer): shard-
+    ranged staleness re-crawl selection over a deterministic synthetic
+    linkbase (headers rebuilt + rfind-extracted on both sides)."""
+    from spider_ray.functions.updater import q_updater_select
+
+    return q_updater_select(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: the crawl loop end-to-end on a small deterministic corpus —
     returns the politeness-ordered crawl log (stable schema, ≥ 1 row)."""
@@ -723,6 +749,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_split": U.q_host_split,
         "ip_url_split": U.q_ip_url_split,
         "linkbase_merge": L.q_linkbase_merge,
+        # updater shard-interval re-crawl selection (round 5, G1's last
+        # MR pair): page filter + [start,end) shard gate + rfind header
+        # extraction (Last-Modified → Date fallback) + per-url
+        # keep-max-timestamp 'M' rows — SQL-oracled bit-exact
+        "updater_select": _updater_select_query,
+        # log_analysis family (round 5): search-referrer classification
+        # rollup (ordered codebook + param-order scan + empty-query
+        # kill, search_query.cc:22-231) and PV sessionization with
+        # adjacent-session overlap merge (pvlog_segmenter.cc:129-205)
+        # — both SQL-oracled bit-exact
+        "search_ref_classify": _search_ref_query,
+        "session_merge": _session_merge_query,
         # real-HTML byte-level link extraction (round 4, M8 over raw
         # bytes): render_html → extract_links round-trip, SQL-oracled
         # from the web_graph table. In-window; displaces seeded_shuffle
@@ -3679,6 +3717,240 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.url, r.css_url, c.css_len, c.css_hash
         FROM refs r JOIN dig c ON c.css_url = r.css_url
         ORDER BY r.url, r.css_url
+    """
+    # updater shard-interval re-crawl selection (round 5): rebuild the
+    # synthetic linkbase headers by concatenation and replay the
+    # reference's rfind header extraction with reverse/strpos arithmetic
+    # (LAST occurrence, ': ' format gate, backslash terminator strictly
+    # after the first value char), then per-url keep-max-timestamp
+    from spider_ray.functions import updater as UPD
+
+    assert (UPD.SHARD_NUM, UPD.START_SHARD, UPD.END_SHARD,
+            UPD._SHARD_SEED) == (128, 32, 96, 909)
+    out["updater_select"] = r"""
+        WITH e AS (
+            SELECT event_id AS eid, user_id AS uid, value AS score
+            FROM events WHERE event_id % 5 != 0),
+        h1 AS (SELECT *, CAST((CAST(uid AS HUGEINT) * 2654435761 + 909)
+                    % 18446744073709551616 AS UBIGINT) AS u0 FROM e),
+        h2 AS (SELECT *, xor(u0, u0 >> 29) AS u1 FROM h1),
+        h3 AS (SELECT *, CAST((CAST(u1 AS HUGEINT) * 2246822519)
+                    % 18446744073709551616 AS UBIGINT) AS u2 FROM h2),
+        h4 AS (SELECT *, xor(u2, u2 >> 32) AS hh FROM h3),
+        rng AS (SELECT eid, uid, score FROM h4
+                WHERE hh % 128 >= 32 AND hh % 128 < 96),
+        hdr AS (
+            SELECT *,
+                   'LM-' || (eid % 97) AS lm,
+                   'DT-' || (eid % 89) AS dt,
+                   'HTTP/1.1 200 OK\r\nServer: ray\r\n' AS b
+            FROM rng),
+        hh2 AS (
+            SELECT eid, uid, score,
+                CASE eid % 7
+                  WHEN 0 THEN b || 'Last-Modified: ' || lm || '\r\n'
+                              || 'Date: ' || dt || '\r\n'
+                  WHEN 1 THEN b || 'Date: ' || dt || '\r\n'
+                  WHEN 2 THEN b || 'Content-Type: text/html' || '\r\n'
+                  WHEN 3 THEN b || 'Last-Modified: ' || lm || '\r\n'
+                              || 'HTTP/1.1 301 Moved' || '\r\n'
+                              || 'Last-Modified: X' || lm || '\r\n'
+                  WHEN 4 THEN b || 'Last-Modified: ' || lm || '\r\n'
+                              || 'X-Trap: zzLast-Modifiedzz' || '\r\n'
+                              || 'Date: ' || dt || '\r\n'
+                  WHEN 5 THEN b || 'Date: ' || dt || '\r\n'
+                              || 'Last-Modified: ' || lm
+                  ELSE b || 'Date: ' || dt
+                END AS header
+            FROM hdr),
+        exl AS (SELECT *, strpos(reverse(header),
+                                 reverse('Last-Modified')) AS rp
+                FROM hh2),
+        exl2 AS (SELECT *, length(header) - rp - 13 + 2 AS lastpos
+                 FROM exl),
+        exl3 AS (SELECT *,
+                CASE WHEN rp > 0
+                      AND substr(header, lastpos + 13, 2) = ': '
+                     THEN lastpos + 15 END AS v0
+                 FROM exl2),
+        exl4 AS (SELECT *,
+                CASE WHEN v0 IS NOT NULL
+                      AND strpos(substr(header, v0 + 1), chr(92)) > 0
+                     THEN substr(header, v0,
+                                 strpos(substr(header, v0 + 1), chr(92)))
+                END AS lmv
+                 FROM exl3),
+        exd AS (SELECT *, strpos(reverse(header), reverse('Date')) AS rpd
+                FROM exl4),
+        exd2 AS (SELECT *, length(header) - rpd - 4 + 2 AS lastposd
+                 FROM exd),
+        exd3 AS (SELECT *,
+                CASE WHEN rpd > 0
+                      AND substr(header, lastposd + 4, 2) = ': '
+                     THEN lastposd + 6 END AS vd0
+                 FROM exd2),
+        exd4 AS (SELECT *,
+                CASE WHEN vd0 IS NOT NULL
+                      AND strpos(substr(header, vd0 + 1), chr(92)) > 0
+                     THEN substr(header, vd0,
+                                 strpos(substr(header, vd0 + 1), chr(92)))
+                END AS dtv
+                 FROM exd3),
+        sel AS (
+            SELECT eid, uid, score,
+                   coalesce(lmv, dtv) AS last_modified
+            FROM exd4 WHERE coalesce(lmv, dtv) IS NOT NULL),
+        rk AS (
+            SELECT 'u' || uid AS url, eid AS ts, score, last_modified,
+                   row_number() OVER (PARTITION BY uid
+                                      ORDER BY eid DESC) AS rn
+            FROM sel)
+        SELECT url, ts, score, last_modified, 'M' AS src
+        FROM rk WHERE rn = 1 ORDER BY url
+    """
+    # search-referrer classification rollup (round 5): rule table as
+    # VALUES + ordered-param unnest replaying the codebook walk exactly
+    # (param order outranks rule order; empty first hit kills the URL)
+    from spider_ray.functions import loganalysis as LA
+
+    assert (LA.CONFIDENCE, LA.SIM_NUM, LA.SIM_DEN, LA.GAP_US) == (
+        3, 4, 10, 1800 * 1_000_000,
+    )
+    assert len(LA.RULES) == 9
+    out["search_ref_classify"] = r"""
+        WITH e AS (SELECT event_id AS eid, user_id AS uid FROM events),
+        q0 AS (SELECT *, 'q' || (eid % 13) AS q,
+                      'w%20' || (eid % 13) AS qq FROM e),
+        u AS (
+            SELECT eid, uid,
+                CASE eid % 11
+                  WHEN 0 THEN 'http://www.google.com/search?q=' || q
+                  WHEN 1 THEN 'http://www.baidu.com/s?wd=' || q
+                  WHEN 2 THEN 'http://www.baidu.com/s?foo=1&word=' || q
+                  WHEN 3 THEN 'http://www.baidu.com/s?wd=&word=' || q
+                  WHEN 4 THEN 'http://www.sogou.com/web?query=' || qq
+                  WHEN 5 THEN 'http://search.yahoo.com/search?p=' || q
+                  WHEN 6 THEN 'http://m.search.yahoo.com/search?p=' || q
+                  WHEN 7 THEN 'http://cn.bing.com/search?Q=' || q
+                  WHEN 8 THEN 'http://www.google.com/imgs?q=' || q
+                  WHEN 9 THEN 'http://www.example.com/page?q=' || q
+                  ELSE 'http://www.youdao.com/search?x=1&q=' || q
+                END AS url
+            FROM q0),
+        p AS (
+            SELECT eid, uid,
+                regexp_extract(url, '^http://([^/]+)', 1) AS host,
+                regexp_extract(url, '^http://[^/]+([^?]*)', 1) AS path,
+                regexp_extract(url, '\?(.*)$', 1) AS qstr
+            FROM u),
+        parml AS (
+            SELECT eid, uid, host, path,
+                   str_split(qstr, '&') AS parts
+            FROM p),
+        parm AS (
+            SELECT eid, uid, host, path,
+                   unnest(parts) AS pair,
+                   unnest(generate_series(1, len(parts))) AS pidx
+            FROM parml),
+        kv AS (
+            SELECT eid, uid, host, path, pidx,
+                   lower(split_part(pair, '=', 1)) AS k,
+                   CASE WHEN strpos(pair, '=') > 0
+                        THEN substr(pair, strpos(pair, '=') + 1)
+                        ELSE '' END AS v
+            FROM parm WHERE pair != ''),
+        rules(ridx, pre, post, rpath, rkey, engine) AS (VALUES
+            (0, 'www.google.', NULL, '/search', 'q', 'google'),
+            (1, 'www.google.', NULL, '/', 'q', 'google'),
+            (2, 'www.baidu.', NULL, '/s', 'wd', 'baidu'),
+            (3, 'www.baidu.', NULL, '/s', 'word', 'baidu'),
+            (4, 'www.sogou.', NULL, '/web', 'query', 'sogou'),
+            (5, 'cn.bing.com', NULL, '/search', 'q', 'bing'),
+            (6, 'www.soso.com', NULL, '/q', 'w', 'soso'),
+            (7, NULL, 'search.yahoo.com', '/search', 'p', 'yahoo'),
+            (8, 'www.youdao.com', NULL, '/search', 'q', 'youdao')),
+        hits AS (
+            SELECT kv.eid, kv.uid, kv.pidx, r.ridx, r.engine,
+                   replace(kv.v, '%20', ' ') AS qv
+            FROM kv JOIN rules r
+              ON kv.k = r.rkey
+             AND kv.path = r.rpath
+             AND ((r.pre IS NOT NULL AND starts_with(kv.host, r.pre))
+               OR (r.post IS NOT NULL
+                   AND length(kv.host) >= length(r.post)
+                   AND substr(kv.host,
+                              length(kv.host) - length(r.post) + 1)
+                       = r.post))),
+        win AS (
+            SELECT *, row_number() OVER (PARTITION BY eid
+                                         ORDER BY pidx, ridx) AS rn
+            FROM hits),
+        sel AS (SELECT eid, uid, engine, qv FROM win
+                WHERE rn = 1 AND qv != '')
+        SELECT engine, qv AS query,
+               CAST(count(*) AS BIGINT) AS n_pv,
+               CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+        FROM sel GROUP BY engine, qv ORDER BY engine, query
+    """
+    # PV sessionization + adjacent-session overlap merge (round 5):
+    # gap-cumsum segmentation, semi-join overlap counts, integer
+    # cross-multiplied 0.4 threshold, prefix-sum relabel
+    out["session_merge"] = r"""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   event_id % 23 AS url_id
+            FROM events),
+        g AS (
+            SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts_us, event_id)),
+        s AS (
+            SELECT user_id, event_id, ts_us, url_id,
+                   CAST(1 + sum(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+            FROM g),
+        sigs AS (SELECT DISTINCT user_id, seg, url_id FROM s),
+        rel AS (
+            SELECT a.user_id, a.seg + 1 AS seg,
+                   count(*) AS related
+            FROM s a
+            WHERE EXISTS (SELECT 1 FROM sigs b
+                          WHERE b.user_id = a.user_id
+                            AND b.seg = a.seg + 1
+                            AND b.url_id = a.url_id)
+            GROUP BY a.user_id, a.seg),
+        slen AS (SELECT user_id, seg, count(*) AS plen
+                 FROM s GROUP BY user_id, seg),
+        fl AS (
+            SELECT sl.user_id, sl.seg + 1 AS seg,
+                   CASE WHEN sl.plen >= 3
+                         AND coalesce(r.related, 0) * 10 >= sl.plen * 4
+                        THEN 1 ELSE 0 END AS flag
+            FROM slen sl LEFT JOIN rel r
+              ON r.user_id = sl.user_id AND r.seg = sl.seg + 1),
+        segf AS (
+            SELECT s2.user_id, s2.seg, coalesce(f.flag, 0) AS flag
+            FROM (SELECT DISTINCT user_id, seg FROM s) s2
+            LEFT JOIN fl f
+              ON f.user_id = s2.user_id AND f.seg = s2.seg),
+        relab AS (
+            SELECT user_id, seg,
+                   CAST(seg - sum(flag) OVER (PARTITION BY user_id
+                            ORDER BY seg ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
+            FROM segf),
+        j AS (SELECT s.*, r.session_id FROM s JOIN relab r
+              ON r.user_id = s.user_id AND r.seg = s.seg)
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS n_pv,
+               CAST(count(DISTINCT seg) AS BIGINT) AS n_segs,
+               CAST(count(DISTINCT url_id) AS BIGINT) AS n_urls,
+               CAST(min(ts_us) AS BIGINT) AS t_start_us,
+               CAST(max(ts_us) AS BIGINT) AS t_end_us
+        FROM j GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
     """
     out["curate_shard_pipeline"] = _pack_summary_sql(
         curate_kept_ctes,

@@ -1,0 +1,314 @@
+"""log_analysis ports (round 5 breadth): search-referrer classification
+rollup and PV-session segmentation + adjacent-session merge.
+
+Reference shapes:
+
+* ``log_analysis/common/search_query.cc:22-231`` — a referrer URL is
+  classified against an ORDERED search-engine codebook: a rule matches
+  when the host starts with ``host_prefix`` (or ends with
+  ``host_postfix`` — exactly one of the two is set) AND the path EQUALS
+  the rule path; then the URL's query parameters are scanned IN URL
+  ORDER and the first parameter whose lower-cased key equals a matched
+  rule's ``query_key`` wins (param order outranks codebook order,
+  search_query.cc:156-172); the value is url-decoded and an EMPTY
+  decoded query kills the whole URL — no fallthrough to later params
+  (:174-199). We port a frozen 9-rule subset of ``kGeneralSearchBook``
+  covering both prefix and postfix rules and multi-key hosts
+  (baidu wd/word).
+* ``log_analysis/session/algorithm/pvlog_segmenter.cc:129-205`` — PV
+  logs are segmented per agent by time gap, then ADJACENT sessions are
+  merged when enough of the previous session's records re-occur (by
+  url sign) in the next one. We port the reducer's set-overlap pass
+  exactly (``merge_sessions``'s second check, :193-204: related =
+  #rows of the PREVIOUS segment whose url sign appears in the current
+  segment, merge iff ``len(prev) >= kConfidenceNum = 3`` and
+  ``related/len(prev) >= 0.4`` — integer cross-multiplied here so the
+  threshold is exact), with one deliberate re-expression: merge flags
+  are scored on the ORIGINAL adjacent segments and applied by
+  prefix-sum relabelling (associative, shuffle-friendly), where the
+  reference mutates ``last_session_start`` as it walks — on chained
+  merges the reference re-scores against the merged prefix. The
+  relabelling form is the one that distributes; the pairwise scores
+  are bit-identical.
+
+Both ops read ``events`` and synthesize their log columns
+deterministically from ``event_id`` so a DuckDB oracle can rebuild the
+input AND replay the full semantics generically (rule table as VALUES +
+ordered-param unnest; window cumsum segmentation + semi-join overlap).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import unquote
+
+import polars as pl
+import pyarrow as pa
+import ray
+
+# (host_prefix, host_postfix, path, query_key, engine) — frozen ordered
+# subset of kGeneralSearchBook (search_query.cc:33-60)
+RULES: list[tuple[str | None, str | None, str, str, str]] = [
+    ("www.google.", None, "/search", "q", "google"),
+    ("www.google.", None, "/", "q", "google"),
+    ("www.baidu.", None, "/s", "wd", "baidu"),
+    ("www.baidu.", None, "/s", "word", "baidu"),
+    ("www.sogou.", None, "/web", "query", "sogou"),
+    ("cn.bing.com", None, "/search", "q", "bing"),
+    ("www.soso.com", None, "/q", "w", "soso"),
+    (None, "search.yahoo.com", "/search", "p", "yahoo"),
+    ("www.youdao.com", None, "/search", "q", "youdao"),
+]
+
+GAP_US = 1800 * 1_000_000  # session gap: 30 min
+CONFIDENCE = 3  # kConfidenceNum (pvlog_segmenter.cc:179)
+SIM_NUM, SIM_DEN = 4, 10  # kRefLongSimThr = 0.4, exact integer form
+
+_URL_RE = re.compile(r"^http://([^/]+)([^?]*)(?:\?(.*))?$")
+
+
+def classify_search_ref(url: str) -> tuple[str, str] | None:
+    """(engine, decoded query) per the codebook, or None — the exact
+    reference walk: match rules on (host, path), then scan params in
+    URL order; the first key hit wins and an empty decoded value kills
+    the URL outright."""
+    m = _URL_RE.match(url)
+    if not m:
+        return None
+    host, path, qs = m.group(1), m.group(2), m.group(3) or ""
+    found = [
+        r
+        for r in RULES
+        if (
+            r[0] is not None
+            and host.startswith(r[0])
+            and path == r[2]
+        )
+        or (r[1] is not None and host.endswith(r[1]) and path == r[2])
+    ]
+    if not found:
+        return None
+    for pair in qs.split("&"):
+        if not pair:
+            continue
+        k, _, v = pair.partition("=")
+        lk = k.lower()
+        for r in found:
+            if lk == r[3]:
+                q = unquote(v)
+                return (r[4], q) if q else None
+    return None
+
+
+def _synth_ref_url(eid: int) -> str:
+    """Deterministic referrer per event — 11 shapes covering prefix and
+    postfix rules, multi-key param-order scan, the empty-first-value
+    kill, an upper-cased key, and two non-matches."""
+    q = f"q{eid % 13}"
+    qs = f"w%20{eid % 13}"
+    mode = eid % 11
+    return [
+        f"http://www.google.com/search?q={q}",
+        f"http://www.baidu.com/s?wd={q}",
+        f"http://www.baidu.com/s?foo=1&word={q}",
+        f"http://www.baidu.com/s?wd=&word={q}",  # dropped: empty first hit
+        f"http://www.sogou.com/web?query={qs}",
+        f"http://search.yahoo.com/search?p={q}",
+        f"http://m.search.yahoo.com/search?p={q}",
+        f"http://cn.bing.com/search?Q={q}",  # key lower-cased
+        f"http://www.google.com/imgs?q={q}",  # path miss
+        f"http://www.example.com/page?q={q}",  # host miss
+        f"http://www.youdao.com/search?x=1&q={q}",
+    ][mode]
+
+
+SEARCH_REF_SCHEMA = pa.schema(
+    [
+        ("engine", pa.string()),
+        ("query", pa.string()),
+        ("n_pv", pa.int64()),
+        ("n_users", pa.int64()),
+    ]
+)
+
+
+def q_search_ref_classify(sf_dir: str) -> pa.Table:
+    """Referrer classification rollup: classify every PV's synthetic
+    referrer, then count PVs + distinct users per (engine, query).
+    SQL-oracled bit-exact (rule table as VALUES, ordered-param
+    unnest)."""
+    from spider_ray.pipelines.relational import _concat, _sorted
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        eng, qq, uid = [], [], []
+        for e, u in zip(
+            batch["event_id"].to_pylist(), batch["user_id"].to_pylist()
+        ):
+            hit = classify_search_ref(_synth_ref_url(e))
+            if hit is None:
+                continue
+            eng.append(hit[0])
+            qq.append(hit[1])
+            uid.append(u)
+        return pa.table(
+            {
+                "engine": pa.array(eng, pa.string()),
+                "query": pa.array(qq, pa.string()),
+                "user_id": pa.array(uid, pa.int64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-block combine: (engine, query, user) partial PV counts —
+        # output is O(distinct groups × block users), the shuffle moves
+        # combined rows, never raw PVs
+        df = pl.from_arrow(batch)
+        out = df.group_by(["engine", "query", "user_id"]).agg(
+            pv=pl.len().cast(pl.Int64)
+        )
+        return out.to_arrow()
+
+    def final_group(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        return (
+            df.group_by(["engine", "query"])
+            .agg(
+                n_pv=pl.col("pv").sum().cast(pl.Int64),
+                n_users=pl.col("user_id").n_unique().cast(pl.Int64),
+            )
+            .to_arrow()
+            .cast(SEARCH_REF_SCHEMA)
+        )
+
+    out = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("engine")
+        .map_groups(final_group, batch_format="pyarrow")
+    )
+    return _sorted(
+        _concat(out, schema=SEARCH_REF_SCHEMA), ["engine", "query"]
+    )
+
+
+SESSION_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("session_id", pa.int64()),
+        ("n_pv", pa.int64()),
+        ("n_segs", pa.int64()),
+        ("n_urls", pa.int64()),
+        ("t_start_us", pa.int64()),
+        ("t_end_us", pa.int64()),
+    ]
+)
+
+
+def _merge_sessions_user(df: pl.DataFrame) -> pl.DataFrame:
+    """Per-user reducer: gap-segment, score adjacent-segment overlap,
+    relabel by prefix sum. Input: one user's (user_id, ts_us, event_id,
+    url_id) rows; vectorized polars throughout."""
+    df = df.sort(["ts_us", "event_id"]).with_columns(
+        seg=(
+            (pl.col("ts_us") - pl.col("ts_us").shift(1)).fill_null(0)
+            > GAP_US
+        )
+        .cum_sum()
+        .cast(pl.Int64)
+        + 1
+    )
+    # related(s) = rows of segment s-1 whose url_id occurs in segment s
+    sigs = df.select(["seg", "url_id"]).unique()
+    related = (
+        df.select((pl.col("seg") + 1).alias("seg"), "url_id")
+        .join(sigs, on=["seg", "url_id"], how="semi")
+        .group_by("seg")
+        .len(name="related")
+    )
+    seg_len = df.group_by("seg").len(name="plen")
+    flags = (
+        seg_len.with_columns(seg=pl.col("seg") + 1)
+        .join(related, on="seg", how="left")
+        .with_columns(related=pl.col("related").fill_null(0))
+        .with_columns(
+            flag=(
+                (pl.col("plen") >= CONFIDENCE)
+                & (
+                    pl.col("related") * SIM_DEN
+                    >= pl.col("plen") * SIM_NUM
+                )
+            ).cast(pl.Int64)
+        )
+        .select(["seg", "flag"])
+    )
+    df = (
+        df.join(flags, on="seg", how="left")
+        .with_columns(flag=pl.col("flag").fill_null(0))
+        .sort(["ts_us", "event_id"])
+    )
+    # session = seg - cumulative merged boundaries ≤ seg (one flag per
+    # segment; take it once per segment then broadcast back)
+    seg_flags = (
+        df.select(["seg", "flag"]).unique().sort("seg")
+        .with_columns(merged=pl.col("flag").cum_sum())
+    )
+    df = df.join(
+        seg_flags.select(["seg", "merged"]), on="seg", how="left"
+    ).with_columns(session_id=pl.col("seg") - pl.col("merged"))
+    return (
+        df.group_by(["user_id", "session_id"])
+        .agg(
+            n_pv=pl.len().cast(pl.Int64),
+            n_segs=pl.col("seg").n_unique().cast(pl.Int64),
+            n_urls=pl.col("url_id").n_unique().cast(pl.Int64),
+            t_start_us=pl.col("ts_us").min(),
+            t_end_us=pl.col("ts_us").max(),
+        )
+        .sort(["user_id", "session_id"])
+    )
+
+
+def q_session_merge(sf_dir: str) -> pa.Table:
+    """PV sessionization + adjacent-session merge per user (url sign =
+    ``event_id % 23`` so overlap is real). Hash-partitioned by user;
+    each partition reduces vectorized; O(sessions) output."""
+    from spider_ray.pipelines.relational import _concat, _sorted
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            ts_us=pl.col("ts").dt.epoch("us"),
+            url_id=(pl.col("event_id") % 23).cast(pl.Int64),
+            part=(pl.col("user_id") % 32).cast(pl.Int32),
+        )
+        return df.select(
+            ["user_id", "event_id", "ts_us", "url_id", "part"]
+        ).to_arrow()
+
+    def final_group(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group)
+        out = df.group_by("user_id", maintain_order=False).map_groups(
+            _merge_sessions_user
+        )
+        return out.to_arrow().cast(SESSION_SCHEMA)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final_group, batch_format="pyarrow")
+    )
+    return _sorted(
+        _concat(out, schema=SESSION_SCHEMA), ["user_id", "session_id"]
+    )
+
+
+from spider_ray._serial import register_all as _register_all  # noqa: E402
+
+_register_all()

@@ -1,0 +1,107 @@
+"""log_analysis ports: referrer classification + session merge
+(search_query.cc / pvlog_segmenter.cc semantics pins + DuckDB replay)."""
+
+import duckdb
+import pandas as pd
+import polars as pl
+
+from spider_ray.functions.loganalysis import (
+    _synth_ref_url,
+    classify_search_ref,
+    q_search_ref_classify,
+    q_session_merge,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _oracle(name: str) -> pd.DataFrame:
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    return con.sql(E.oracle_sql()[name]).df()
+
+
+def test_classify_semantics():
+    # param order outranks codebook order: word hits even though wd is
+    # the earlier rule
+    assert classify_search_ref("http://www.baidu.com/s?foo=1&word=x") == (
+        "baidu", "x",
+    )
+    # empty FIRST matching param kills the whole url — no fallthrough
+    assert classify_search_ref("http://www.baidu.com/s?wd=&word=x") is None
+    # key is lower-cased before compare
+    assert classify_search_ref("http://cn.bing.com/search?Q=z") == (
+        "bing", "z",
+    )
+    # postfix rule: exact host and proper suffix both match
+    assert classify_search_ref("http://search.yahoo.com/search?p=a") == (
+        "yahoo", "a",
+    )
+    assert classify_search_ref(
+        "http://m.search.yahoo.com/search?p=a"
+    ) == ("yahoo", "a")
+    # path must match EXACTLY; unknown host rejected
+    assert classify_search_ref("http://www.google.com/imgs?q=a") is None
+    assert classify_search_ref("http://www.example.com/page?q=a") is None
+    # url-decode of the value
+    assert classify_search_ref(
+        "http://www.sogou.com/web?query=w%20x"
+    ) == ("sogou", "w x")
+    # every synth mode behaves as designed
+    hits = [classify_search_ref(_synth_ref_url(m)) for m in range(11)]
+    assert [h is None for h in hits] == [
+        False, False, False, True, False, False, False, False, True,
+        True, False,
+    ]
+
+
+def test_search_ref_classify_matches_oracle(ray_session):
+    ours = _canon(pl.from_arrow(q_search_ref_classify(SF)).to_pandas())
+    theirs = _canon(_oracle("search_ref_classify"))
+    assert ours.shape == theirs.shape
+    assert (ours.values == theirs.values).all()
+    assert set(ours["engine"]) <= {
+        "google", "baidu", "sogou", "bing", "yahoo", "youdao", "soso",
+    }
+
+
+def test_session_merge_matches_oracle(ray_session):
+    ours = _canon(pl.from_arrow(q_session_merge(SF)).to_pandas())
+    theirs = _canon(_oracle("session_merge"))
+    assert ours.shape == theirs.shape
+    assert (ours.values == theirs.values).all()
+
+
+def test_session_merge_unit():
+    """Hand-built user: two gap-segments whose overlap crosses the 0.4
+    threshold merge into one session; a third unrelated segment stays."""
+    from spider_ray.functions.loganalysis import _merge_sessions_user
+
+    GAP = 1800 * 1_000_000
+    rows = []
+    # seg 1: urls 1,2,3 (plen 3 — meets confidence)
+    for i, u in enumerate([1, 2, 3]):
+        rows.append((7, i, i * 1_000_000, u))
+    # seg 2 (after gap): urls 2,3 re-occur → related=2, 2*10 >= 3*4 ✓
+    base = 3 * 1_000_000 + GAP + 1_000_000
+    for i, u in enumerate([2, 3, 9]):
+        rows.append((7, 10 + i, base + i * 1_000_000, u))
+    # seg 3 (after gap): disjoint urls → no merge
+    base2 = base + 3 * 1_000_000 + GAP + 1_000_000
+    for i, u in enumerate([15, 16]):
+        rows.append((7, 20 + i, base2 + i * 1_000_000, u))
+    df = pl.DataFrame(
+        rows, schema=["user_id", "event_id", "ts_us", "url_id"],
+        orient="row",
+    )
+    out = _merge_sessions_user(df)
+    assert out["session_id"].to_list() == [1, 2]
+    assert out["n_pv"].to_list() == [6, 2]
+    assert out["n_segs"].to_list() == [2, 1]
