@@ -936,7 +936,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (frame-energy runs; burst layout replayed exactly in SQL)
         "audio_segments": M.q_audio_segments,
     }
-    return q
+    # ---- round-5 driver-window rotation ------------------------------
+    # The driver records CORRECTNESS rows for the FIRST 50 entries only.
+    # _WINDOW below is the AUTHORITATIVE membership (it supersedes the
+    # placement comments above): rows-only entries (crawl trio, sink
+    # audits) that have no other recorded check, this round's fix
+    # (css_enrich) and new operators stay in; 13 entries that had NEVER
+    # had a driver row rotate in (semantic_dedup … warc_outlinks); 16
+    # basics with 2-4 green driver rows each AND strict-tool double
+    # coverage rotate to the tail (pricing_summary, exact_dedup,
+    # simhash/minhash pairs, dup_clusters, corpus_curate, pii/decontam/
+    # repetition, mixture_sample, sequence_pack, knn_bruteforce,
+    # url_canonicalize, host_split, crossmodal_recall, dup_spans).
+    _WINDOW = [
+        "redirect_resolve", "link_rank", "embedding_neardup_lsh",
+        "clip_align", "image_filter", "phash_clusters", "image_curate",
+        "image_decontaminate", "aspect_buckets", "image_shard_pack",
+        "sitemap_seeds", "bucket_shard_pack", "epoch_shuffle",
+        "recrawl_schedule", "bucket_balance", "resize_plan",
+        "shard_write_audit", "curate_shard_pipeline", "vocab_oov",
+        "knn_ivf", "host_rate_plan", "ip_url_split", "linkbase_merge",
+        "updater_select", "search_ref_classify", "session_merge",
+        "html_outlinks", "html_page_stats", "binpack_customers",
+        "heavy_hitters", "bloom_anti_join", "phash_neardup",
+        "css_enrich", "video_frames",
+        "semantic_dedup", "connected_components", "bm25_scores",
+        "anchor_text", "salted_join_auto", "funnel", "retention",
+        "quality_logit", "trap_hosts",
+        "crawl_eval", "site_uv_share", "compress_control",
+        "warc_outlinks",
+        "crawl_order", "crawl_images", "crawl_seen",
+    ]
+    assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
+    assert all(k in q for k in _WINDOW)
+    head = {k: q[k] for k in _WINDOW}
+    tail = {k: v for k, v in q.items() if k not in head}
+    return {**head, **tail}
 
 
 def oracle_sql() -> dict[str, str]:

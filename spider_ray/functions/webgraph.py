@@ -504,7 +504,7 @@ def cc_fixpoint(
 
     def init_from_edges(t: pa.Table) -> pa.Table:
         # duplicate (node, node) rows are fine: round 1's min-cogroup
-        # dedups them, and the XOR signature only ever delays (never
+        # dedups them, and the sum signature only ever delays (never
         # falsifies) convergence detection by one round
         return pa.table({"node": t["a"], "label": t["a"]}).cast(lbl_schema)
 

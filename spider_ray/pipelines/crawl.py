@@ -856,8 +856,10 @@ def run_crawl(
         for s in range(num_shards)
     ]
     # persistent fetch actor pool: each actor builds ITS SLICE of the
-    # WebIndex once in __init__ (pages by host hash, image payloads by
-    # image_id hash) and keeps it across every generation of this run —
+    # WebIndex once in __init__ (pages by URL hash — the same predicate
+    # load_corpus_shard and the dispatch key use; NOT host hash — and
+    # image payloads by image_id hash) and keeps it across every
+    # generation of this run —
     # per-actor RSS is O(corpus / pool), not O(corpus)
     # parse_html (opt-in M8-over-bytes mode) is NOT a topology key: it is
     # byte-equal to table mode on round-trip corpora (pinned by test), so

@@ -42,12 +42,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(6)
         elif str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif df[c].dtype == object and len(df) and isinstance(
-            df[c].iloc[0], bytearray
-        ):
+        elif df[c].dtype == object and len(df):
             # duckdb BLOB → bytearray is unhashable and breaks the
-            # multi-key lexsort (same fix as tools/oracle_strict.norm)
-            df[c] = df[c].map(bytes)
+            # multi-key lexsort (same fix as tools/oracle_strict.norm);
+            # per-row check so a NULL-leading column still converts
+            df[c] = df[c].map(
+                lambda v: bytes(v) if isinstance(v, bytearray) else v
+            )
     # round BEFORE sorting so float noise below the tolerance can't reorder
     return df.sort_values(by=list(df.columns), ignore_index=True)
 

@@ -39,13 +39,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif df[c].dtype == object and len(df) and isinstance(
-            df[c].iloc[0], bytearray
-        ):
+        elif df[c].dtype == object and len(df):
             # duckdb .df() yields BLOB as bytearray — unhashable, so the
             # multi-key lexsort's factorize step throws; bytes compares
-            # and hashes identically
-            df[c] = df[c].map(bytes)
+            # and hashes identically. Check EVERY row, not just the
+            # first: a NULL-leading BLOB column would otherwise skip
+            # conversion and still crash the sort.
+            df[c] = df[c].map(
+                lambda v: bytes(v) if isinstance(v, bytearray) else v
+            )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
