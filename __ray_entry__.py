@@ -598,6 +598,15 @@ def _session_merge_query(sf_dir: str) -> Any:
     return q_session_merge(sf_dir)
 
 
+def _query_click_query(sf_dir: str) -> Any:
+    """query→vertical-site click rollup (userlog/stat/query_click.cc):
+    two-source union (PV vertical clicks with search referrers +
+    search-log rows) → distinct-user counts per (query, site)."""
+    from spider_ray.functions.loganalysis import q_query_click
+
+    return q_query_click(sf_dir)
+
+
 def _updater_select_query(sf_dir: str) -> Any:
     """Updater MR pair (mr_updater_mapper.cc:38-76 + reducer): shard-
     ranged staleness re-crawl selection over a deterministic synthetic
@@ -761,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — both SQL-oracled bit-exact
         "search_ref_classify": _search_ref_query,
         "session_merge": _session_merge_query,
+        "query_click": _query_click_query,
         # real-HTML byte-level link extraction (round 4, M8 over raw
         # bytes): render_html → extract_links round-trip, SQL-oracled
         # from the web_graph table. In-window; displaces seeded_shuffle
@@ -962,7 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "css_enrich", "video_frames",
         "semantic_dedup", "connected_components", "bm25_scores",
         "anchor_text", "salted_join_auto", "funnel", "retention",
-        "quality_logit", "trap_hosts",
+        "quality_logit", "query_click",
         "crawl_eval", "site_uv_share", "compress_control",
         "warc_outlinks",
         "crawl_order", "crawl_images", "crawl_seen",
@@ -3852,12 +3862,11 @@ def oracle_sql() -> dict[str, str]:
         3, 4, 10, 1800 * 1_000_000,
     )
     assert len(LA.RULES) == 9
-    out["search_ref_classify"] = r"""
-        WITH e AS (SELECT event_id AS eid, user_id AS uid FROM events),
-        q0 AS (SELECT *, 'q' || (eid % 13) AS q,
-                      'w%20' || (eid % 13) AS qq FROM e),
-        u AS (
-            SELECT eid, uid,
+    # shared CTE fragments: referrer-url synthesis (CASE eid % 11) and
+    # the generic codebook replay (host/path parse → ordered-param
+    # unnest → rule join → first-hit window). The fragment expects a
+    # prior CTE u(eid, url) and ends in sel(eid, engine, qv).
+    _REF_URL_CASE = r"""
                 CASE eid % 11
                   WHEN 0 THEN 'http://www.google.com/search?q=' || q
                   WHEN 1 THEN 'http://www.baidu.com/s?wd=' || q
@@ -3870,25 +3879,24 @@ def oracle_sql() -> dict[str, str]:
                   WHEN 8 THEN 'http://www.google.com/imgs?q=' || q
                   WHEN 9 THEN 'http://www.example.com/page?q=' || q
                   ELSE 'http://www.youdao.com/search?x=1&q=' || q
-                END AS url
-            FROM q0),
+                END"""
+    _REF_CLASSIFY_CTES = r"""
         p AS (
-            SELECT eid, uid,
+            SELECT eid,
                 regexp_extract(url, '^http://([^/]+)', 1) AS host,
                 regexp_extract(url, '^http://[^/]+([^?]*)', 1) AS path,
                 regexp_extract(url, '\?(.*)$', 1) AS qstr
             FROM u),
         parml AS (
-            SELECT eid, uid, host, path,
-                   str_split(qstr, '&') AS parts
+            SELECT eid, host, path, str_split(qstr, '&') AS parts
             FROM p),
         parm AS (
-            SELECT eid, uid, host, path,
+            SELECT eid, host, path,
                    unnest(parts) AS pair,
                    unnest(generate_series(1, len(parts))) AS pidx
             FROM parml),
         kv AS (
-            SELECT eid, uid, host, path, pidx,
+            SELECT eid, host, path, pidx,
                    lower(split_part(pair, '=', 1)) AS k,
                    CASE WHEN strpos(pair, '=') > 0
                         THEN substr(pair, strpos(pair, '=') + 1)
@@ -3905,7 +3913,7 @@ def oracle_sql() -> dict[str, str]:
             (7, NULL, 'search.yahoo.com', '/search', 'p', 'yahoo'),
             (8, 'www.youdao.com', NULL, '/search', 'q', 'youdao')),
         hits AS (
-            SELECT kv.eid, kv.uid, kv.pidx, r.ridx, r.engine,
+            SELECT kv.eid, kv.pidx, r.ridx, r.engine,
                    replace(kv.v, '%20', ' ') AS qv
             FROM kv JOIN rules r
               ON kv.k = r.rkey
@@ -3920,12 +3928,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER (PARTITION BY eid
                                          ORDER BY pidx, ridx) AS rn
             FROM hits),
-        sel AS (SELECT eid, uid, engine, qv FROM win
-                WHERE rn = 1 AND qv != '')
-        SELECT engine, qv AS query,
+        sel AS (SELECT eid, engine, qv FROM win
+                WHERE rn = 1 AND qv != '')"""
+    out["search_ref_classify"] = f"""
+        WITH e AS (SELECT event_id AS eid, user_id AS uid FROM events),
+        q0 AS (SELECT *, 'q' || (eid % 13) AS q,
+                      'w%20' || (eid % 13) AS qq FROM e),
+        u AS (SELECT eid, {_REF_URL_CASE} AS url FROM q0),
+        {_REF_CLASSIFY_CTES}
+        SELECT s.engine, s.qv AS query,
                CAST(count(*) AS BIGINT) AS n_pv,
-               CAST(count(DISTINCT uid) AS BIGINT) AS n_users
-        FROM sel GROUP BY engine, qv ORDER BY engine, query
+               CAST(count(DISTINCT e.uid) AS BIGINT) AS n_users
+        FROM sel s JOIN e ON e.eid = s.eid
+        GROUP BY s.engine, s.qv ORDER BY engine, query
+    """
+    # query→vertical-site click rollup (userlog/stat/query_click.cc):
+    # PV side (even eid) = ordered substring-containment vertical
+    # classify + referrer search parse; search-log side (odd eid) =
+    # direct query; distinct-user count per (query, site)
+    out["query_click"] = f"""
+        WITH e AS (SELECT event_id AS eid, user_id AS uid FROM events),
+        slog AS (
+            SELECT 'q' || (eid % 13) AS query, '' AS site, uid
+            FROM e WHERE eid % 2 = 1),
+        pv AS (SELECT eid, uid FROM e WHERE eid % 2 = 0),
+        cu AS (
+            SELECT eid, uid,
+                CASE eid % 7
+                  WHEN 0 THEN 'http://www.iqiyi.com/v_'
+                              || (eid % 19) || '.html'
+                  WHEN 1 THEN 'http://book.qidian.com/info/' || (eid % 19)
+                  WHEN 2 THEN 'http://www.skycn.com/soft/'
+                              || (eid % 19) || '.html'
+                  WHEN 3 THEN 'http://news.4399.com/g/' || (eid % 19)
+                  WHEN 4 THEN 'http://zhidao.baidu.com/question/'
+                              || (eid % 19)
+                  WHEN 5 THEN 'http://www.sina.com.cn/news/' || (eid % 19)
+                  ELSE 'http://v.youku.com/list?from=zhidao.baidu.com&id='
+                       || (eid % 19)
+                END AS curl
+            FROM pv),
+        vhit AS (
+            SELECT eid, uid,
+                CASE WHEN strpos(curl, 'iqiyi.com') > 0
+                       OR strpos(curl, 'youku.com') > 0
+                       OR strpos(curl, 'tudou.com') > 0 THEN 'Video'
+                     WHEN strpos(curl, 'qidian.com') > 0
+                       OR strpos(curl, 'hongxiu.com') > 0 THEN 'Book'
+                     WHEN strpos(curl, 'skycn.com') > 0
+                       OR strpos(curl, 'newhua.com') > 0 THEN 'Software'
+                     WHEN strpos(curl, '4399.com') > 0
+                       OR strpos(curl, '17173.com') > 0
+                       OR strpos(curl, 'games.qq.com') > 0 THEN 'Game'
+                     WHEN strpos(curl, 'zhidao.baidu.com') > 0
+                       OR strpos(curl, 'wenwen.soso.com') > 0 THEN 'QA'
+                END AS site
+            FROM cu),
+        vkeep AS (SELECT eid, uid, site FROM vhit
+                  WHERE site IS NOT NULL),
+        q0 AS (SELECT eid, 'q' || (eid % 13) AS q,
+                      'w%20' || (eid % 13) AS qq FROM vkeep),
+        u AS (SELECT eid, {_REF_URL_CASE} AS url FROM q0),
+        {_REF_CLASSIFY_CTES},
+        pvrows AS (
+            SELECT s.qv AS query, v.site, v.uid
+            FROM sel s JOIN vkeep v ON v.eid = s.eid),
+        allrows AS (
+            SELECT * FROM slog UNION ALL SELECT * FROM pvrows)
+        SELECT query, site,
+               CAST(count(DISTINCT uid) AS BIGINT) AS n_clicks
+        FROM allrows GROUP BY query, site ORDER BY query, site
     """
     # PV sessionization + adjacent-session overlap merge (round 5):
     # gap-cumsum segmentation, semi-join overlap counts, integer

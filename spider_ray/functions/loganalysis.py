@@ -194,6 +194,121 @@ def q_search_ref_classify(sf_dir: str) -> pa.Table:
     )
 
 
+# Ordered vertical-site codebook (query_click.cc:73-146): first category
+# with ANY pattern occurring ANYWHERE in the url wins — substring
+# containment, not host/path structure (frozen subset; the reference's
+# duplicated Software/Game blocks are dead repeats and not ported)
+VERTICALS: list[tuple[str, tuple[str, ...]]] = [
+    ("Video", ("iqiyi.com", "youku.com", "tudou.com")),
+    ("Book", ("qidian.com", "hongxiu.com")),
+    ("Software", ("skycn.com", "newhua.com")),
+    ("Game", ("4399.com", "17173.com", "games.qq.com")),
+    ("QA", ("zhidao.baidu.com", "wenwen.soso.com")),
+]
+
+
+def classify_vertical(url: str) -> str | None:
+    """is_vertical_site: ordered category walk, substring containment."""
+    for site, pats in VERTICALS:
+        if any(p in url for p in pats):
+            return site
+    return None
+
+
+def _synth_click_url(eid: int) -> str:
+    """Deterministic clicked URL per PV event — one shape per vertical
+    category, a non-vertical miss, and a cross-category overlap (Video
+    pattern + QA pattern in one url → Video, first category wins)."""
+    n = eid % 19
+    mode = eid % 7
+    return [
+        f"http://www.iqiyi.com/v_{n}.html",
+        f"http://book.qidian.com/info/{n}",
+        f"http://www.skycn.com/soft/{n}.html",
+        f"http://news.4399.com/g/{n}",
+        f"http://zhidao.baidu.com/question/{n}",
+        f"http://www.sina.com.cn/news/{n}",  # no category → dropped
+        f"http://v.youku.com/list?from=zhidao.baidu.com&id={n}",
+    ][mode]
+
+
+QUERY_CLICK_SCHEMA = pa.schema(
+    [
+        ("query", pa.string()),
+        ("site", pa.string()),
+        ("n_clicks", pa.int64()),
+    ]
+)
+
+
+def q_query_click(sf_dir: str) -> pa.Table:
+    """query→vertical-site click rollup (``userlog/stat/query_click.cc``):
+    two sources union — PV rows (even event_id) keep clicks on vertical
+    sites whose referrer parses as a search query, keyed (query, site);
+    search-log rows (odd event_id) contribute (query, '') directly — and
+    the reduce counts DISTINCT users per key (the reference's dedup-set
+    reducer, :225-238). SQL-oracled bit-exact."""
+    from spider_ray.pipelines.relational import _concat, _sorted
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        qq, ss, uu = [], [], []
+        for e, u in zip(
+            batch["event_id"].to_pylist(), batch["user_id"].to_pylist()
+        ):
+            if e % 2 == 1:  # search log: query field taken directly
+                qq.append(f"q{e % 13}")
+                ss.append("")
+                uu.append(u)
+                continue
+            site = classify_vertical(_synth_click_url(e))
+            if site is None:
+                continue
+            hit = classify_search_ref(_synth_ref_url(e))
+            if hit is None:
+                continue
+            qq.append(hit[1])
+            ss.append(site)
+            uu.append(u)
+        return pa.table(
+            {
+                "query": pa.array(qq, pa.string()),
+                "site": pa.array(ss, pa.string()),
+                "user_id": pa.array(uu, pa.int64()),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-block distinct (query, site, user) — the shuffle moves
+        # combined triples, not raw PVs
+        return (
+            pl.from_arrow(batch)
+            .unique(subset=["query", "site", "user_id"])
+            .to_arrow()
+        )
+
+    def final_group(group: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(group)
+            .group_by(["query", "site"])
+            .agg(n_clicks=pl.col("user_id").n_unique().cast(pl.Int64))
+            .to_arrow()
+            .cast(QUERY_CLICK_SCHEMA)
+        )
+
+    out = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("query")
+        .map_groups(final_group, batch_format="pyarrow")
+    )
+    return _sorted(
+        _concat(out, schema=QUERY_CLICK_SCHEMA), ["query", "site"]
+    )
+
+
 SESSION_SCHEMA = pa.schema(
     [
         ("user_id", pa.int64()),

@@ -105,3 +105,36 @@ def test_session_merge_unit():
     assert out["session_id"].to_list() == [1, 2]
     assert out["n_pv"].to_list() == [6, 2]
     assert out["n_segs"].to_list() == [2, 1]
+
+
+def test_classify_vertical_semantics():
+    from spider_ray.functions.loganalysis import (
+        _synth_click_url,
+        classify_vertical,
+    )
+
+    # first category wins on cross-category urls
+    assert classify_vertical(
+        "http://v.youku.com/list?from=zhidao.baidu.com&id=3"
+    ) == "Video"
+    assert classify_vertical("http://zhidao.baidu.com/question/9") == "QA"
+    assert classify_vertical("http://www.sina.com.cn/news/1") is None
+    # substring containment, not host structure
+    assert classify_vertical("http://mirror.example/games.qq.com/x") == (
+        "Game"
+    )
+    got = [classify_vertical(_synth_click_url(m)) for m in range(7)]
+    assert got == [
+        "Video", "Book", "Software", "Game", "QA", None, "Video",
+    ]
+
+
+def test_query_click_matches_oracle(ray_session):
+    from spider_ray.functions.loganalysis import q_query_click
+
+    ours = _canon(pl.from_arrow(q_query_click(SF)).to_pandas())
+    theirs = _canon(_oracle("query_click"))
+    assert ours.shape == theirs.shape
+    assert (ours.values == theirs.values).all()
+    # both sources present: '' site rows (search log) and vertical rows
+    assert (ours["site"] == "").any() and (ours["site"] != "").any()
