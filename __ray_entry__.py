@@ -607,6 +607,22 @@ def _query_click_query(sf_dir: str) -> Any:
     return q_query_click(sf_dir)
 
 
+def _pv_normalize_query(sf_dir: str) -> Any:
+    """pv_plus mapper (userlog/pv_log/pv_plus.cc): wire-format kv-list
+    parse + 3-generation disambiguation + LE decodes → pvlog rows."""
+    from spider_ray.functions.loganalysis import q_pv_normalize
+
+    return q_pv_normalize(sf_dir)
+
+
+def _pv_md5_map_query(sf_dir: str) -> Any:
+    """pv_plus reducer md5 sink: per-(md5, url_b64) keep-max formatted
+    time, re-emitted as epoch seconds."""
+    from spider_ray.functions.loganalysis import q_pv_md5_map
+
+    return q_pv_md5_map(sf_dir)
+
+
 def _updater_select_query(sf_dir: str) -> Any:
     """Updater MR pair (mr_updater_mapper.cc:38-76 + reducer): shard-
     ranged staleness re-crawl selection over a deterministic synthetic
@@ -771,6 +787,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ref_classify": _search_ref_query,
         "session_merge": _session_merge_query,
         "query_click": _query_click_query,
+        # pv_plus wire-format normalizer (round 5, the largest
+        # log_analysis file ported whole): kv-list parse with the
+        # abandon-on-any-fault gates, three-generation url/ref
+        # disambiguation, LE time/attr decode → pvlog rows + the
+        # md5→url keep-max-time map — both SQL-oracled bit-exact
+        "pv_normalize": _pv_normalize_query,
+        "pv_md5_map": _pv_md5_map_query,
         # real-HTML byte-level link extraction (round 4, M8 over raw
         # bytes): render_html → extract_links round-trip, SQL-oracled
         # from the web_graph table. In-window; displaces seeded_shuffle
@@ -971,8 +994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters", "bloom_anti_join", "phash_neardup",
         "css_enrich", "video_frames",
         "semantic_dedup", "connected_components", "bm25_scores",
-        "anchor_text", "salted_join_auto", "funnel", "retention",
-        "quality_logit", "query_click",
+        "anchor_text", "salted_join_auto", "funnel",
+        "query_click", "pv_normalize", "pv_md5_map",
         "crawl_eval", "site_uv_share", "compress_control",
         "warc_outlinks",
         "crawl_order", "crawl_images", "crawl_seen",
@@ -4058,6 +4081,198 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(ts_us) AS BIGINT) AS t_end_us
         FROM j GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+    """
+    # pv_plus wire-format normalizer (round 5): rebuild the kv-list
+    # records by concatenation (base64 via to_base64/unhex, LE ints via
+    # printf byte arithmetic), then replay the mapper GENERICALLY —
+    # unnest + per-pair validation (shape / int key / length / dup-key
+    # abandon), conditional-max pivot, the three-generation url/ref
+    # disambiguation, LE time+attr decode, emptiness gates.
+    _PV_CTES = r"""
+        e AS (
+            SELECT event_id AS eid, user_id AS uid,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec
+            FROM events),
+        bse AS (
+            SELECT *, 'mid' || (uid % 50) AS mid,
+                   eid % 31 AS un, (eid * 7 + 3) % 31 AS rn
+            FROM e),
+        cu0 AS (
+            SELECT *,
+                'http://site' || (un % 7) || '.example.com/p/' || un
+                    AS url,
+                'http://site' || (rn % 7) || '.example.com/p/' || rn
+                    AS ref,
+                'h' || un AS md5
+            FROM bse),
+        enc AS (
+            SELECT *,
+                to_base64(encode(url)) AS bu,
+                to_base64(encode(ref)) AS br,
+                to_base64(unhex(printf('%02X%02X%02X%02X',
+                    ts_sec % 256, (ts_sec // 256) % 256,
+                    (ts_sec // 65536) % 256,
+                    (ts_sec // 16777216) % 256))) AS bt,
+                to_base64(unhex(printf('%02X%02X',
+                    ((eid % 7) + 1) % 256,
+                    ((eid % 7) + 1) // 256))) AS ba,
+                to_base64(encode('Title ' || un)) AS bti
+            FROM cu0),
+        wire AS (
+            SELECT eid, mid,
+                CASE eid % 9
+                  WHEN 0 THEN '0|'||md5||';1|'||bt||';4|'||bu||';6|'
+                              ||ba||';7|'||bti||';101|'||br
+                  WHEN 1 THEN '1|'||bt||';4|'||bu
+                  WHEN 2 THEN '0|'||md5||';1|'||bt||';4|'||bu
+                  WHEN 3 THEN '0|'||md5||';1|'||bt||';101|'||bu
+                  WHEN 4 THEN '1|'||bt||';4|'||bu
+                  WHEN 5 THEN '0|'||md5||';1|'||bt||';6|'||ba
+                  WHEN 6 THEN '1|'||bt||';4|'||bu||';badpair'
+                  WHEN 7 THEN '1|'||bt||';4|'||bu||';4|'||bu
+                  ELSE '1|'||bt||';x|'||bu||';4|'||bu
+                END AS url_info,
+                CASE eid % 9
+                  WHEN 2 THEN '0|'||md5||';4|'||br
+                  WHEN 3 THEN '101|'||br
+                  WHEN 4 THEN '0|'||md5
+                  ELSE ''
+                END AS ref_info
+            FROM enc),
+        up AS (
+            SELECT eid, unnest(str_split(url_info, ';')) AS pair
+            FROM wire WHERE url_info != ''),
+        uv AS (
+            SELECT eid,
+                len(str_split(pair, '|')) AS np,
+                split_part(pair, '|', 1) AS k0,
+                split_part(pair, '|', 2) AS v0
+            FROM up),
+        ubad AS (
+            SELECT eid,
+                bool_or(np != 2
+                        OR NOT regexp_matches(k0, '^-?[0-9]+$')
+                        OR length(v0) > 1000) AS anybad,
+                count(*) FILTER (WHERE regexp_matches(k0,
+                        '^-?[0-9]+$')) AS nk,
+                count(DISTINCT CASE WHEN regexp_matches(k0,
+                        '^-?[0-9]+$') THEN CAST(k0 AS INT) END) AS ndk
+            FROM uv GROUP BY eid),
+        upiv AS (
+            SELECT eid,
+                max(CASE WHEN CAST(k0 AS INT) = 0 THEN v0 END) AS u0,
+                max(CASE WHEN CAST(k0 AS INT) = 1 THEN v0 END) AS u1,
+                max(CASE WHEN CAST(k0 AS INT) = 4 THEN v0 END) AS u4,
+                max(CASE WHEN CAST(k0 AS INT) = 6 THEN v0 END) AS u6,
+                max(CASE WHEN CAST(k0 AS INT) = 100 THEN v0 END)
+                    AS u100,
+                max(CASE WHEN CAST(k0 AS INT) = 101 THEN v0 END)
+                    AS u101
+            FROM uv WHERE regexp_matches(k0, '^-?[0-9]+$')
+            GROUP BY eid),
+        rp AS (
+            SELECT eid, unnest(str_split(ref_info, ';')) AS pair
+            FROM wire WHERE ref_info != ''),
+        rv AS (
+            SELECT eid,
+                len(str_split(pair, '|')) AS np,
+                split_part(pair, '|', 1) AS k0,
+                split_part(pair, '|', 2) AS v0
+            FROM rp),
+        rbad AS (
+            SELECT eid,
+                bool_or(np != 2
+                        OR NOT regexp_matches(k0, '^-?[0-9]+$')
+                        OR length(v0) > 1000) AS anybad,
+                count(*) FILTER (WHERE regexp_matches(k0,
+                        '^-?[0-9]+$')) AS nk,
+                count(DISTINCT CASE WHEN regexp_matches(k0,
+                        '^-?[0-9]+$') THEN CAST(k0 AS INT) END) AS ndk
+            FROM rv GROUP BY eid),
+        rpiv AS (
+            SELECT eid,
+                max(CASE WHEN CAST(k0 AS INT) = 4 THEN v0 END) AS r4,
+                max(CASE WHEN CAST(k0 AS INT) = 101 THEN v0 END)
+                    AS r101
+            FROM rv WHERE regexp_matches(k0, '^-?[0-9]+$')
+            GROUP BY eid),
+        ok AS (
+            SELECT w.eid, w.mid, w.ref_info != '' AS rne,
+                   up2.u0, up2.u1, up2.u4, up2.u6, up2.u100, up2.u101,
+                   rp2.r4, rp2.r101
+            FROM wire w
+            JOIN ubad ub ON ub.eid = w.eid
+            LEFT JOIN rbad rb ON rb.eid = w.eid
+            LEFT JOIN upiv up2 ON up2.eid = w.eid
+            LEFT JOIN rpiv rp2 ON rp2.eid = w.eid
+            WHERE NOT ub.anybad AND ub.nk = ub.ndk
+              AND (rb.eid IS NULL
+                   OR (NOT rb.anybad AND rb.nk = rb.ndk))),
+        pick AS (
+            SELECT *,
+                CASE
+                  WHEN u101 IS NULL AND u4 IS NULL THEN NULL
+                  WHEN rne AND u4 IS NULL AND u100 IS NULL THEN u101
+                  ELSE u4
+                END AS url_b64,
+                CASE
+                  WHEN u101 IS NULL AND u4 IS NULL THEN NULL
+                  WHEN rne AND u4 IS NULL AND u100 IS NULL THEN r101
+                  WHEN NOT rne THEN coalesce(u101, '')
+                  WHEN r4 IS NOT NULL AND r101 IS NULL THEN r4
+                  WHEN r101 IS NOT NULL AND r4 IS NULL THEN r101
+                  WHEN r4 IS NULL AND r101 IS NULL THEN ''
+                  ELSE NULL
+                END AS ref_b64
+            FROM ok),
+        timed AS (
+            SELECT *, hex(from_base64(u1)) AS thx
+            FROM pick WHERE u1 IS NOT NULL
+              AND url_b64 IS NOT NULL AND ref_b64 IS NOT NULL),
+        tval AS (
+            SELECT *,
+                CAST(('0x' || substr(thx, 1, 2)) AS BIGINT)
+                + CAST(('0x' || substr(thx, 3, 2)) AS BIGINT) * 256
+                + CAST(('0x' || substr(thx, 5, 2)) AS BIGINT) * 65536
+                + (CAST(('0x' || substr(thx, 7, 2)) AS BIGINT)
+                   - CASE WHEN CAST(('0x' || substr(thx, 7, 2))
+                              AS BIGINT) >= 128
+                          THEN 256 ELSE 0 END) * 16777216 AS tsv
+            FROM timed WHERE length(thx) = 8),
+        fin AS (
+            SELECT mid,
+                strftime(make_timestamp(tsv * 1000000),
+                         '%Y%m%d%H%M%S') AS ts_fmt,
+                decode(from_base64(url_b64)) AS url,
+                CASE WHEN ref_b64 = '' THEN ''
+                     ELSE decode(from_base64(ref_b64)) END AS ref_url,
+                CASE WHEN u6 IS NULL THEN '1'
+                     WHEN length(hex(from_base64(u6))) = 4 THEN
+                       CAST(CAST(('0x' || substr(hex(from_base64(u6)),
+                                1, 2)) AS BIGINT)
+                         + (CAST(('0x' || substr(hex(from_base64(u6)),
+                                3, 2)) AS BIGINT)
+                            - CASE WHEN CAST(('0x' ||
+                                substr(hex(from_base64(u6)), 3, 2))
+                                AS BIGINT) >= 128
+                                THEN 256 ELSE 0 END) * 256 AS VARCHAR)
+                     ELSE '1' END AS attr,
+                u0 AS md5, url_b64
+            FROM tval
+            WHERE decode(from_base64(url_b64)) != '')"""
+    out["pv_normalize"] = f"""
+        WITH {_PV_CTES}
+        SELECT mid, ts_fmt, url, ref_url, attr,
+               '255' AS enter_type, '0' AS duration
+        FROM fin ORDER BY mid, ts_fmt, url, ref_url
+    """
+    out["pv_md5_map"] = f"""
+        WITH {_PV_CTES}
+        SELECT md5, url_b64,
+               CAST(epoch(strptime(max(ts_fmt), '%Y%m%d%H%M%S'))
+                    AS BIGINT) AS t_sec
+        FROM fin WHERE md5 IS NOT NULL AND md5 != ''
+        GROUP BY md5, url_b64 ORDER BY md5, url_b64
     """
     out["curate_shard_pipeline"] = _pack_summary_sql(
         curate_kept_ctes,

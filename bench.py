@@ -65,6 +65,13 @@ QUERY_NAMES = [
     # round-4 additions: byte-level HTML parse + the J5 css merge-back
     "html_outlinks",
     "css_enrich",
+    # round-5 additions: updater shard-interval selection + the
+    # log_analysis family (referrer codebook, session merge, two-source
+    # vertical click rollup)
+    "updater_select",
+    "search_ref_classify",
+    "session_merge",
+    "query_click",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

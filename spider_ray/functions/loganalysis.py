@@ -424,6 +424,310 @@ def q_session_merge(sf_dir: str) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------
+# pv_plus: userlog PV wire-format normalizer (userlog/pv_log/pv_plus.cc,
+# the largest log_analysis file — ported whole).
+#
+# Wire format: one PV line carries two kv-list columns
+# ``id|value;id|value;...`` (pv_plus.cc:22-29). Values are base64 except
+# the md5 (id 0, raw hex). The mapper (:191-322) parses + validates both
+# lists — a pair without exactly one '|', an over-long value, a non-int
+# key or a DUPLICATE key abandons the whole record — then disambiguates
+# current/referrer across THREE generations of the log format
+# (GetUrlAndRef, :92-187):
+#   * legacy (ref col non-empty, url col lacks id4 AND id100): url is
+#     url_kv[101], ref is ref_kv[101];
+#   * normal, ref col empty: url = url_kv[4], ref = url_kv[101];
+#   * normal, ref col non-empty: url = url_kv[4]; ref = ref_kv[4] xor
+#     ref_kv[101] (both present is a reference CHECK-crash → drop here);
+# decodes the 4-byte little-endian start time (id 1, :64-78) to
+# %Y%m%d%H%M%S (UTC here; the reference's ConvertTimeFromSecToFormat tz
+# is unspecified), the 2-byte LE attr (id 6, default '1', :80-90), and
+# emits pvlog rows [mid, ts, url, ref, attr, enter_type='255',
+# duration='0'] (:407-414, both constants per :312-324) plus md5→url
+# map rows. The reducer's md5 sink dedups (md5, url_b64) keeping the
+# MAX formatted time and re-emits epoch seconds (:425-478).
+# Base64ToClickUrl's click-normalization layer is the separately-ported
+# M1 kernel (kernels/urlnorm); the synthetic urls here are click-form
+# fixed points so the composition stays oracle-checkable.
+# ---------------------------------------------------------------------
+
+PV_SCHEMA = pa.schema(
+    [
+        ("mid", pa.string()),
+        ("ts_fmt", pa.string()),
+        ("url", pa.string()),
+        ("ref_url", pa.string()),
+        ("attr", pa.string()),
+        ("enter_type", pa.string()),
+        ("duration", pa.string()),
+    ]
+)
+
+MD5_SCHEMA = pa.schema(
+    [
+        ("md5", pa.string()),
+        ("url_b64", pa.string()),
+        ("t_sec", pa.int64()),
+    ]
+)
+
+
+def parse_kv_list(s: str) -> dict[int, str] | None:
+    """Mapper kv-list parse with the reference's abandon-on-any-fault
+    discipline (pv_plus.cc:198-259): None = abnormal record."""
+    if not s:
+        return {}
+    kv: dict[int, str] = {}
+    for part in s.split(";"):
+        sub = part.split("|")
+        if len(sub) != 2:
+            return None
+        if len(sub[1]) > 1000:
+            return None
+        try:
+            k = int(sub[0])
+        except ValueError:
+            return None
+        if k in kv:
+            return None
+        kv[k] = sub[1]
+    return kv
+
+
+def get_url_and_ref(
+    kv_url: dict[int, str], kv_ref: dict[int, str]
+) -> tuple[str, str, str] | None:
+    """(md5, url_b64, ref_b64) per the three-generation disambiguation
+    (GetUrlAndRef, pv_plus.cc:92-187); reference CHECK-crashes map to
+    drops."""
+    if 101 not in kv_url and 4 not in kv_url:
+        return None
+    if kv_ref and 4 not in kv_url and 100 not in kv_url:
+        ref = kv_ref.get(101)
+        if ref is None:
+            return None
+        return kv_url.get(0, ""), kv_url[101], ref
+    if not kv_ref:
+        url = kv_url.get(4)
+        if url is None:
+            return None
+        return kv_url.get(0, ""), url, kv_url.get(101, "")
+    url = kv_url.get(4)
+    if url is None:
+        return None
+    has4, has101 = 4 in kv_ref, 101 in kv_ref
+    if has4 and not has101:
+        ref = kv_ref[4]
+    elif has101 and not has4:
+        ref = kv_ref[101]
+    elif not has4 and not has101:
+        ref = ""
+    else:
+        return None
+    return kv_url.get(0, ""), url, ref
+
+
+def _pv_parse_row(
+    mid: str, url_info: str, ref_info: str
+) -> tuple[tuple, tuple | None] | None:
+    """Full mapper body for one record → (pvlog_row, md5_row|None), or
+    None if any gate drops the record."""
+    import base64
+    import struct
+    from datetime import datetime, timezone
+
+    kv_url = parse_kv_list(url_info)
+    if kv_url is None:
+        return None
+    kv_ref = parse_kv_list(ref_info)
+    if kv_ref is None:
+        return None
+    t_b64 = kv_url.get(1)
+    if t_b64 is None:
+        return None
+    try:
+        tb = base64.b64decode(t_b64, validate=True)
+    except Exception:
+        return None
+    if len(tb) != 4:
+        return None
+    t_sec = struct.unpack("<i", tb)[0]
+    ts_fmt = datetime.fromtimestamp(t_sec, tz=timezone.utc).strftime(
+        "%Y%m%d%H%M%S"
+    )
+    attr = "1"
+    a_b64 = kv_url.get(6)
+    if a_b64 is not None:
+        try:
+            ab = base64.b64decode(a_b64, validate=True)
+            if len(ab) == 2:
+                attr = str(struct.unpack("<h", ab)[0])
+        except Exception:
+            pass
+    got = get_url_and_ref(kv_url, kv_ref)
+    if got is None:
+        return None
+    md5, url_b64, ref_b64 = got
+    if not url_b64:
+        return None
+    try:
+        url = base64.b64decode(url_b64, validate=True).decode("utf-8")
+    except Exception:
+        return None
+    if not url:
+        return None
+    ref_url = ""
+    if ref_b64:
+        try:
+            ref_url = base64.b64decode(ref_b64, validate=True).decode(
+                "utf-8"
+            )
+        except Exception:
+            ref_url = ""
+    pv = (mid, ts_fmt, url, ref_url, attr, "255", "0")
+    md5_row = (md5, url_b64, ts_fmt) if md5 else None
+    return pv, md5_row
+
+
+def _synth_pv_wire(eid: int, uid: int, ts_sec: int):
+    """Deterministic wire-format record per event — nine shapes: the
+    three live format generations, the neither-ref shape, and one mode
+    per abandon gate (missing url ids, malformed pair, duplicate key,
+    non-integer key)."""
+    import base64
+    import struct
+
+    mid = f"mid{uid % 50}"
+    un = eid % 31
+    rn = (eid * 7 + 3) % 31
+    url = f"http://site{un % 7}.example.com/p/{un}"
+    ref = f"http://site{rn % 7}.example.com/p/{rn}"
+    U = base64.b64encode(url.encode()).decode()
+    R = base64.b64encode(ref.encode()).decode()
+    T = base64.b64encode(struct.pack("<i", ts_sec)).decode()
+    A = base64.b64encode(struct.pack("<h", (eid % 7) + 1)).decode()
+    TI = base64.b64encode(f"Title {un}".encode()).decode()
+    MD5 = f"h{un}"
+    mode = eid % 9
+    return mid, [
+        (f"0|{MD5};1|{T};4|{U};6|{A};7|{TI};101|{R}", ""),
+        (f"1|{T};4|{U}", ""),
+        (f"0|{MD5};1|{T};4|{U}", f"0|{MD5};4|{R}"),
+        (f"0|{MD5};1|{T};101|{U}", f"101|{R}"),
+        (f"1|{T};4|{U}", f"0|{MD5}"),
+        (f"0|{MD5};1|{T};6|{A}", ""),
+        (f"1|{T};4|{U};badpair", ""),
+        (f"1|{T};4|{U};4|{U}", ""),
+        (f"1|{T};x|{U};4|{U}", ""),
+    ][mode]
+
+
+def _pv_rows(sf_dir: str):
+    """Shared mapper dataset: one streamed pass synthesizes the wire
+    records and runs the full parse; emits pvlog columns + md5 columns
+    (md5 empty-string when absent)."""
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts"]
+    )
+
+    def mapper(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            ts_sec=(pl.col("ts").dt.epoch("us") // 1_000_000).cast(
+                pl.Int64
+            )
+        )
+        rows, md5s = [], []
+        for e, u, t in zip(
+            df["event_id"], df["user_id"], df["ts_sec"]
+        ):
+            mid, (ui, ri) = _synth_pv_wire(e, u, t)
+            got = _pv_parse_row(mid, ui, ri)
+            if got is None:
+                continue
+            pv, md5_row = got
+            rows.append(pv)
+            md5s.append(md5_row if md5_row else ("", "", ""))
+        names = [f.name for f in PV_SCHEMA]
+        cols = {
+            n: pa.array([r[i] for r in rows], pa.string())
+            for i, n in enumerate(names)
+        }
+        cols["md5"] = pa.array([m[0] for m in md5s], pa.string())
+        cols["url_b64"] = pa.array([m[1] for m in md5s], pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(mapper, batch_format="pyarrow")
+
+
+def q_pv_normalize(sf_dir: str) -> pa.Table:
+    """pv_plus pvlog sink: the normalized PV rows."""
+    from spider_ray.pipelines.relational import _concat, _sorted
+
+    ds = _pv_rows(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select([f.name for f in PV_SCHEMA]).cast(PV_SCHEMA)
+
+    return _sorted(
+        _concat(
+            ds.map_batches(project, batch_format="pyarrow"),
+            schema=PV_SCHEMA,
+        ),
+        ["mid", "ts_fmt", "url", "ref_url"],
+    )
+
+
+def q_pv_md5_map(sf_dir: str) -> pa.Table:
+    """pv_plus md5 sink: per-(md5, url_b64) keep-MAX-formatted-time,
+    re-emitted as epoch seconds (the reducer's dedup map,
+    pv_plus.cc:433-478)."""
+    from datetime import datetime, timezone
+
+    from spider_ray.pipelines.relational import _concat, _sorted
+
+    ds = _pv_rows(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).filter(pl.col("md5") != "")
+        return (
+            df.group_by(["md5", "url_b64"])
+            .agg(ts_fmt=pl.col("ts_fmt").max())
+            .to_arrow()
+        )
+
+    def final_group(group: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(group)
+            .group_by(["md5", "url_b64"])
+            .agg(ts_fmt=pl.col("ts_fmt").max())
+        )
+        secs = [
+            int(
+                datetime.strptime(s, "%Y%m%d%H%M%S")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+            )
+            for s in df["ts_fmt"]
+        ]
+        return pa.table(
+            {
+                "md5": df["md5"].to_arrow(),
+                "url_b64": df["url_b64"].to_arrow(),
+                "t_sec": pa.array(secs, pa.int64()),
+            }
+        ).cast(MD5_SCHEMA)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("md5")
+        .map_groups(final_group, batch_format="pyarrow")
+    )
+    return _sorted(_concat(out, schema=MD5_SCHEMA), ["md5", "url_b64"])
+
+
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()

@@ -138,3 +138,62 @@ def test_query_click_matches_oracle(ray_session):
     assert (ours.values == theirs.values).all()
     # both sources present: '' site rows (search log) and vertical rows
     assert (ours["site"] == "").any() and (ours["site"] != "").any()
+
+
+def test_pv_parse_semantics():
+    from spider_ray.functions.loganalysis import (
+        _pv_parse_row,
+        _synth_pv_wire,
+        get_url_and_ref,
+        parse_kv_list,
+    )
+
+    # abandon gates
+    assert parse_kv_list("1|a;badpair") is None
+    assert parse_kv_list("1|a;1|b") is None  # duplicate key
+    assert parse_kv_list("x|a") is None  # non-int key
+    assert parse_kv_list("") == {}
+    assert parse_kv_list("4|abc;101|def") == {4: "abc", 101: "def"}
+    # three-generation disambiguation
+    assert get_url_and_ref({1: "t"}, {}) is None  # neither 4 nor 101
+    assert get_url_and_ref({101: "U", 0: "m"}, {101: "R"}) == (
+        "m", "U", "R",
+    )  # legacy
+    assert get_url_and_ref({4: "U"}, {}) == ("", "U", "")  # ref empty
+    assert get_url_and_ref({4: "U", 101: "S"}, {}) == ("", "U", "S")
+    assert get_url_and_ref({4: "U"}, {4: "R"}) == ("", "U", "R")
+    assert get_url_and_ref({4: "U"}, {101: "R"}) == ("", "U", "R")
+    assert get_url_and_ref({4: "U"}, {0: "m"}) == ("", "U", "")
+    assert get_url_and_ref({4: "U"}, {4: "R", 101: "S"}) is None
+    # full-row: mode coverage — live modes parse, abandon modes drop
+    live = {0, 1, 2, 3, 4}
+    for m in range(9):
+        mid, (ui, ri) = _synth_pv_wire(m, 3, 1335282659)
+        got = _pv_parse_row(mid, ui, ri)
+        assert (got is not None) == (m in live), m
+    # time decode round-trip (UTC)
+    mid, (ui, ri) = _synth_pv_wire(0, 3, 1335282659)
+    pv, md5_row = _pv_parse_row(mid, ui, ri)
+    assert pv[1] == "20120424155059"
+    assert pv[4] == "1"  # (0 % 7) + 1
+    assert md5_row is not None and md5_row[0] == "h0"
+    # mode 1 has no md5 and no ref
+    mid, (ui, ri) = _synth_pv_wire(1, 3, 1335282659)
+    pv, md5_row = _pv_parse_row(mid, ui, ri)
+    assert md5_row is None and pv[3] == ""
+
+
+def test_pv_normalize_matches_oracle(ray_session):
+    from spider_ray.functions.loganalysis import (
+        q_pv_md5_map,
+        q_pv_normalize,
+    )
+
+    for name, fn in [
+        ("pv_normalize", q_pv_normalize),
+        ("pv_md5_map", q_pv_md5_map),
+    ]:
+        ours = _canon(pl.from_arrow(fn(SF)).to_pandas())
+        theirs = _canon(_oracle(name))
+        assert ours.shape == theirs.shape, name
+        assert (ours.values == theirs.values).all(), name
