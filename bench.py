@@ -72,6 +72,8 @@ QUERY_NAMES = [
     "search_ref_classify",
     "session_merge",
     "query_click",
+    "pv_normalize",
+    "pv_md5_map",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"
