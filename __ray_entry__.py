@@ -974,8 +974,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # _WINDOW below is the AUTHORITATIVE membership (it supersedes the
     # placement comments above): rows-only entries (crawl trio, sink
     # audits) that have no other recorded check, this round's fix
-    # (css_enrich) and new operators stay in; 13 entries that had NEVER
-    # had a driver row rotate in (semantic_dedup … warc_outlinks); 16
+    # (css_enrich) and new operators stay in; 16 entries that had NEVER
+    # had a driver row rotate in (10 pre-existing, semantic_dedup …
+    # warc_outlinks, + the 6 round-5 operators); 16
     # basics with 2-4 green driver rows each AND strict-tool double
     # coverage rotate to the tail (pricing_summary, exact_dedup,
     # simhash/minhash pairs, dup_clusters, corpus_curate, pii/decontam/
@@ -3779,9 +3780,13 @@ def oracle_sql() -> dict[str, str]:
                FROM m2),
         m4 AS (SELECT css_url, xor(u, u >> 32) AS h FROM m3),
         dig AS (
+            -- LEFT JOIN + coalesce(…, 0): a ZERO-LENGTH body has no byt
+            -- rows, and polyhash64('') = mix64(0) = 0 — the engine
+            -- emits those rows, so the oracle must too
             SELECT cf.css_url, cf.L AS css_len,
-                   CAST(m4.h % 9223372036854775808 AS BIGINT) AS css_hash
-            FROM cf JOIN m4 ON m4.css_url = cf.css_url)
+                   coalesce(CAST(m4.h % 9223372036854775808 AS BIGINT),
+                            0) AS css_hash
+            FROM cf LEFT JOIN m4 ON m4.css_url = cf.css_url)
         SELECT r.url, r.css_url, c.css_len, c.css_hash
         FROM refs r JOIN dig c ON c.css_url = r.css_url
         ORDER BY r.url, r.css_url

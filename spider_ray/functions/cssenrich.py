@@ -67,13 +67,16 @@ _HASH_MASK = np.uint64((1 << 63) - 1)
 def body_digest(bodies: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
     """(len, 63-bit polyhash) of each body — the driver-safe stand-in for
     the raw bytes. Frozen: the SQL oracle replays the same polynomial
-    over ``hex(body)`` byte pairs."""
+    over ``hex(body)`` byte pairs. The binary array feeds
+    :func:`polyhash64` DIRECTLY (same offsets/data buffer layout as a
+    string array) — no utf-8-validating cast, so arbitrary body bytes
+    hash fine."""
     import pyarrow.compute as pc
 
     if isinstance(bodies, pa.ChunkedArray):
         bodies = bodies.combine_chunks()
     lens = pc.cast(pc.binary_length(bodies), pa.int64())
-    h = polyhash64(bodies.cast(pa.string())) & _HASH_MASK
+    h = polyhash64(bodies) & _HASH_MASK
     return lens, pa.array(h.astype(np.int64), pa.int64())
 
 

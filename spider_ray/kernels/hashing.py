@@ -140,11 +140,18 @@ def polyhash64(values) -> np.ndarray:
     n = len(values)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
-    # zero-copy spans from the Arrow string buffers (large_string carries
-    # int64 offsets; plain string int32 — misreading one as the other
-    # would silently garble every span)
+    # zero-copy spans from the Arrow string/binary buffers (large_*
+    # carries int64 offsets; plain int32 — misreading one as the other
+    # would silently garble every span). Binary arrays share the exact
+    # buffer layout, so they hash identically to their utf-8 string
+    # twins (cssenrich.body_digest relies on this).
     off_dt = (
-        np.int64 if pa.types.is_large_string(values.type) else np.int32
+        np.int64
+        if (
+            pa.types.is_large_string(values.type)
+            or pa.types.is_large_binary(values.type)
+        )
+        else np.int32
     )
     off = np.frombuffer(values.buffers()[1], dtype=off_dt)[
         values.offset : values.offset + n + 1

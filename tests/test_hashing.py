@@ -62,3 +62,24 @@ def test_popcount_u64_matches_python_bitcount():
     m = vals[:12].reshape(3, 4)
     assert popcount_u64(m).shape == (3, 4)
     assert popcount_u64(m).ravel().tolist() == got[:12].tolist()
+
+
+def test_polyhash64_binary_equals_string_and_empty_is_zero():
+    """cssenrich.body_digest hashes BINARY arrays directly — pinned
+    equal to the utf-8 string twin (same buffer layout), empty → 0."""
+    import numpy as np
+    import pyarrow as pa
+
+    from spider_ray.kernels.hashing import polyhash64
+
+    strs = ["hello", "", "a", "body { margin: 3px; }", "\x00\xff bytes?"]
+    sb = pa.array(strs, pa.string())
+    bb = pa.array([s.encode("utf-8") for s in strs], pa.binary())
+    assert polyhash64(sb).tolist() == polyhash64(bb).tolist()
+    assert int(polyhash64(pa.array([b""], pa.binary()))[0]) == 0
+    # large_binary offsets are int64 — layout detection must not
+    # misread them as int32
+    lb = pa.array(
+        [s.encode("utf-8") for s in strs], pa.large_binary()
+    )
+    assert polyhash64(lb).tolist() == polyhash64(sb).tolist()

@@ -16,8 +16,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+    # the SHARED dtype-strict canon (bytearray + datetime fixes
+    # included) — don't re-grow a divergent local copy
+    from tests.test_relational import _normalize
+
+    return _normalize(df)
 
 
 def _oracle(name: str) -> pd.DataFrame:

@@ -102,10 +102,10 @@ def test_updater_select_against_duckdb(ray_session):
     )
     theirs = con.sql(E.oracle_sql()["updater_select"]).df()
     assert list(ours.columns) == list(theirs.columns)
-    pd_sort = lambda d: d.sort_values(  # noqa: E731
-        by=list(d.columns), ignore_index=True
-    )
-    a, b = pd_sort(ours), pd_sort(theirs)
+    # the SHARED dtype-strict canon (bytearray + datetime fixes)
+    from tests.test_relational import _normalize
+
+    a, b = _normalize(ours), _normalize(theirs)
     assert a.shape == b.shape
     assert (a.values == b.values).all()
     # semantics spot-checks: one row per url, all tagged M, shard gate
