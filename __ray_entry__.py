@@ -243,9 +243,14 @@ def _html_page_stats_query(sf_dir: str) -> Any:
 def _css_corpus() -> str:
     from spider_ray.sources.webgen import generate
 
+    # html_bodies=True: q_css_enrich parses the STORED page bytes
+    # (html_pages.parquet) — the scale-honest path — instead of
+    # re-rendering the corpus per query (render ≡ stored, proven r4)
     return _build_once(
-        "/tmp/spider_ray_css_corpus", "_DONE_CSS",
-        lambda d: generate(d, n_pages=1000, n_hosts=12, seed=33),
+        "/tmp/spider_ray_css_corpus_v2", "_DONE_CSS",
+        lambda d: generate(
+            d, n_pages=1000, n_hosts=12, seed=33, html_bodies=True
+        ),
     )
 
 

@@ -160,17 +160,16 @@ def test_css_enrich_join_shape(ray_session):
     back (site.css + its seq-family variant), each distinct css body
     fetched once and shared across referencing pages."""
     import os
-    import shutil
 
     import polars as pl
 
     from spider_ray.functions.cssenrich import q_css_enrich
-    from spider_ray.sources.webgen import generate
 
-    corpus = "/tmp/spider_ray_css_corpus"
-    if not os.path.exists(os.path.join(corpus, "css_files.parquet")):
-        shutil.rmtree(corpus, ignore_errors=True)
-        generate(corpus, n_pages=1000, n_hosts=12, seed=33)
+    # share the entry module's atomically-built corpus (marker
+    # protocol) instead of hand-building the same path next to it
+    import __ray_entry__ as E
+
+    corpus = E._css_corpus()
     out = pl.from_arrow(q_css_enrich(corpus))
     per_page = out.group_by("url").len()
     assert (per_page["len"] == 2).all()
