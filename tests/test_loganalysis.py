@@ -200,3 +200,65 @@ def test_pv_normalize_matches_oracle(ray_session):
         theirs = _canon(_oracle(name))
         assert ours.shape == theirs.shape, name
         assert (ours.values == theirs.values).all(), name
+
+
+# ---- hostile-input property tests (parsers must never crash) --------
+from hypothesis import given, settings, strategies as st
+
+_wire_chars = st.text(
+    alphabet="0123456789abcxyz|;=&%/:._- \t", max_size=60
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(s=_wire_chars)
+def test_parse_kv_list_never_crashes(s):
+    from spider_ray.functions.loganalysis import parse_kv_list
+
+    got = parse_kv_list(s)
+    assert got is None or isinstance(got, dict)
+    if got:
+        assert all(isinstance(k, int) for k in got)
+
+
+@settings(max_examples=120, deadline=None)
+@given(url=st.text(max_size=80))
+def test_classify_parsers_never_crash(url):
+    from spider_ray.functions.loganalysis import (
+        classify_search_ref,
+        classify_vertical,
+    )
+
+    ref = classify_search_ref(url)
+    assert ref is None or (
+        isinstance(ref, tuple) and len(ref) == 2 and ref[1] != ""
+    )
+    v = classify_vertical(url)
+    assert v in (None, "Video", "Book", "Software", "Game", "QA")
+
+
+@settings(max_examples=120, deadline=None)
+@given(header=st.text(max_size=120), param=st.text(max_size=20))
+def test_extract_header_param_never_crashes(header, param):
+    from spider_ray.functions.updater import extract_header_param
+
+    got = extract_header_param(header, param)
+    # value, when present, is exactly the span between ': ' and the
+    # first terminator — never contains one
+    if got is not None:
+        assert "\r" not in got and "\\" not in got[1:]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    ui=_wire_chars, ri=_wire_chars,
+    mid=st.text(alphabet="abc123", min_size=1, max_size=8),
+)
+def test_pv_parse_row_never_crashes(mid, ui, ri):
+    from spider_ray.functions.loganalysis import _pv_parse_row
+
+    got = _pv_parse_row(mid, ui, ri)
+    if got is not None:
+        pv, md5_row = got
+        assert len(pv) == 7 and pv[0] == mid
+        assert pv[5] == "255" and pv[6] == "0"
