@@ -628,6 +628,14 @@ def _pv_md5_map_query(sf_dir: str) -> Any:
     return q_pv_md5_map(sf_dir)
 
 
+def _target_url_query(sf_dir: str) -> Any:
+    """Search-result target extraction (baidu_target_url.cc /
+    google_target_url.cc): crack every synthetic result link."""
+    from spider_ray.functions.loganalysis import q_target_url_extract
+
+    return q_target_url_extract(sf_dir)
+
+
 def _updater_select_query(sf_dir: str) -> Any:
     """Updater MR pair (mr_updater_mapper.cc:38-76 + reducer): shard-
     ranged staleness re-crawl selection over a deterministic synthetic
@@ -799,6 +807,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # md5→url keep-max-time map — both SQL-oracled bit-exact
         "pv_normalize": _pv_normalize_query,
         "pv_md5_map": _pv_md5_map_query,
+        # search-result target-URL extraction (round 5): baidu
+        # nibble-XOR cipher crack (two key generations, real production
+        # ciphers pinned in tests) + google redirect param walk
+        "target_url_extract": _target_url_query,
         # real-HTML byte-level link extraction (round 4, M8 over raw
         # bytes): render_html → extract_links round-trip, SQL-oracled
         # from the web_graph table. In-window; displaces seeded_shuffle
@@ -1000,8 +1012,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters", "bloom_anti_join", "phash_neardup",
         "css_enrich", "video_frames",
         "semantic_dedup", "connected_components", "bm25_scores",
-        "anchor_text", "salted_join_auto", "funnel",
+        "anchor_text", "salted_join_auto",
         "query_click", "pv_normalize", "pv_md5_map",
+        "target_url_extract",
         "crawl_eval", "site_uv_share", "compress_control",
         "warc_outlinks",
         "crawl_order", "crawl_images", "crawl_seen",
@@ -4283,6 +4296,234 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS t_sec
         FROM fin WHERE md5 IS NOT NULL AND md5 != ''
         GROUP BY md5, url_b64 ORDER BY md5, url_b64
+    """
+    # target-URL extraction (round 5): rebuild the baidu cipher links by
+    # the symmetric nibble-XOR and the google redirects by concatenation,
+    # then replay BOTH cracks generically — method1→method2 order, magic
+    # and length gates, >127/<=32 %xx re-escape, http/ftp acceptance,
+    # validity gates; google host/path/sa/param walk (restricted %-decode
+    # as in search_ref_classify). Key constants shared with the kernel.
+    from spider_ray.kernels import targeturl as TU
+
+    _K1, _K2 = TU._METHOD1[0], TU._METHOD2[0]
+    assert (len(_K1), len(_K2)) == (598, 670)
+    assert (TU._METHOD1[2:], TU._METHOD2[2:]) == (
+        (76, 62, "a6e8c0962218c9"), (744, 730, "ebac5573358cc3"),
+    )
+    out["target_url_extract"] = f"""
+        WITH m AS (
+            SELECT DISTINCT event_id % 1309 AS r FROM events),
+        base AS (
+            SELECT r, r % 7 AS mode,
+                'http://t' || (r % 11) || '.example.org/p' || (r % 17)
+                    AS t,
+                'http://t' || (r % 11) || '.example.org/a b/p'
+                    || (r % 17) AS tsp
+            FROM m),
+        ks AS (SELECT '{_K1}' AS k1, '{_K2}' AS k2),
+        encsrc AS (
+            SELECT r, mode,
+                CASE WHEN mode = 1 THEN tsp ELSE t END AS pt,
+                CASE WHEN mode = 2 THEN k2 ELSE k1 END AS key
+            FROM base, ks WHERE mode IN (0, 1, 2, 4)),
+        encch AS (
+            SELECT r, mode, pt, key,
+                   unnest(generate_series(1, length(pt))) AS i
+            FROM encsrc),
+        encp AS (
+            SELECT r, mode, i,
+                substr('0123456789abcdef',
+                    1 + xor(ascii(substr(pt, i, 1)) // 16,
+                            strpos('123456789abcdef',
+                                   substr(key, 2*i - 1, 1))), 1)
+                || substr('0123456789abcdef',
+                    1 + xor(ascii(substr(pt, i, 1)) % 16,
+                            strpos('123456789abcdef',
+                                   substr(key, 2*i, 1))), 1) AS pair
+            FROM encch),
+        encs AS (
+            SELECT r, mode, string_agg(pair, '' ORDER BY i) AS enc
+            FROM encp GROUP BY r, mode),
+        urls AS (
+            SELECT b.r,
+                CASE WHEN b.mode >= 5 THEN 'google'
+                     ELSE 'baidu' END AS engine,
+                CASE b.mode
+                  WHEN 0 THEN 'http://www.baidu.com/link?url='
+                       || repeat('ab', 16) || 'a6e8c0962218c9' || e.enc
+                  WHEN 1 THEN 'http://www.baidu.com/link?url='
+                       || repeat('ab', 16) || 'a6e8c0962218c9' || e.enc
+                  WHEN 2 THEN 'http://www.baidu.com/link?url='
+                       || repeat('ab', 350) || 'ebac5573358cc3' || e.enc
+                  WHEN 3 THEN b.t
+                  WHEN 4 THEN 'http://www.baidu.com/link?url='
+                       || repeat('ab', 16) || 'a6e8c0962218c9' || e.enc
+                       || '0'
+                  WHEN 5 THEN
+                       'http://www.google.com.hk/url?sa=t&rct=j&url='
+                       || replace(replace(b.t, ':', '%3A'), '/', '%2F')
+                  ELSE 'http://www.google.com/url?q=' || b.t || '&sa=U'
+                END AS src_url
+            FROM base b
+            LEFT JOIN encs e ON e.r = b.r AND e.mode = b.mode),
+        bd AS (SELECT r, src_url FROM urls WHERE engine = 'baidu'),
+        bpass AS (
+            SELECT r, src_url AS target FROM bd
+            WHERE NOT starts_with(lower(src_url),
+                                  'http://www.baidu.com/link?url=')),
+        bciph AS (
+            SELECT r, src_url FROM bd
+            WHERE starts_with(lower(src_url),
+                              'http://www.baidu.com/link?url=')),
+        m1 AS (
+            SELECT c.r, substr(c.src_url, 77) AS enc, ks.k1 AS key
+            FROM bciph c, ks
+            WHERE length(c.src_url) > 76
+              AND substr(c.src_url, 63, 14) = 'a6e8c0962218c9'
+              AND length(substr(c.src_url, 77)) % 2 = 0
+              AND length(substr(c.src_url, 77)) <= 598),
+        m2 AS (
+            SELECT c.r, substr(c.src_url, 745) AS enc, ks.k2 AS key
+            FROM bciph c, ks
+            WHERE length(c.src_url) > 744
+              AND substr(c.src_url, 731, 14) = 'ebac5573358cc3'
+              AND length(substr(c.src_url, 745)) % 2 = 0
+              AND length(substr(c.src_url, 745)) <= 670),
+        m1ch AS (
+            SELECT r, enc, key,
+                   unnest(generate_series(1, length(enc) // 2)) AS j
+            FROM m1),
+        m2ch AS (
+            SELECT r, enc, key,
+                   unnest(generate_series(1, length(enc) // 2)) AS j
+            FROM m2),
+        m1n AS (
+            SELECT r, j,
+                xor(strpos('123456789abcdef', substr(enc, 2*j - 1, 1)),
+                    strpos('123456789abcdef', substr(key, 2*j - 1, 1)))
+                    * 16
+                + xor(strpos('123456789abcdef', substr(enc, 2*j, 1)),
+                      strpos('123456789abcdef', substr(key, 2*j, 1)))
+                    AS num
+            FROM m1ch),
+        m2n AS (
+            SELECT r, j,
+                xor(strpos('123456789abcdef', substr(enc, 2*j - 1, 1)),
+                    strpos('123456789abcdef', substr(key, 2*j - 1, 1)))
+                    * 16
+                + xor(strpos('123456789abcdef', substr(enc, 2*j, 1)),
+                      strpos('123456789abcdef', substr(key, 2*j, 1)))
+                    AS num
+            FROM m2ch),
+        m1d AS (
+            SELECT r, string_agg(
+                CASE WHEN num > 127 OR num <= 32
+                     THEN '%' || substr('0123456789abcdef',
+                                        num // 16 + 1, 1)
+                              || substr('0123456789abcdef',
+                                        num % 16 + 1, 1)
+                     ELSE chr(CAST(num AS INTEGER)) END, '' ORDER BY j) AS cracked
+            FROM m1n GROUP BY r),
+        m2d AS (
+            SELECT r, string_agg(
+                CASE WHEN num > 127 OR num <= 32
+                     THEN '%' || substr('0123456789abcdef',
+                                        num // 16 + 1, 1)
+                              || substr('0123456789abcdef',
+                                        num % 16 + 1, 1)
+                     ELSE chr(CAST(num AS INTEGER)) END, '' ORDER BY j) AS cracked
+            FROM m2n GROUP BY r),
+        bres AS (
+            SELECT c.r,
+                CASE WHEN d1.cracked IS NOT NULL
+                      AND (starts_with(lower(d1.cracked), 'http')
+                        OR starts_with(lower(d1.cracked), 'ftp'))
+                     THEN d1.cracked
+                     WHEN d2.cracked IS NOT NULL
+                      AND (starts_with(lower(d2.cracked), 'http')
+                        OR starts_with(lower(d2.cracked), 'ftp'))
+                     THEN d2.cracked
+                END AS cracked
+            FROM bciph c
+            LEFT JOIN m1d d1 ON d1.r = c.r
+            LEFT JOIN m2d d2 ON d2.r = c.r),
+        bfin AS (
+            SELECT r,
+                CASE WHEN cracked IS NOT NULL
+                      AND regexp_matches(cracked,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#[:space:]][^[:space:]]*$')
+                      AND NOT regexp_matches(cracked, '[\t\r\n]')
+                      AND NOT contains(regexp_replace(cracked,
+                              '%[0-9A-Fa-f][0-9A-Fa-f]', '', 'g'), '%')
+                     THEN cracked END AS target
+            FROM bres),
+        gg AS (SELECT r, src_url FROM urls WHERE engine = 'google'),
+        gp AS (
+            SELECT r, src_url,
+                regexp_extract(src_url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host,
+                regexp_extract(src_url,
+                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+                    AS path,
+                regexp_extract(src_url, '\\?([^#]*)', 1) AS qstr
+            FROM gg),
+        gv AS (
+            SELECT r FROM gp
+            WHERE strpos(src_url, '?') > 0 AND host != '' AND path != ''
+              AND strpos(host, 'www.google.') > 0 AND path = '/url'),
+        gkv AS (
+            SELECT gp.r,
+                unnest(str_split(gp.qstr, '&')) AS pair,
+                unnest(generate_series(1,
+                    len(str_split(gp.qstr, '&')))) AS pidx
+            FROM gp JOIN gv ON gv.r = gp.r),
+        gkv2 AS (
+            SELECT r, pidx, split_part(pair, '=', 1) AS k,
+                CASE WHEN strpos(pair, '=') > 0
+                     THEN substr(pair, strpos(pair, '=') + 1)
+                     ELSE '' END AS v
+            FROM gkv WHERE pair != ''),
+        gsa AS (
+            SELECT r, v AS sa FROM (
+                SELECT r, v, row_number() OVER (
+                    PARTITION BY r ORDER BY pidx) AS rn
+                FROM gkv2 WHERE k = 'sa')
+            WHERE rn = 1),
+        gwant AS (
+            SELECT r, CASE WHEN sa = 'U' THEN 'q'
+                           WHEN sa IN ('t', 'X') THEN 'url' END AS want
+            FROM gsa),
+        graw AS (
+            SELECT r, v AS raw FROM (
+                SELECT k2.r, k2.v, row_number() OVER (
+                    PARTITION BY k2.r ORDER BY k2.pidx) AS rn
+                FROM gkv2 k2
+                JOIN gwant w ON w.r = k2.r AND k2.k = w.want
+                WHERE w.want IS NOT NULL)
+            WHERE rn = 1),
+        gdec AS (
+            SELECT r,
+                CASE WHEN strpos(raw, '://') > 0 THEN raw
+                     ELSE replace(replace(raw, '%3A', ':'), '%2F', '/')
+                END AS target0
+            FROM graw),
+        gfin AS (
+            SELECT g.r,
+                CASE WHEN d.target0 IS NOT NULL
+                      AND regexp_matches(d.target0,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#[:space:]][^[:space:]]*$')
+                     THEN d.target0 END AS target
+            FROM gg g LEFT JOIN gdec d ON d.r = g.r),
+        allt AS (
+            SELECT r, target FROM bpass
+            UNION ALL SELECT r, target FROM bfin
+            UNION ALL SELECT r, target FROM gfin)
+        SELECT u.src_url, u.engine,
+               coalesce(a.target, '') AS target_url,
+               CAST(CASE WHEN a.target IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS ok
+        FROM urls u LEFT JOIN allt a ON a.r = u.r
+        ORDER BY u.src_url
     """
     out["curate_shard_pipeline"] = _pack_summary_sql(
         curate_kept_ctes,

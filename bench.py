@@ -74,6 +74,7 @@ QUERY_NAMES = [
     "query_click",
     "pv_normalize",
     "pv_md5_map",
+    "target_url_extract",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

@@ -728,6 +728,126 @@ def q_pv_md5_map(sf_dir: str) -> pa.Table:
     return _sorted(_concat(out, schema=MD5_SCHEMA), ["md5", "url_b64"])
 
 
+# ---------------------------------------------------------------------
+# Search-result target-URL extraction rollout (kernels/targeturl.py —
+# baidu cipher crack + google redirect parse) over a deterministic mix
+# of link shapes. One row per event: (src_url, engine, target_url, ok).
+# ---------------------------------------------------------------------
+
+TARGET_SCHEMA = pa.schema(
+    [
+        ("src_url", pa.string()),
+        ("engine", pa.string()),
+        ("target_url", pa.string()),
+        ("ok", pa.int64()),
+    ]
+)
+
+
+def _synth_result_link(eid: int) -> tuple[str, str]:
+    """(engine, url) per event — method1/method2 ciphers (built by the
+    symmetric XOR, space variant exercising the %xx re-escape), a
+    passthrough, a broken cipher, and the two google param shapes."""
+    from spider_ray.kernels.targeturl import (
+        _METHOD1,
+        _METHOD2,
+        _parse_hex,
+    )
+
+    t = f"http://t{eid % 11}.example.org/p{eid % 17}"
+    t_sp = f"http://t{eid % 11}.example.org/a b/p{eid % 17}"
+
+    def encrypt(target: str, method) -> str:
+        key, _, key_idx, magic_pos, magic = method
+        hx = "0123456789abcdef"
+        enc = []
+        for i, ch in enumerate(target):
+            num = ord(ch)
+            enc.append(hx[(num >> 4) ^ _parse_hex(key[2 * i])])
+            enc.append(hx[(num & 15) ^ _parse_hex(key[2 * i + 1])])
+        filler = "ab" * ((magic_pos - 30) // 2)
+        return (
+            "http://www.baidu.com/link?url="
+            + filler
+            + magic
+            + "".join(enc)
+        )
+
+    mode = eid % 7
+    if mode == 0:
+        return "baidu", encrypt(t, _METHOD1)
+    if mode == 1:
+        return "baidu", encrypt(t_sp, _METHOD1)
+    if mode == 2:
+        return "baidu", encrypt(t, _METHOD2)
+    if mode == 3:
+        return "baidu", t  # passthrough: not a /link?url= wrapper
+    if mode == 4:
+        return "baidu", encrypt(t, _METHOD1) + "0"  # odd payload → fail
+    if mode == 5:
+        enc = t.replace(":", "%3A").replace("/", "%2F")
+        return "google", (
+            "http://www.google.com.hk/url?sa=t&rct=j&url=" + enc
+        )
+    return "google", f"http://www.google.com/url?q={t}&sa=U"
+
+
+def q_target_url_extract(sf_dir: str) -> pa.Table:
+    """Crack every synthetic result link; emit the target (or '' with
+    ok=0). SQL-oracled bit-exact — the oracle rebuilds the ciphers AND
+    replays the nibble-XOR decode + google param walk generically."""
+    from spider_ray.kernels.targeturl import (
+        parse_baidu_target_url,
+        parse_google_target_url,
+    )
+    from spider_ray.pipelines.relational import _concat, _sorted
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def crack(batch: pa.Table) -> pa.Table:
+        srcs, engines, targets, oks = [], [], [], []
+        for e in batch["event_id"].to_pylist():
+            engine, url = _synth_result_link(e)
+            got = (
+                parse_baidu_target_url(url)
+                if engine == "baidu"
+                else parse_google_target_url(url)
+            )
+            srcs.append(url)
+            engines.append(engine)
+            targets.append(got if got is not None else "")
+            oks.append(1 if got is not None else 0)
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "engine": pa.array(engines, pa.string()),
+                "target_url": pa.array(targets, pa.string()),
+                "ok": pa.array(oks, pa.int64()),
+            }
+        )
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        # src_url is a pure function of eid%7 × eid%11 × eid%17 — the
+        # distinct set is tiny (≤ 1309); block partial + final distinct
+        return (
+            pl.from_arrow(batch).unique().to_arrow().cast(TARGET_SCHEMA)
+        )
+
+    out = (
+        ds.map_batches(crack, batch_format="pyarrow")
+        .map_batches(dedup, batch_format="pyarrow")
+        .groupby("src_url")
+        .map_groups(
+            lambda g: pl.from_arrow(g).unique().to_arrow().cast(
+                TARGET_SCHEMA
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return _sorted(_concat(out, schema=TARGET_SCHEMA), ["src_url"])
+
+
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()
