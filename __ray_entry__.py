@@ -992,8 +992,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # placement comments above): rows-only entries (crawl trio, sink
     # audits) that have no other recorded check, this round's fix
     # (css_enrich) and new operators stay in; 16 entries that had NEVER
-    # had a driver row rotate in (10 pre-existing, semantic_dedup …
-    # warc_outlinks, + the 6 round-5 operators); 16
+    # had a driver row rotate in (9 pre-existing, semantic_dedup …
+    # warc_outlinks, + the 7 round-5 operators); 16
     # basics with 2-4 green driver rows each AND strict-tool double
     # coverage rotate to the tail (pricing_summary, exact_dedup,
     # simhash/minhash pairs, dup_clusters, corpus_curate, pii/decontam/
