@@ -743,17 +743,23 @@ TARGET_SCHEMA = pa.schema(
     ]
 )
 
+# module-level import (NOT function-local): the map_batches closures
+# run on workers that may not have this repo on sys.path — they rely on
+# the whole module being pickle-by-value registered, which only covers
+# names resolved through module globals, never runtime imports
+from spider_ray.kernels.targeturl import (  # noqa: E402
+    _METHOD1,
+    _METHOD2,
+    _parse_hex,
+    parse_baidu_target_url,
+    parse_google_target_url,
+)
+
 
 def _synth_result_link(eid: int) -> tuple[str, str]:
     """(engine, url) per event — method1/method2 ciphers (built by the
     symmetric XOR, space variant exercising the %xx re-escape), a
     passthrough, a broken cipher, and the two google param shapes."""
-    from spider_ray.kernels.targeturl import (
-        _METHOD1,
-        _METHOD2,
-        _parse_hex,
-    )
-
     t = f"http://t{eid % 11}.example.org/p{eid % 17}"
     t_sp = f"http://t{eid % 11}.example.org/a b/p{eid % 17}"
 
@@ -796,10 +802,6 @@ def q_target_url_extract(sf_dir: str) -> pa.Table:
     """Crack every synthetic result link; emit the target (or '' with
     ok=0). SQL-oracled bit-exact — the oracle rebuilds the ciphers AND
     replays the nibble-XOR decode + google param walk generically."""
-    from spider_ray.kernels.targeturl import (
-        parse_baidu_target_url,
-        parse_google_target_url,
-    )
     from spider_ray.pipelines.relational import _concat, _sorted
     from spider_ray.sources.tables import read_table
 
