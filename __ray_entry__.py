@@ -636,6 +636,14 @@ def _target_url_query(sf_dir: str) -> Any:
     return q_target_url_extract(sf_dir)
 
 
+def _site_search_query(sf_dir: str) -> Any:
+    """Site-internal vertical-search query extraction (site_query.cc):
+    ordered regex book + both decoders over the synthetic URL mix."""
+    from spider_ray.functions.loganalysis import q_site_search_classify
+
+    return q_site_search_classify(sf_dir)
+
+
 def _updater_select_query(sf_dir: str) -> Any:
     """Updater MR pair (mr_updater_mapper.cc:38-76 + reducer): shard-
     ranged staleness re-crawl selection over a deterministic synthetic
@@ -811,6 +819,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nibble-XOR cipher crack (two key generations, real production
         # ciphers pinned in tests) + google redirect param walk
         "target_url_extract": _target_url_query,
+        # site-internal vertical-search extraction (round 5): ordered
+        # regex book + %uXXXX wide-char / double-encode decoders
+        "site_search_classify": _site_search_query,
         # real-HTML byte-level link extraction (round 4, M8 over raw
         # bytes): render_html → extract_links round-trip, SQL-oracled
         # from the web_graph table. In-window; displaces seeded_shuffle
@@ -992,8 +1003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # placement comments above): rows-only entries (crawl trio, sink
     # audits) that have no other recorded check, this round's fix
     # (css_enrich) and new operators stay in; 16 entries that had NEVER
-    # had a driver row rotate in (9 pre-existing, semantic_dedup …
-    # warc_outlinks, + the 7 round-5 operators); 16
+    # had a driver row rotate in (8 pre-existing, semantic_dedup …
+    # warc_outlinks, + the 8 round-5 operators); 16
     # basics with 2-4 green driver rows each AND strict-tool double
     # coverage rotate to the tail (pricing_summary, exact_dedup,
     # simhash/minhash pairs, dup_clusters, corpus_curate, pii/decontam/
@@ -1014,8 +1025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup", "connected_components", "bm25_scores",
         "anchor_text", "salted_join_auto",
         "query_click", "pv_normalize", "pv_md5_map",
-        "target_url_extract",
-        "crawl_eval", "site_uv_share", "compress_control",
+        "target_url_extract", "site_search_classify",
+        "crawl_eval", "compress_control",
         "warc_outlinks",
         "crawl_order", "crawl_images", "crawl_seen",
     ]
@@ -4523,6 +4534,155 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN a.target IS NOT NULL THEN 1 ELSE 0 END
                     AS BIGINT) AS ok
         FROM urls u LEFT JOIN allt a ON a.r = u.r
+        ORDER BY u.src_url
+    """
+    # site-internal vertical-search extraction (round 5): the SAME
+    # regex book runs in DuckDB's RE2 (ordered first-match CASE chain),
+    # the %uXXXX wide-char decoder replays via '%'-chunk unnest, and
+    # the double-encode heuristic via the integer-truncated 20% rule
+    # (restricted %25/%41/%42 decode alphabet, as constructed)
+    assert [r[2] for r in LA.SITE_RULES] == [
+        "Qiyi", "Youku", "Sohu", "Qidian", "360buy", "Xiazaiba",
+        "Yxdown", "Pcgames",
+    ]
+    out["site_search_classify"] = r"""
+        WITH m AS (SELECT DISTINCT event_id % 104 AS r FROM events),
+        base AS (SELECT r, r % 8 AS mode, 'w' || (r % 13) AS w,
+                        r % 13 AS n
+                 FROM m),
+        urls AS (
+            SELECT r,
+                CASE mode
+                  WHEN 0 THEN 'http://so.iqiyi.com/so/q_' || w
+                  WHEN 1 THEN
+                    'http://www.soku.com/search_video/type_tag_q_' || w
+                  WHEN 2 THEN
+                    'http://sosu.qidian.com/searchresult.aspx?x=1&searchkey='
+                    || w
+                  WHEN 3 THEN
+                    'http://search.360buy.com/book?x=1&keyword=%2541%2542'
+                    || w
+                  WHEN 4 THEN 'http://www.xiazaiba.com/word/' || w
+                  WHEN 5 THEN 'http://so.tv.sohu.com/mts?x=1&wd=%u4E2Dx'
+                              || n
+                  WHEN 6 THEN 'http://so.yxdown.com/s_q%41a' || n
+                              || '_soft.html'
+                  ELSE 'http://www.example.com/page?q=' || w
+                END AS src_url
+            FROM base),
+        rk AS (
+            SELECT r, src_url,
+                CASE
+                  WHEN regexp_matches(src_url,
+                    'so\.iqiyi\.com/so/q(_|=|/)([^\?&_]+)') THEN 0
+                  WHEN regexp_matches(src_url,
+                    'www\.soku\.com/search_video/(type_tag_)?q(_|=)([^\?&_]+)(&searchdomain=.*)?')
+                    THEN 1
+                  WHEN regexp_matches(src_url,
+                    'so\.tv\.sohu\.com/mts\?(.*)(cat|area|wd)=([^\?&_]+)')
+                    THEN 2
+                  WHEN regexp_matches(src_url,
+                    'sosu\.qidian\.com/searchresult\.aspx\?(.*)searchkey=([^\?&]+)')
+                    THEN 3
+                  WHEN regexp_matches(src_url,
+                    'search\.360buy\.com/(.*)\?(.*)keyword=([^\?&]+)')
+                    THEN 4
+                  WHEN regexp_matches(src_url,
+                    'www\.xiazaiba\.com/word/([^\?/&]+)') THEN 5
+                  WHEN regexp_matches(src_url,
+                    'so\.yxdown\.com/s_([^_]+)_soft\.html') THEN 6
+                  WHEN regexp_matches(src_url,
+                    'ks\.pcgames\.com\.cn/\?q=([^\?&]+)') THEN 7
+                END AS ridx
+            FROM urls),
+        val AS (
+            SELECT r, src_url, ridx,
+                CASE ridx
+                  WHEN 0 THEN regexp_extract(src_url,
+                    'so\.iqiyi\.com/so/q(_|=|/)([^\?&_]+)', 2)
+                  WHEN 1 THEN regexp_extract(src_url,
+                    'www\.soku\.com/search_video/(type_tag_)?q(_|=)([^\?&_]+)(&searchdomain=.*)?',
+                    3)
+                  WHEN 2 THEN regexp_extract(src_url,
+                    'so\.tv\.sohu\.com/mts\?(.*)(cat|area|wd)=([^\?&_]+)',
+                    3)
+                  WHEN 3 THEN regexp_extract(src_url,
+                    'sosu\.qidian\.com/searchresult\.aspx\?(.*)searchkey=([^\?&]+)',
+                    2)
+                  WHEN 4 THEN regexp_extract(src_url,
+                    'search\.360buy\.com/(.*)\?(.*)keyword=([^\?&]+)', 3)
+                  WHEN 5 THEN regexp_extract(src_url,
+                    'www\.xiazaiba\.com/word/([^\?/&]+)', 1)
+                  WHEN 6 THEN regexp_extract(src_url,
+                    'so\.yxdown\.com/s_([^_]+)_soft\.html', 1)
+                  WHEN 7 THEN regexp_extract(src_url,
+                    'ks\.pcgames\.com\.cn/\?q=([^\?&]+)', 1)
+                END AS v,
+                CASE ridx WHEN 0 THEN 'Qiyi' WHEN 1 THEN 'Youku'
+                          WHEN 2 THEN 'Sohu' WHEN 3 THEN 'Qidian'
+                          WHEN 4 THEN '360buy' WHEN 5 THEN 'Xiazaiba'
+                          WHEN 6 THEN 'Yxdown' WHEN 7 THEN 'Pcgames'
+                END AS site,
+                ridx IN (2, 6) AS sohu
+            FROM rk),
+        -- non-sohu decode: one %-pass (restricted %25 alphabet), then
+        -- the integer-truncated 20% heuristic gates a second pass
+        nsd0 AS (
+            SELECT r, replace(v, '%25', '%') AS d1
+            FROM val WHERE ridx IS NOT NULL AND NOT sohu),
+        nsd AS (
+            SELECT r,
+                CASE WHEN length(d1) - length(replace(d1, '%', ''))
+                          > CAST(floor(length(d1) * 0.2) AS BIGINT)
+                     THEN replace(replace(d1, '%41', 'A'), '%42', 'B')
+                     ELSE d1 END AS dq
+            FROM nsd0),
+        -- sohu decode: '%'-chunk walk (uXXXX / 25uXXXX / XX + tail)
+        schk AS (
+            SELECT r, v, starts_with(v, '%') AS fcn,
+                unnest(str_split(v, '%')) AS chunk,
+                unnest(generate_series(1, len(str_split(v, '%'))))
+                    AS cpos
+            FROM val WHERE ridx IS NOT NULL AND sohu),
+        schk2 AS (
+            SELECT r, fcn, trim(chunk) AS chunk,
+                row_number() OVER (PARTITION BY r ORDER BY cpos) AS cidx
+            FROM schk WHERE trim(chunk) != ''),
+        spc AS (
+            SELECT r, cidx,
+                CASE
+                  WHEN cidx = 1 AND NOT fcn THEN chunk
+                  WHEN length(chunk) < 2 THEN ''
+                  WHEN substr(chunk, 1, 1) = 'u' THEN
+                    chr(CAST(('0x' || substr(chunk, 2, 4)) AS INTEGER))
+                    || substr(chunk, 6)
+                  WHEN substr(chunk, 1, 3) = '25u' THEN
+                    chr(CAST(('0x' || substr(chunk, 4, 4)) AS INTEGER))
+                    || substr(chunk, 8)
+                  ELSE
+                    chr(CAST(('0x' || substr(chunk, 1, 2)) AS INTEGER))
+                    || substr(chunk, 3)
+                END AS piece
+            FROM schk2),
+        ssd AS (
+            SELECT r, string_agg(piece, '' ORDER BY cidx) AS dq
+            FROM spc GROUP BY r),
+        dec AS (
+            SELECT v.r, v.src_url, v.site,
+                trim(regexp_replace(
+                    coalesce(n.dq, s.dq), '[[:space:]]+', ' ', 'g'))
+                    AS q
+            FROM val v
+            LEFT JOIN nsd n ON n.r = v.r
+            LEFT JOIN ssd s ON s.r = v.r
+            WHERE v.ridx IS NOT NULL)
+        SELECT u.src_url,
+               CASE WHEN d.q IS NOT NULL AND d.q != ''
+                    THEN d.site ELSE '' END AS site,
+               coalesce(CASE WHEN d.q != '' THEN d.q END, '') AS query,
+               CAST(CASE WHEN d.q IS NOT NULL AND d.q != ''
+                         THEN 1 ELSE 0 END AS BIGINT) AS ok
+        FROM urls u LEFT JOIN dec d ON d.r = u.r
         ORDER BY u.src_url
     """
     out["curate_shard_pipeline"] = _pack_summary_sql(

@@ -75,6 +75,7 @@ QUERY_NAMES = [
     "pv_normalize",
     "pv_md5_map",
     "target_url_extract",
+    "site_search_classify",
 ]
 
 BENCH_CORPUS = "/tmp/spider_ray_bench_corpus"

@@ -850,6 +850,204 @@ def q_target_url_extract(sf_dir: str) -> pa.Table:
     return _sorted(_concat(out, schema=TARGET_SCHEMA), ["src_url"])
 
 
+# ---------------------------------------------------------------------
+# Site-internal vertical-search query extraction
+# (``log_analysis/common/site_query.cc:28-206``): an ORDERED regex book
+# over vertical sites' own search-result URLs — first matching rule
+# wins, ``group_id`` picks the query capture, Sohu/Yxdown route through
+# the %uXXXX wide-char decoder (``DecodeSohuQuery``, :99-160), everyone
+# else through the double-url-encode heuristic (``DecodeQuery``,
+# :73-97: decode once; if '%' still makes up > 20% of the result —
+# integer-truncated threshold — decode again). An empty
+# normalized query STOPS the walk (returns failure, :189-195); a decode
+# failure CONTINUES to the next rule (:196-198). Frozen 8-rule subset
+# of kVerticalSiteBook; regexes verbatim (RE2-compatible, so the DuckDB
+# oracle runs the SAME patterns). NormalizeLine is ported as
+# whitespace collapse (the nlp normalizer's observable effect on these
+# query strings).
+# ---------------------------------------------------------------------
+
+SITE_RULES: list[tuple[str, int, str]] = [
+    (r"so\.iqiyi\.com/so/q(_|=|/)([^\?&_]+)", 1, "Qiyi"),
+    (
+        r"www\.soku\.com/search_video/(type_tag_)?q(_|=)"
+        r"([^\?&_]+)(&searchdomain=.*)?",
+        2,
+        "Youku",
+    ),
+    (r"so\.tv\.sohu\.com/mts\?(.*)(cat|area|wd)=([^\?&_]+)", 2, "Sohu"),
+    (
+        r"sosu\.qidian\.com/searchresult\.aspx\?(.*)searchkey=([^\?&]+)",
+        1,
+        "Qidian",
+    ),
+    (r"search\.360buy\.com/(.*)\?(.*)keyword=([^\?&]+)", 2, "360buy"),
+    (r"www\.xiazaiba\.com/word/([^\?/&]+)", 0, "Xiazaiba"),
+    (r"so\.yxdown\.com/s_([^_]+)_soft\.html", 0, "Yxdown"),
+    (r"ks\.pcgames\.com\.cn/\?q=([^\?&]+)", 0, "Pcgames"),
+]
+
+_SITE_RULES_COMPILED = [
+    (re.compile(p), gid, site) for p, gid, site in SITE_RULES
+]
+
+
+def decode_query(v: str) -> str:
+    """DecodeQuery (site_query.cc:73-97): best-effort %-decode; if '%'
+    still exceeds 20% (integer-truncated) of the result, assume double
+    encoding and decode again. (HTMLToUTF8 is identity on the utf-8
+    corpus this engine feeds it.)"""
+    d = unquote(v)
+    if d.count("%") > int(len(d) * 0.2):
+        d = unquote(d)
+    return d
+
+
+def decode_sohu_query(v: str) -> str | None:
+    """DecodeSohuQuery (site_query.cc:99-160): '%'-chunked walk where
+    ``uXXXX`` chunks are 4-hex-digit CODE POINTS, ``25uXXXX`` the
+    double-encoded form, and plain chunks a 2-hex-digit code point
+    (wchar_t semantics — NOT a byte) followed by literal tail; a
+    leading non-'%' chunk passes through literally; malformed hex
+    fails the whole decode."""
+    chars = [c.strip() for c in v.split("%")]
+    chars = [c for c in chars if c != ""]
+    if not chars:
+        return None
+    first_cn = v.startswith("%")
+    out: list[str] = []
+    for i, buf in enumerate(chars):
+        if i == 0 and not first_cn:
+            out.append(buf)
+            continue
+        if len(buf) < 2:
+            continue
+        if buf[0] == "u":
+            if len(buf) < 5:
+                return None
+            try:
+                code = int(buf[1:5], 16)
+            except ValueError:
+                return None
+            out.append(chr(code))
+            if len(buf) > 5:
+                out.append(buf[5:])
+            continue
+        if buf[:3] == "25u":
+            if len(buf) < 7:
+                return None
+            try:
+                code = int(buf[3:7], 16)
+            except ValueError:
+                return None
+            out.append(chr(code))
+            if len(buf) > 7:
+                out.append(buf[7:])
+            continue
+        try:
+            code = int(buf[:2], 16)
+        except ValueError:
+            return None
+        out.append(chr(code))
+        if len(buf) > 2:
+            out.append(buf[2:])
+    return "".join(out)
+
+
+def is_site_internal_search(url: str) -> tuple[str, str] | None:
+    """(site, normalized query) or None — the exact reference walk:
+    ordered book, decode-failure continues, empty-query stops."""
+    for pat, gid, site in _SITE_RULES_COMPILED:
+        m = pat.search(url)
+        if not m:
+            continue
+        value = m.groups()[gid] or ""
+        if site in ("Sohu", "Yxdown"):
+            decoded = decode_sohu_query(value)
+        else:
+            decoded = decode_query(value)
+        if decoded is None:
+            continue
+        q = " ".join(decoded.split())
+        if not q:
+            return None
+        return site, q
+    return None
+
+
+SITE_SEARCH_SCHEMA = pa.schema(
+    [
+        ("src_url", pa.string()),
+        ("site", pa.string()),
+        ("query", pa.string()),
+        ("ok", pa.int64()),
+    ]
+)
+
+
+def _synth_site_search_url(eid: int) -> str:
+    """Deterministic vertical-search URL per event — one shape per
+    ported rule family, both decoders (incl. the %uXXXX wide-char and
+    double-url-encode branches), and a non-match."""
+    n = eid % 13
+    mode = eid % 8
+    return [
+        f"http://so.iqiyi.com/so/q_w{n}",
+        f"http://www.soku.com/search_video/type_tag_q_w{n}",
+        f"http://sosu.qidian.com/searchresult.aspx?x=1&searchkey=w{n}",
+        # double-url-encoded: %2541%2542 → %41%42 → AB (heuristic fires)
+        f"http://search.360buy.com/book?x=1&keyword=%2541%2542w{n}",
+        f"http://www.xiazaiba.com/word/w{n}",
+        # sohu decoder: leading %uXXXX code point + literal tail
+        f"http://so.tv.sohu.com/mts?x=1&wd=%u4E2Dx{n}",
+        # yxdown: literal first chunk + %XX code point + tail
+        f"http://so.yxdown.com/s_q%41a{n}_soft.html",
+        f"http://www.example.com/page?q=w{n}",  # no rule matches
+    ][mode]
+
+
+def q_site_search_classify(sf_dir: str) -> pa.Table:
+    """Vertical-site internal-search extraction over the synthetic URL
+    mix; one distinct row per link shape: (src_url, site, query, ok).
+    SQL-oracled bit-exact — the oracle runs the SAME regex book in
+    DuckDB's RE2 and replays both decoders generically."""
+    from spider_ray.pipelines.relational import _concat, _sorted
+    from spider_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        srcs, sites, queries, oks = [], [], [], []
+        for e in batch["event_id"].to_pylist():
+            url = _synth_site_search_url(e)
+            got = is_site_internal_search(url)
+            srcs.append(url)
+            sites.append(got[0] if got else "")
+            queries.append(got[1] if got else "")
+            oks.append(1 if got else 0)
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "site": pa.array(sites, pa.string()),
+                "query": pa.array(queries, pa.string()),
+                "ok": pa.array(oks, pa.int64()),
+            }
+        )
+
+    dedup = lambda b: (  # noqa: E731 — block partial + final distinct
+        pl.from_arrow(b).unique().to_arrow().cast(SITE_SEARCH_SCHEMA)
+    )
+    out = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .map_batches(dedup, batch_format="pyarrow")
+        .groupby("src_url")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+    return _sorted(
+        _concat(out, schema=SITE_SEARCH_SCHEMA), ["src_url"]
+    )
+
+
 from spider_ray._serial import register_all as _register_all  # noqa: E402
 
 _register_all()

@@ -262,3 +262,42 @@ def test_pv_parse_row_never_crashes(mid, ui, ri):
         pv, md5_row = got
         assert len(pv) == 7 and pv[0] == mid
         assert pv[5] == "255" and pv[6] == "0"
+
+
+def test_site_search_semantics():
+    from spider_ray.functions.loganalysis import (
+        _synth_site_search_url,
+        decode_query,
+        decode_sohu_query,
+        is_site_internal_search,
+    )
+
+    # double-url-encode heuristic: integer-truncated 20% threshold
+    assert decode_query("%2541%2542w7") == "ABw7"
+    assert decode_query("w7") == "w7"
+    # one '%' in a 5-char result does NOT cross int(5*0.2)=1 → single
+    assert decode_query("%2541w7") == "%41w7"
+    # sohu decoder: %uXXXX code points, %XX code points, literal head
+    assert decode_sohu_query("%u4E2Dx7") == "中x7"
+    assert decode_sohu_query("q%41a7") == "qAa7"
+    assert decode_sohu_query("%25u4E2D") == "中"
+    assert decode_sohu_query("%zz") is None  # bad hex fails the decode
+    assert decode_sohu_query("ab") == "ab"
+    # the full walk over every synth mode
+    got = [is_site_internal_search(_synth_site_search_url(m))
+           for m in range(8)]
+    assert got == [
+        ("Qiyi", "w0"), ("Youku", "w1"), ("Qidian", "w2"),
+        ("360buy", "ABw3"), ("Xiazaiba", "w4"),
+        ("Sohu", "中x5"), ("Yxdown", "qAa6"), None,
+    ]
+
+
+def test_site_search_classify_matches_oracle(ray_session):
+    from spider_ray.functions.loganalysis import q_site_search_classify
+
+    ours = _canon(pl.from_arrow(q_site_search_classify(SF)).to_pandas())
+    theirs = _canon(_oracle("site_search_classify"))
+    assert ours.shape == theirs.shape
+    assert (ours.values == theirs.values).all()
+    assert (ours["ok"] == 0).any() and (ours["ok"] == 1).any()
